@@ -1,0 +1,64 @@
+"""Frozen engine constants + SparkSession factory.
+
+Everything here is FROZEN at bootstrap (SURVEY.md Q1/T1, BASELINE.json:14
+rank-identity requirement): the TAAT-SQL oracle, the DAAT kernel and the
+block-max-WAND kernel all read the same constants, which is what makes
+them mutually rank-identical.
+
+Reference parity: irkit pins its BM25 constants in a score header
+(SURVEY.md §2.9 [pub:include/irkit/score.hpp]); we pin them here.
+"""
+
+from __future__ import annotations
+
+import os
+
+# --- BM25 (frozen; shared by numpy kernels and SQL oracles) -------------
+BM25_K1 = 0.9
+BM25_B = 0.4
+
+# Dirichlet query-likelihood smoothing (SURVEY.md Q2)
+QL_MU = 2000.0
+
+# --- Tokenizer (frozen; rank-identity depends on it, SURVEY.md T1) ------
+TOKEN_RE = r"[a-z0-9]+"
+
+# --- Index layout --------------------------------------------------------
+BLOCK_SIZE = 128          # postings per compressed block (SURVEY.md C4)
+DEFAULT_CODEC = "varbyte"  # "varbyte" | "streamvbyte" (SURVEY.md C2/C3)
+
+# Doc-shard size: shard(doc_id) = doc_id // DOCS_PER_SHARD. This is the
+# salt of the salted repartition-by-term (BASELINE.json:6): the build
+# shuffle key is (term_id, shard), so a head term's posting list is split
+# into bounded sub-lists (term-splitting), and query-time WAND can fully
+# score a doc inside one shard because every term's sub-list for that doc
+# range carries the same shard id. At 10^12 docs set this so a shard's
+# postings fit one executor task (~1-10M docs); tests use small values.
+DOCS_PER_SHARD = int(os.environ.get("IRKIT_DOCS_PER_SHARD", "100000"))
+
+# Buckets for deterministic dense ID assignment (plans/dense_ids.py).
+# Must be >> max parallelism and << collection size at scale.
+ID_BUCKETS = int(os.environ.get("IRKIT_ID_BUCKETS", "64"))
+
+SHUFFLE_PARTITIONS = int(os.environ.get("IRKIT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(app: str = "irkit_spark", cores: str | int = "*",
+              shuffle_partitions: int | None = None):
+    """local[N] session tuned per /opt guide: AQE on, Arrow on, UTC."""
+    from pyspark.sql import SparkSession
+
+    sp = shuffle_partitions or SHUFFLE_PARTITIONS
+    return (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("IRKIT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

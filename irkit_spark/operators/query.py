@@ -1,0 +1,302 @@
+"""Top-k BM25 query processing: TAAT, DAAT, block-max WAND.
+
+Re-expresses irkit's query stack (SURVEY.md §2.9:
+[pub:include/irkit/taat.hpp], [pub:include/irkit/daat.hpp],
+[pub:tools/irk-query.cpp]) on the doc-sharded index of
+operators/build.py.
+
+Query lifecycle (SURVEY.md §3.2): driver tokenizes the query with the
+frozen tokenizer and looks term ids/idfs up in `terms` (tiny filtered
+collect, Q6) -> `postings.filter(term_id isin q)` (partition/row-group
+pruning; untouched shards never read) -> per-shard kernel via
+cogrouped applyInPandas(postings-by-shard, docs-by-shard): decode,
+merge, score, local top-k -> global orderBy(score desc, doc_id).limit(k)
+over <= k * n_shards candidate rows. No wide shuffle at query time.
+
+Determinism / rank-identity (BASELINE.json:14): every path accumulates a
+doc's score over its query terms in ascending term_id order starting
+from +0.0, so DAAT and WAND are bit-identical; ties break on doc_id
+ascending; the TAAT paths differ only by Spark's float sum order
+(tested to 1e-9 with exact rank agreement).
+
+Block-max WAND here is a lossless two-phase batch variant suited to
+vectorized execution (the candidate-generation + full-evaluation form):
+  1. seed a threshold theta with exact scores of the docs of the
+     smallest query-term sub-list in the shard (any k exact scores
+     lower-bound the true k-th best);
+  2. prune block b of term t unless
+       idf_t * blockmax_b + sum_{t' != t} shardUB_{t'} >= theta
+     (a doc living only in pruned blocks is provably <= theta);
+  3. exactly score the union of surviving-block docs (+ seed docs),
+     selectively decoding only blocks that contain a candidate.
+Pruned blocks are never decoded — the same work block-max WAND's
+cursor loop skips ([pub:daat.hpp threshold logic], SURVEY.md Q5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irkit_spark import config
+from irkit_spark.functions.codecs import CODECS, delta_decode
+from irkit_spark.functions.scoring import bm25_tf_norm, idf as idf_fn
+from irkit_spark.functions.tokenize import tokenize
+
+TOPK_SCHEMA = "doc_id long, score double"
+
+
+class Index:
+    """Loaded index handle (SURVEY.md §1.3 catalog of Spark tables)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.postings = spark.read.parquet(os.path.join(path, "postings"))
+        self.terms = spark.read.parquet(os.path.join(path, "terms"))
+        self.docs = spark.read.parquet(os.path.join(path, "docs"))
+        st = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avg_doc_len"])
+        self.codec = st["codec"]
+        self.block_size = int(st["block_size"])
+        self.docs_per_shard = int(st["docs_per_shard"])
+        self.stats = st.asDict()
+
+    # §3.3 lookups ([pub:tools/irk-lookup — low])
+    def term_stats(self, term: str):
+        rows = self.terms.filter(F.col("term") == term).collect()
+        return rows[0].asDict() if rows else None
+
+    def doc(self, url: str):
+        rows = self.docs.filter(F.col("url") == url).collect()
+        return rows[0].asDict() if rows else None
+
+    def lookup_query(self, query: str) -> list[dict]:
+        """Query string -> [{term_id, idf, df}] (OOV dropped, Q6/P3)."""
+        toks = sorted(set(tokenize(query)))
+        if not toks:
+            return []
+        rows = (self.terms.filter(F.col("term").isin(toks))
+                .select("term_id", "term", "df").collect())
+        return [{"term_id": int(r["term_id"]),
+                 "df": int(r["df"]),
+                 "idf": float(idf_fn(np.array([r["df"]]), self.n_docs)[0])}
+                for r in sorted(rows, key=lambda r: r["term_id"])]
+
+
+def _decode_row_blocks(blocks, codec: str):
+    """postings.blocks (list of dict-like) -> (docs u64[], tfs u64[])."""
+    dec = CODECS[codec][1]
+    ds, ts = [], []
+    for blk in blocks:
+        n = int(blk["n"])
+        gaps = dec(bytes(blk["doc_bytes"]), n)
+        ds.append(delta_decode(gaps, int(blk["first_doc"])))
+        ts.append(dec(bytes(blk["tf_bytes"]), n))
+    return (np.concatenate(ds) if ds else np.empty(0, np.uint64),
+            np.concatenate(ts) if ts else np.empty(0, np.uint64))
+
+
+def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
+                  docs_per_shard: int, mode: str):
+    """Cogrouped per-shard scorer. qmeta sorted by term_id ascending."""
+    idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
+    dec = CODECS[codec][1]
+
+    def exact_scores(term_rows, cand: np.ndarray, dl_arr: np.ndarray,
+                     base: int, decoded_cache: dict) -> np.ndarray:
+        """Exact BM25 of sorted candidate docs; selective block decode."""
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for tid in sorted(term_rows):  # ascending term_id: pinned add order
+            blocks = term_rows[tid]
+            firsts = np.array([b["first_doc"] for b in blocks], np.int64)
+            lasts = np.array([b["last_doc"] for b in blocks], np.int64)
+            # block index whose range may contain each candidate
+            bi = np.searchsorted(lasts, cand, side="left")
+            ok = (bi < len(blocks))
+            hit = np.zeros(cand.size, dtype=bool)
+            hit[ok] = firsts[bi[ok]] <= cand[ok]
+            need = np.unique(bi[hit])
+            for b_ix in need.tolist():
+                key = (tid, b_ix)
+                if key not in decoded_cache:
+                    blk = blocks[b_ix]
+                    n = int(blk["n"])
+                    gaps = dec(bytes(blk["doc_bytes"]), n)
+                    d = delta_decode(gaps, int(blk["first_doc"])).astype(np.int64)
+                    t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
+                    decoded_cache[key] = (d, t)
+                d, t = decoded_cache[key]
+                pos = np.searchsorted(d, cand)
+                pos_ok = pos < d.size
+                m = np.zeros(cand.size, dtype=bool)
+                m[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
+                if not m.any():
+                    continue
+                tf = t[pos[m]]
+                dl = dl_arr[cand[m] - base]
+                scores[m] += idf_by_tid[tid] * bm25_tf_norm(tf, dl, avgdl)
+        return scores
+
+    def topk_frame(doc: np.ndarray, score: np.ndarray) -> pd.DataFrame:
+        if doc.size > k:
+            part = np.argpartition(-score, k - 1)[:k * 2 if k * 2 < doc.size
+                                                   else doc.size]
+            # keep 2k before the exact sort to break score ties on doc_id
+            doc, score = doc[part], score[part]
+        order = np.lexsort((doc, -score))[:k]
+        return pd.DataFrame({"doc_id": doc[order].astype(np.int64),
+                             "score": score[order]})
+
+    def run(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or docs_pdf.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        shard = int(post_pdf["partition_id"].iloc[0])
+        base = shard * docs_per_shard
+        dl_arr = np.zeros(docs_per_shard, dtype=np.float64)
+        d_ids = docs_pdf["doc_id"].to_numpy() - base
+        dl_arr[d_ids] = docs_pdf["doc_len"].to_numpy()
+        term_rows: dict[int, list] = {}
+        for _, r in post_pdf.iterrows():
+            term_rows.setdefault(int(r["term_id"]), []).extend(
+                list(r["blocks"]))
+        cache: dict = {}
+
+        if mode == "daat":       # exhaustive, Q4
+            docs_l, terms_l, contrib_l = [], [], []
+            for tid in sorted(term_rows):
+                d, t = _decode_row_blocks(term_rows[tid], codec)
+                d = d.astype(np.int64)
+                dl = dl_arr[d - base]
+                contrib_l.append(idf_by_tid[tid]
+                                 * bm25_tf_norm(t.astype(np.int64), dl, avgdl))
+                docs_l.append(d)
+                terms_l.append(np.full(d.size, tid, dtype=np.int64))
+            doc = np.concatenate(docs_l)
+            trm = np.concatenate(terms_l)
+            con = np.concatenate(contrib_l)
+            ix = np.lexsort((trm, doc))
+            doc, con = doc[ix], con[ix]
+            starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+            uniq = doc[starts]
+            sc = np.add.reduceat(con, starts)
+            return topk_frame(uniq, sc)
+
+        # mode == "wand": two-phase lossless block-max pruning, Q5
+        meta = {}
+        for tid, blocks in term_rows.items():
+            mx = np.array([b["max_score"] for b in blocks], np.float64)
+            meta[tid] = mx
+        shard_ub = {tid: idf_by_tid[tid] * meta[tid].max()
+                    for tid in term_rows}
+        total_ub = sum(shard_ub.values())
+
+        # phase 1: seed theta from the smallest term's docs
+        seed_tid = min(term_rows,
+                       key=lambda t: sum(b["n"] for b in term_rows[t]))
+        seed_docs, _ = _decode_row_blocks(term_rows[seed_tid], codec)
+        seed_docs = np.unique(seed_docs.astype(np.int64))
+        seed_scores = exact_scores(term_rows, seed_docs, dl_arr, base, cache)
+        if seed_docs.size >= k:
+            theta = np.partition(seed_scores, seed_docs.size - k)[
+                seed_docs.size - k]
+        else:
+            theta = -np.inf
+
+        # phase 2: surviving blocks
+        cand_parts = [seed_docs]
+        for tid, blocks in term_rows.items():
+            rest_ub = total_ub - shard_ub[tid]
+            ub_b = idf_by_tid[tid] * meta[tid] + rest_ub
+            keep = np.flatnonzero(ub_b >= theta)
+            for b_ix in keep.tolist():
+                key = (tid, b_ix)
+                if key not in cache:
+                    blk = blocks[b_ix]
+                    n = int(blk["n"])
+                    gaps = dec(bytes(blk["doc_bytes"]), n)
+                    d = delta_decode(gaps, int(blk["first_doc"])).astype(np.int64)
+                    t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
+                    cache[key] = (d, t)
+                cand_parts.append(cache[key][0])
+        cand = np.unique(np.concatenate(cand_parts))
+
+        # phase 3: exact scores of candidates
+        sc = exact_scores(term_rows, cand, dl_arr, base, cache)
+        return topk_frame(cand, sc)
+
+    return run
+
+
+def search(index: Index, query: str, k: int = 10,
+           mode: str = "wand") -> DataFrame:
+    """Top-k (doc_id, score); mode in {taat, daat, wand} (Q3/Q4/Q5)."""
+    spark = index.spark
+    qmeta = index.lookup_query(query)
+    empty = spark.createDataFrame([], TOPK_SCHEMA)
+    if not qmeta:
+        return empty
+    tids = [m["term_id"] for m in qmeta]
+    qpost = index.postings.filter(F.col("term_id").isin(tids))
+
+    if mode == "taat":
+        return _taat_from_index(index, qmeta, qpost, k)
+
+    shards = [r["partition_id"] for r in
+              qpost.select("partition_id").distinct().collect()]
+    if not shards:
+        return empty
+    qdocs = index.docs.filter(F.col("partition_id").isin(shards)) \
+        .select("partition_id", "doc_id", "doc_len")
+    kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
+                         index.docs_per_shard, mode)
+    local = (qpost.groupBy("partition_id")
+             .cogroup(qdocs.groupBy("partition_id"))
+             .applyInPandas(lambda lt, rt: kern(lt, rt), TOPK_SCHEMA))
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
+                     k: int) -> DataFrame:
+    """TAAT (Q3/A4): decode -> per-posting partial scores -> JVM-side
+    groupBy(doc_id).sum -> top-k. The SQL-shaped path."""
+    avgdl, codec = index.avgdl, index.codec
+    dps = index.docs_per_shard
+    idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
+
+    def decode_partials(batches):
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                d, t = _decode_row_blocks(list(r["blocks"]), codec)
+                outs.append(pd.DataFrame({
+                    "doc_id": d.astype(np.int64),
+                    "term_id": np.full(d.size, int(r["term_id"]),
+                                       dtype=np.int32),
+                    "tf": t.astype(np.int64)}))
+            yield (pd.concat(outs, ignore_index=True) if outs else
+                   pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term_id": pd.Series([], dtype="int32"),
+                                 "tf": pd.Series([], dtype="int64")}))
+
+    flat = qpost.mapInPandas(decode_partials,
+                             "doc_id long, term_id int, tf long")
+    idf_df = index.spark.createDataFrame(
+        [(m["term_id"], m["idf"]) for m in qmeta], "term_id int, idf double")
+    k1, b = config.BM25_K1, config.BM25_B
+    scored = (flat
+              .join(index.docs.select("doc_id", "doc_len"), "doc_id")
+              .join(F.broadcast(idf_df), "term_id")
+              .withColumn("partial",
+                          F.col("idf") * F.col("tf")
+                          / (F.col("tf") + k1 * (1.0 - b + b
+                                                 * F.col("doc_len") / avgdl))))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("partial").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

@@ -1,0 +1,157 @@
+"""Pure-DataFrame (Catalyst-only, JVM-side) forms of the engine's
+SQL-expressible operators (SURVEY.md §5.7) — these are the DuckDB-oracle
+counterparts wired into __spark_entry__.py, and the TAAT-over-raw-text
+BM25 used as the brute-force oracle for the index paths.
+
+Everything here is whole-stage-codegen friendly: tokenization uses the
+built-in regexp_extract_all (same frozen TOKEN_RE as the Arrow kernels),
+no Python UDFs at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from irkit_spark.config import BM25_B, BM25_K1, QL_MU, TOKEN_RE
+from irkit_spark.functions.tokenize import tokenize
+
+
+def tokens_df(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, term) exploded token stream — oracle form of T1."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)).alias("term"))
+
+
+def term_freqs(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — oracle form of A1."""
+    return (tokens_df(docs).groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def term_stats(docs: DataFrame) -> DataFrame:
+    """(term, df, cf) — A2."""
+    return (term_freqs(docs).groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+
+
+def doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, doc_len) over ALL docs (0 for token-less docs) — A3."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(TOKEN_RE), 0)).alias("doc_len"))
+
+
+def collection_stats(docs: DataFrame) -> DataFrame:
+    """(n_docs, avg_doc_len, coll_len, vocab) — stats table shape."""
+    dl = doc_lengths(docs)
+    vocab = term_stats(docs).agg(F.count("*").alias("vocab"))
+    base = dl.agg(F.count("*").alias("n_docs"),
+                  F.avg("doc_len").alias("avg_doc_len"),
+                  F.sum("doc_len").alias("coll_len"))
+    return base.crossJoin(vocab)
+
+
+def lexicon(docs: DataFrame) -> DataFrame:
+    """(term_id, term, df, cf): dense ids by sorted term — T3 oracle form
+    (single window is fine at oracle scale; the engine uses the bucketed
+    two-pass scheme in plans/dense_ids.py)."""
+    w = Window.orderBy("term")
+    return (term_stats(docs)
+            .withColumn("term_id", F.row_number().over(w) - 1)
+            .select("term_id", "term", "df", "cf"))
+
+
+def _query_terms_df(spark, query: str):
+    toks = sorted(set(tokenize(query)))
+    return spark.createDataFrame([(t,) for t in toks], "term string")
+
+
+def bm25_topk_text(docs: DataFrame, query: str, k: int = 10,
+                   round_dp: int | None = 6) -> DataFrame:
+    """Brute-force TAAT BM25 over raw text — pure groupBy/agg (A4+O3).
+
+    This is the engine's SQL-oracle flagship: rank-identical to the
+    index-backed TAAT/DAAT/WAND paths (tested in
+    tests/test_query_identity.py).
+    """
+    spark = docs.sparkSession
+    tf = term_freqs(docs)
+    dl = doc_lengths(docs)
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("doc_len").alias("avgdl")).collect()[0]
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    q = _query_terms_df(spark, query)
+    ts = term_stats(docs).join(F.broadcast(q), "term")
+    scored = (tf.join(F.broadcast(ts.select("term", "df")), "term")
+              .join(dl, "doc_id")
+              .withColumn(
+                  "partial",
+                  F.log1p((F.lit(n_docs) - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5))
+                  * F.col("tf")
+                  / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B
+                                              * F.col("doc_len") / avgdl))))
+    out = (scored.groupBy("doc_id")
+           .agg(F.sum("partial").alias("score")))
+    if round_dp is not None:
+        out = out.withColumn("score", F.round("score", round_dp))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def ql_topk_text(docs: DataFrame, query: str, k: int = 10,
+                 round_dp: int | None = 6) -> DataFrame:
+    """Dirichlet query-likelihood top-k (Q2) — only docs containing at
+    least one query term are ranked (matches irkit's OR traversal), but
+    each ranked doc is scored over ALL query terms incl. zero-tf ones."""
+    spark = docs.sparkSession
+    tf = term_freqs(docs)
+    dl = doc_lengths(docs)
+    coll = dl.agg(F.sum("doc_len").alias("c")).collect()[0]["c"]
+    q = _query_terms_df(spark, query)
+    qstats = (term_stats(docs).join(F.broadcast(q), "term")
+              .select("term", "cf"))
+    cand = (tf.join(F.broadcast(qstats.select("term")), "term")
+            .select("doc_id").distinct())
+    grid = cand.crossJoin(F.broadcast(qstats))
+    scored = (grid
+              .join(tf, ["doc_id", "term"], "left").fillna(0, ["tf"])
+              .join(dl, "doc_id")
+              .withColumn("partial",
+                          F.log((F.col("tf") + QL_MU * F.col("cf")
+                                 / float(coll))
+                                / (F.col("doc_len") + QL_MU))))
+    out = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    if round_dp is not None:
+        out = out.withColumn("score", F.round("score", round_dp))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def conjunctive_docs(docs: DataFrame, query: str) -> DataFrame:
+    """Docs containing ALL query terms (J1 oracle form: k-way semi-join
+    == GROUP BY doc HAVING count(distinct matched term) = |q|)."""
+    spark = docs.sparkSession
+    toks = sorted(set(tokenize(query)))
+    q = _query_terms_df(spark, query)
+    return (term_freqs(docs).join(F.broadcast(q), "term")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_terms"),
+                 F.sum("tf").alias("sum_tf"))
+            .filter(F.col("n_terms") == len(toks))
+            .select("doc_id", "sum_tf")
+            .orderBy("doc_id"))
+
+
+def disjunctive_docs(docs: DataFrame, query: str) -> DataFrame:
+    """Docs containing ANY query term, with match count + summed tf
+    (J2 oracle form: union merge)."""
+    q = _query_terms_df(docs.sparkSession, query)
+    return (term_freqs(docs).join(F.broadcast(q), "term")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_terms"),
+                 F.sum("tf").alias("sum_tf"))
+            .orderBy("doc_id"))

@@ -1,0 +1,46 @@
+"""Deterministic dense ID assignment (SURVEY.md §2.3 T2/T3).
+
+irkit assigns docIDs densely 0..N-1 in ingest order inside a single
+process ([pub:index/assembler]). On a cluster, `monotonically_increasing_id`
+is neither dense nor stable across parallelism, and a global
+`row_number()` window is a single-partition bottleneck. BASELINE.json:6
+requires identical docIDs at N and 4N executors.
+
+Scheme (two-pass, parallelism-independent):
+  1. bucket(key) = crc32(key) % n_buckets   -- deterministic, balanced
+  2. per-bucket counts -> exclusive prefix-sum offsets (n_buckets rows,
+     collected to the driver, broadcast back)
+  3. id = offset[bucket] + (row_number() over bucket ordered by key) - 1
+
+Canonical order is therefore (bucket, key): stable under any cluster
+size or input partitioning, dense 0..N-1, and each per-bucket window
+sort is bounded by ~N/n_buckets rows (pick n_buckets so a bucket fits
+one task at scale). Requires `key` unique (urls are; terms are).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(df: DataFrame, key: str, id_col: str,
+                     n_buckets: int = 64) -> DataFrame:
+    spark = df.sparkSession
+    b = (F.crc32(F.col(key).cast("string")) % n_buckets).cast("int")
+    with_bucket = df.withColumn("__bucket", b)
+    counts = (with_bucket.groupBy("__bucket").count()
+              .orderBy("__bucket").collect())
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["__bucket"]] = acc
+        acc += row["count"]
+    offsets_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "__bucket int, __offset long")
+    w = Window.partitionBy("__bucket").orderBy(key)
+    return (with_bucket
+            .join(F.broadcast(offsets_df), "__bucket")
+            .withColumn(id_col,
+                        (F.col("__offset") + F.row_number().over(w) - 1)
+                        .cast("long"))
+            .drop("__bucket", "__offset"))
