@@ -1,38 +1,398 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every SQL-expressible operator from SURVEY.md §2 (and the training-data
+pipeline ops) has a queries() entry + a matching oracle_sql() DuckDB
+string; non-SQL-expressible ops (MinHash-LSH, SimHash, LSH-ANN, full
+feature vectors) are rows-only entries. The index-backed entries
+(index_taat/daat/wand) build a real compressed inverted index over the
+`documents` table and are oracled against the *same* brute-force BM25
+SQL — that equivalence IS the engine's rank-identity claim
+(BASELINE.json:14).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irkit_spark.config import BM25_B, BM25_K1, QL_MU, TOKEN_RE
+
+# ---------------------------------------------------------------- helpers
+
+Q_BM25_A = "join hash merge"
+Q_BM25_B = "spark window customer"
+Q_AND = "scan filter merge"
+Q_OR = "spark window"
+
+_IDX_CACHE: dict[str, str] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a real compressed index over
+    the documents table; doc_id is already dense so assignment is
+    skipped (doc_id_col)."""
+    if sf_dir not in _IDX_CACHE:
+        from irkit_spark.operators.build import build_index
+        out = os.path.join(tempfile.gettempdir(),
+                           "irkit_entry_idx_" +
+                           sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, _docs(spark, sf_dir), out,
+                    docs_per_shard=200, doc_id_col="doc_id",
+                    key_col="doc_id")
+        _IDX_CACHE[sf_dir] = out
+    return _IDX_CACHE[sf_dir]
+
+
+def _index_search(spark, sf_dir, query, k, mode) -> DataFrame:
+    from irkit_spark.operators.query import Index, search
+    idx = Index(spark, _index_for(spark, sf_dir))
+    out = search(idx, query, k=k, mode=mode)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: block-max WAND BM25 top-10 from a real compressed
+    inverted index built over /root/testdata/sf0.001 documents."""
+    return _index_search(spark, "/root/testdata/sf0.001", Q_BM25_A, 10,
+                         "wand")
 
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from irkit_spark.operators import sqlpath as sp
+    from irkit_spark.pipeline import dedup as dd
+    from irkit_spark.pipeline import multimodal as mm
+    from irkit_spark.pipeline import similarity as sim
+    from irkit_spark.pipeline import textstats as ts
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_tokenize_tf(spark, sf):
+        return sp.term_freqs(_docs(spark, sf))
+
+    def q_term_stats(spark, sf):
+        return sp.term_stats(_docs(spark, sf))
+
+    def q_doc_lengths(spark, sf):
+        return sp.doc_lengths(_docs(spark, sf)) \
+            .select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+    def q_collection_stats(spark, sf):
+        return sp.collection_stats(_docs(spark, sf)).select(
+            "n_docs", F.round("avg_doc_len", 6).alias("avg_doc_len"),
+            "coll_len", "vocab")
+
+    def q_lexicon(spark, sf):
+        return sp.lexicon(_docs(spark, sf)) \
+            .select(F.col("term_id").cast("long").alias("term_id"),
+                    "term", "df", "cf")
+
+    def q_bm25_taat_top10(spark, sf):
+        return sp.bm25_topk_text(_docs(spark, sf), Q_BM25_A, 10)
+
+    def q_bm25_taat_top100(spark, sf):
+        return sp.bm25_topk_text(_docs(spark, sf), Q_BM25_B, 100)
+
+    def q_ql_top10(spark, sf):
+        return sp.ql_topk_text(_docs(spark, sf), Q_BM25_A, 10)
+
+    def q_and(spark, sf):
+        return sp.conjunctive_docs(_docs(spark, sf), Q_AND)
+
+    def q_or(spark, sf):
+        return sp.disjunctive_docs(_docs(spark, sf), Q_OR)
+
+    def q_index_taat(spark, sf):
+        return _index_search(spark, sf, Q_BM25_A, 10, "taat")
+
+    def q_index_daat(spark, sf):
+        return _index_search(spark, sf, Q_BM25_A, 10, "daat")
+
+    def q_index_wand(spark, sf):
+        return _index_search(spark, sf, Q_BM25_A, 10, "wand")
+
+    def q_index_wand_top100(spark, sf):
+        return _index_search(spark, sf, Q_BM25_B, 100, "wand")
+
+    def q_dedup_exact(spark, sf):
+        return dd.exact_dup_groups(_docs(spark, sf))
+
+    def q_token_jaccard(spark, sf):
+        return dd.token_jaccard_pairs(_docs(spark, sf), "source", 0.5)
+
+    def q_shingle_jaccard(spark, sf):
+        return dd.shingle_jaccard_pairs(_docs(spark, sf), 3, 0.1)
+
+    def q_token_counts(spark, sf):
+        return ts.token_counts(_docs(spark, sf))
+
+    def q_quality(spark, sf):
+        return ts.quality_scores(_docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return ts.lang_id(_docs(spark, sf))
+
+    def q_fingerprints(spark, sf):
+        return ts.fingerprints(_docs(spark, sf))
+
+    def q_ann_cosine(spark, sf):
+        emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
+        return sim.cosine_topk(emb, _query_vec(spark, sf), 10)
+
+    def q_cosine_pairs(spark, sf):
+        return sim.cosine_pairs(_emb(spark, sf), 0.3)
+
+    def q_media_metadata(spark, sf):
+        return mm.media_table(_docs(spark, sf)) \
+            .select("doc_id", "n_bytes", "digest")
+
+    # --- rows-only (non-SQL-expressible) entries -----------------------
+    def q_minhash_lsh(spark, sf):
+        return dd.minhash_lsh_pairs(_docs(spark, sf), 3, 0.5)
+
+    def q_simhash(spark, sf):
+        return dd.simhash_pairs(_docs(spark, sf), 6)
+
+    def q_lsh_ann(spark, sf):
+        emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
+        return sim.lsh_topk(emb, _query_vec(spark, sf), 10)
+
+    def q_media_features(spark, sf):
+        return mm.extract_features(mm.media_table(_docs(spark, sf)))
+
+    return {
+        "tokenize_tf": q_tokenize_tf,
+        "term_stats": q_term_stats,
+        "doc_lengths": q_doc_lengths,
+        "collection_stats": q_collection_stats,
+        "lexicon": q_lexicon,
+        "bm25_taat_top10": q_bm25_taat_top10,
+        "bm25_taat_top100": q_bm25_taat_top100,
+        "ql_top10": q_ql_top10,
+        "and_conjunctive": q_and,
+        "or_disjunctive": q_or,
+        "index_taat_top10": q_index_taat,
+        "index_daat_top10": q_index_daat,
+        "index_wand_top10": q_index_wand,
+        "index_wand_top100": q_index_wand_top100,
+        "dedup_exact": q_dedup_exact,
+        "token_jaccard_pairs": q_token_jaccard,
+        "shingle_jaccard_pairs": q_shingle_jaccard,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_top10": q_ann_cosine,
+        "cosine_pairs": q_cosine_pairs,
+        "media_metadata": q_media_metadata,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_pairs": q_simhash,
+        "lsh_ann_top10": q_lsh_ann,
+        "media_features": q_media_features,
+    }
+
+
+# ------------------------------------------------------------- oracle SQL
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+_TOK = (f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents")
+_TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOK}) t GROUP BY 1, 2"
+_DL = f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
+_TSTATS = (f"SELECT term, count(*) AS df, sum(tf) AS cf FROM ({_TF}) tf "
+           f"GROUP BY 1")
+
+
+def _values(terms: list[str]) -> str:
+    return ", ".join(f"('{t}')" for t in sorted(set(terms)))
+
+
+def _bm25_sql(query: str, k: int) -> str:
+    terms = sorted(set(query.lower().split()))
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(terms)}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _ql_sql(query: str, k: int) -> str:
+    terms = sorted(set(query.lower().split()))
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+coll AS (SELECT sum(dl) AS c FROM dl),
+q(term) AS (VALUES {_values(terms)}),
+qs AS (SELECT ts.term, ts.cf FROM ({_TSTATS}) ts JOIN q USING (term)),
+cand AS (SELECT DISTINCT doc_id FROM tf JOIN q USING (term)),
+grid AS (SELECT cand.doc_id, qs.term, qs.cf FROM cand CROSS JOIN qs),
+sc AS (
+  SELECT g.doc_id,
+         sum(ln((coalesce(tf.tf, 0) + {QL_MU} * g.cf / coll.c)
+                / (dl.dl + {QL_MU}))) AS s
+  FROM grid g
+  LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+  JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN coll
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+_COS_DOUBLE = ("list_aggregate(list_transform(list_zip({a}, {b}), "
+               "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+               " / (sqrt(list_aggregate(list_transform({a}, "
+               "x -> CAST(x AS DOUBLE) * x), 'sum')) * "
+               "sqrt(list_aggregate(list_transform({b}, "
+               "x -> CAST(x AS DOUBLE) * x), 'sum')))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = {lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in {
+        "en": ["the", "a", "of", "and", "to", "in", "is", "for"],
+        "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+        "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+        "es": ["el", "los", "las", "y", "es", "un", "una", "en"],
+    }.items()}
+    hit = {lg: (f"len(list_filter({_TOKS}, x -> x IN ({ws})))")
+           for lg, ws in stop.items()}
+    cosq = _COS_DOUBLE.format(a="a.embedding", b="q.e")
+    cosp = _COS_DOUBLE.format(a="a.embedding", b="b.embedding")
+    and_terms = sorted(set(Q_AND.split()))
+    return {
+        "tokenize_tf": _TF,
+        "term_stats": _TSTATS,
+        "doc_lengths": f"SELECT doc_id, len({_TOKS}) AS doc_len "
+                       f"FROM documents",
+        "collection_stats": f"""
+WITH dl AS ({_DL}), ts AS ({_TSTATS})
+SELECT (SELECT count(*) FROM dl) AS n_docs,
+       (SELECT round(avg(dl), 6) FROM dl) AS avg_doc_len,
+       (SELECT sum(dl) FROM dl) AS coll_len,
+       (SELECT count(*) FROM ts) AS vocab""",
+        "lexicon": f"""
+SELECT row_number() OVER (ORDER BY term) - 1 AS term_id, term, df, cf
+FROM ({_TSTATS}) ts""",
+        "bm25_taat_top10": _bm25_sql(Q_BM25_A, 10),
+        "bm25_taat_top100": _bm25_sql(Q_BM25_B, 100),
+        "ql_top10": _ql_sql(Q_BM25_A, 10),
+        "and_conjunctive": f"""
+WITH tf AS ({_TF}), q(term) AS (VALUES {_values(and_terms)})
+SELECT doc_id, sum(tf) AS sum_tf
+FROM tf JOIN q USING (term)
+GROUP BY doc_id HAVING count(*) = {len(and_terms)}
+ORDER BY doc_id""",
+        "or_disjunctive": f"""
+WITH tf AS ({_TF}), q(term) AS (VALUES {_values(Q_OR.split())})
+SELECT doc_id, count(*) AS n_terms, sum(tf) AS sum_tf
+FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
+        "index_taat_top10": _bm25_sql(Q_BM25_A, 10),
+        "index_daat_top10": _bm25_sql(Q_BM25_A, 10),
+        "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
+        "index_wand_top100": _bm25_sql(Q_BM25_B, 100),
+        "dedup_exact": """
+SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n_copies
+FROM documents GROUP BY 1""",
+        "token_jaccard_pairs": f"""
+WITH base AS (SELECT doc_id, source,
+                     list_distinct({_TOKS}) AS toks FROM documents),
+tok AS (SELECT doc_id, source, unnest(toks) AS term FROM base),
+sizes AS (SELECT doc_id, len(toks) AS n FROM base),
+pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+          FROM tok x JOIN tok y ON x.term = y.term
+               AND x.source = y.source AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jac
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+     JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5""",
+        "shingle_jaccard_pairs": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS term FROM base),
+sh AS (SELECT DISTINCT a.doc_id,
+              a.term || ' ' || b.term || ' ' || c.term AS sh
+       FROM tok a
+       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jac
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+     JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.1""",
+        "token_counts": f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_unique,
+       length(text) AS n_chars_text
+FROM documents""",
+        "quality_scores": f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens,
+  round(CASE WHEN len({_TOKS}) > 0 THEN
+    len(list_filter({_TOKS}, x -> x IN ({stop['en']})))
+    * 1.0 / len({_TOKS}) ELSE 0.0 END, 6) AS stop_ratio,
+  round(CASE WHEN len({_TOKS}) > 0 THEN
+    len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})
+    ELSE 0.0 END, 6) AS uniq_ratio,
+  round(CASE WHEN len({_TOKS}) > 0 THEN
+    list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+    * 1.0 / len({_TOKS}) ELSE 0.0 END, 6) AS mean_tok_len
+FROM documents""",
+        "lang_id": f"""
+WITH h AS (SELECT doc_id, {hit['en']} AS en, {hit['de']} AS de,
+                  {hit['fr']} AS fr, {hit['es']} AS es FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+       WHEN en = greatest(en, de, fr, es) THEN 'en'
+       WHEN de = greatest(en, de, fr, es) THEN 'de'
+       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM h""",
+        "fingerprints": f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+FROM documents""",
+        "ann_cosine_top10": f"""
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id, round({cosq}, 6) AS cos
+FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+ORDER BY cos DESC, a.vec_id LIMIT 10""",
+        "cosine_pairs": f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cosp}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cosp}, 6) > 0.3""",
+        "media_metadata": """
+SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS digest FROM documents""",
+    }

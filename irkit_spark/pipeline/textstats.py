@@ -1,0 +1,85 @@
+"""Text-analysis operators for a training-data pipeline: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side (built-in pyspark.sql.functions only — whole-stage codegen,
+no Python in the hot path); each has an exact DuckDB-SQL oracle in
+__spark_entry__.py. Frozen constants here mirror the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from irkit_spark.config import TOKEN_RE
+
+# Frozen per-language stopword lists (heuristic lang-id; deterministic).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "en"],
+}
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def _toks(text_col="text"):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_unique, n_chars_text): BPE-ish regex token
+    count + distinct count + raw char length."""
+    t = _toks()
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_text"))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, uniq_ratio, mean_tok_len):
+    cheap quality heuristics (length / stopword / repetition ratios)."""
+    t = _toks()
+    stops = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n = F.size(t).cast("double")
+    stop_cnt = F.size(F.filter(t, lambda x: F.array_contains(stops, x)))
+    tok_chars = F.aggregate(t, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(F.when(n > 0, stop_cnt / n).otherwise(0.0), 6)
+        .alias("stop_ratio"),
+        F.round(F.when(n > 0, F.size(F.array_distinct(t)) / n)
+                .otherwise(0.0), 6).alias("uniq_ratio"),
+        F.round(F.when(n > 0, tok_chars / n).otherwise(0.0), 6)
+        .alias("mean_tok_len"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred): argmax of per-language stopword hits, frozen
+    priority en>de>fr>es on ties, 'und' when no list scores > 0."""
+    t = _toks()
+    hits = {}
+    for lg, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits[lg] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    best = F.greatest(*[hits[lg] for lg in ["en", "de", "fr", "es"]])
+    pred = (F.when(best == 0, "und")
+            .when(hits["en"] == best, "en")
+            .when(hits["de"] == best, "de")
+            .when(hits["fr"] == best, "fr")
+            .otherwise("es"))
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): md5 over the sorted distinct token set — an
+    order-insensitive document fingerprint (bag-of-words identity)."""
+    t = _toks()
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))
+        .alias("fp"))
