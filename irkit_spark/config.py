@@ -56,9 +56,24 @@ def get_spark(app: str = "irkit_spark", cores: str | int = "*",
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # local-scale tuning: AQE's default 64MB advisory size coalesces
+        # a ~100MB stage to 2 tasks and serializes the Python UDF stages;
+        # 8MB keeps small benches parallel. At cluster scale (TB-sized
+        # stages) raise these back toward 64-128MB.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("IRKIT_ADVISORY_PART", "8m"))
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("IRKIT_MAX_PART_BYTES", "33554432"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("IRKIT_DRIVER_MEM", "8g"))
+        # bigger Arrow batches amortize the JVM<->Python channel for the
+        # heavy mapInPandas kernels (tokenize, encode)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # local mode = one JVM: the driver heap IS the executor heap;
+        # size it for 32 concurrent tasks' shuffle + Arrow buffers
+        .config("spark.driver.memory",
+                os.environ.get("IRKIT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

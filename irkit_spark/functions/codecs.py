@@ -50,6 +50,18 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_byte_offsets(values: np.ndarray) -> np.ndarray:
+    """Exclusive prefix sum of per-value encoded byte counts (len n+1):
+    lets a caller varbyte-encode one big array ONCE and slice any
+    contiguous value range out of the wire bytes — the batch-vectorized
+    block framing fast path (operators/build._encode_kernel)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    off = np.zeros(v.size + 1, dtype=np.int64)
+    if v.size:
+        np.cumsum(_vb_nbytes(v), out=off[1:])
+    return off
+
+
 def varbyte_decode(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)

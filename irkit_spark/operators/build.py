@@ -53,8 +53,9 @@ from pyspark.sql import functions as F
 from irkit_spark import config
 from irkit_spark.functions.codecs import encode_blocks
 from irkit_spark.functions.extract import extract_text_udf
-from irkit_spark.functions.scoring import idf as idf_fn
-from irkit_spark.functions.tokenize import tokenize_count_iter
+from irkit_spark.functions.tokenize import (distinct_terms_iter,
+                                            tokenize_count_iter,
+                                            tokenize_ids_iter)
 from irkit_spark.plans.dense_ids import assign_dense_ids
 
 TOK_SCHEMA = "doc_id long, term string, tf long, dl long"
@@ -88,27 +89,74 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
         carry = None
 
         def encode_region(pdf: pd.DataFrame):
+            from irkit_spark.functions.codecs import (varbyte_byte_offsets,
+                                                      varbyte_encode)
             t = pdf["term_id"].to_numpy()
             s = pdf["shard"].to_numpy()
-            d = pdf["doc_id"].to_numpy().astype(np.uint64)
+            d = pdf["doc_id"].to_numpy().astype(np.int64)
             tf = pdf["tf"].to_numpy().astype(np.uint64)
             dl = pdf["dl"].to_numpy().astype(np.float64)
+            n = d.size
             tf_norm = tf.astype(np.float64) / (
                 tf + k1 * (1.0 - b + b * dl / avgdl))
             # group starts where (term_id, shard) changes
-            change = np.empty(len(pdf), dtype=bool)
-            change[0] = True
-            change[1:] = (t[1:] != t[:-1]) | (s[1:] != s[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pdf))
+            gflag = np.empty(n, dtype=bool)
+            gflag[0] = True
+            gflag[1:] = (t[1:] != t[:-1]) | (s[1:] != s[:-1])
+            gid = np.cumsum(gflag) - 1
+            gstarts = np.flatnonzero(gflag)
+            pos = np.arange(n, dtype=np.int64) - gstarts[gid]
+            # block starts: every block_size-th posting within a group
+            bflag = gflag | (pos % block_size == 0)
+            bstarts = np.flatnonzero(bflag)
+            bends = np.append(bstarts[1:], n)
+            # delta-gaps, reset at each block start (first gap 0 vs
+            # first_doc) — whole-batch, no per-group work
+            gaps = np.empty(n, dtype=np.uint64)
+            gaps[0] = 0
+            gaps[1:] = (d[1:] - d[:-1]).view(np.uint64)
+            gaps[bstarts] = 0   # overwrites cross-group negatives too
+            if codec == "varbyte":
+                # encode the WHOLE batch once; slice per block by offsets
+                wire_d = varbyte_encode(gaps)
+                off_d = varbyte_byte_offsets(gaps)
+                wire_t = varbyte_encode(tf)
+                off_t = varbyte_byte_offsets(tf)
+                bmax = np.maximum.reduceat(tf_norm, bstarts)
+                firsts = d[bstarts]
+                lasts = d[bends - 1]
+                blk_of_grp = gid[bstarts]
+                blocks_all = [
+                    {"first_doc": int(firsts[i]), "last_doc": int(lasts[i]),
+                     "n": int(bends[i] - bstarts[i]),
+                     "max_score": float(bmax[i]),
+                     "doc_bytes": wire_d[off_d[bstarts[i]]:off_d[bends[i]]],
+                     "tf_bytes": wire_t[off_t[bstarts[i]]:off_t[bends[i]]]}
+                    for i in range(bstarts.size)]
+                # group blocks into per-(term,shard) rows
+                gb_starts = np.flatnonzero(
+                    np.diff(blk_of_grp, prepend=blk_of_grp[0] - 1))
+                gb_ends = np.append(gb_starts[1:], bstarts.size)
+                gends = np.append(gstarts[1:], n)
+                return pd.DataFrame({
+                    "term_id": t[gstarts].astype("int32"),
+                    "partition_id": s[gstarts].astype("int32"),
+                    "n_docs": (gends - gstarts).astype("int32"),
+                    "blocks": [blocks_all[a:b]
+                               for a, b in zip(gb_starts, gb_ends)],
+                })
+            # generic per-group path (streamvbyte etc.)
+            gends = np.append(gstarts[1:], n)
             rows = {"term_id": [], "partition_id": [], "n_docs": [],
                     "blocks": []}
-            for g0, g1 in zip(starts, ends):
+            du = d.astype(np.uint64)
+            for g0, g1 in zip(gstarts, gends):
                 rows["term_id"].append(int(t[g0]))
                 rows["partition_id"].append(int(s[g0]))
                 rows["n_docs"].append(int(g1 - g0))
                 rows["blocks"].append(encode_blocks(
-                    d[g0:g1], tf[g0:g1], tf_norm[g0:g1], block_size, codec))
+                    du[g0:g1], tf[g0:g1], tf_norm[g0:g1], block_size,
+                    codec))
             return pd.DataFrame(rows)
 
         for pdf in batches:
@@ -134,22 +182,6 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
     return run
 
 
-def _term_id_mapper(bc_term_ids):
-    """mapInPandas: (doc_id, term, tf, dl) -> (doc_id, term_id, tf, dl, shard)
-    via the broadcast term->id dictionary (BASELINE.json:6)."""
-    def run(batches):
-        for pdf in batches:
-            ids = pdf["term"].map(bc_term_ids.value)
-            out = pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "term_id": ids.astype("int32"),
-                "tf": pdf["tf"],
-                "dl": pdf["dl"],
-            })
-            yield out
-    return run
-
-
 def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 codec: str = config.DEFAULT_CODEC,
                 block_size: int = config.BLOCK_SIZE,
@@ -159,9 +191,19 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 key_col: str = "url",
                 doc_id_col: str | None = None,
                 n_parts: int | None = None,
-                resume: bool = False) -> dict:
+                resume: bool = False,
+                shared_lexicon: DataFrame | None = None,
+                global_stats: tuple[int, float] | None = None) -> dict:
     """Build (or resume) the index; returns build metrics dict."""
     t0 = time.monotonic()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str):
+        now = time.monotonic()
+        phases[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     docs_per_shard = docs_per_shard or config.DOCS_PER_SHARD
     n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     os.makedirs(out_dir, exist_ok=True)
@@ -177,66 +219,110 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             if r["status"] == "done":
                 done_shards.add(r["partition_id"])
 
-    # ---- stage 1: doc ids + tokenize (or reuse checkpoint) ------------
+    # ---- stage 1: doc ids + lexicon pass (SURVEY.md T2/T3/A2) ---------
+    # Two tokenization passes keep the 10^12-row stream INTEGER-ONLY:
+    #   pass A emits per-batch aggregated (term, df, cf) — vocab-sized,
+    #   tiny — from which the lexicon + broadcast dict are built;
+    #   pass B re-tokenizes and emits (doc_id, term_id, tf, dl) ints via
+    #   the broadcast dict inside the kernel. No Python string column
+    #   ever crosses Arrow in bulk (the old single-pass-with-strings +
+    #   id-remap flow moved 2x the rows and all term strings through the
+    #   Python channel and did not scale with cores).
     tok_path = p("tok")
     docs_path = p("docs")
     reuse_tok = (resume and os.path.exists(os.path.join(tok_path, "_SUCCESS"))
-                 and os.path.exists(os.path.join(docs_path, "_SUCCESS")))
+                 and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
+                 and os.path.exists(os.path.join(p("terms"), "_SUCCESS")))
+    src = None
+    lex_df = None
     if reuse_tok:
         tok = spark.read.parquet(tok_path)
         docs = spark.read.parquet(docs_path)
-        docs_base = docs.select("doc_id", "url")
+        lex_df = spark.read.parquet(p("terms")).select("term_id", "term")
+        term_rows = lex_df.collect()
     else:
-        src = pages
+        if doc_id_col is None:
+            ids = assign_dense_ids(pages, key_col, "doc_id", n_buckets)
+        else:
+            ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+        src = ids
         if text_from_html:
             src = src.withColumn("text", extract_text_udf()(F.col("html")))
-        if doc_id_col is None:
-            src = assign_dense_ids(src, key_col, "doc_id", n_buckets)
+        src = src.select("doc_id", "text")
+        # extracted text is consumed by BOTH tokenize passes: persist it
+        # once (memory/disk) instead of re-running the extract UDF
+        src = src.persist()
+        batch_terms = src.select("text").mapInPandas(
+            lambda it: distinct_terms_iter(it, "text"),
+            schema="term string")
+        terms0 = batch_terms.distinct()
+        if shared_lexicon is not None:
+            lex = shared_lexicon.select("term", "term_id")
+            terms0 = terms0.join(lex, "term")
         else:
-            src = src.withColumn("doc_id", F.col(doc_id_col).cast("long"))
-        docs_base = src.select(
-            "doc_id", F.col(key_col).cast("string").alias("url"))
-        tok = tokenize_spark(src, "doc_id", "text").withColumn(
-            "shard", (F.col("doc_id") / docs_per_shard).cast("int"))
-        tok.write.mode("overwrite").partitionBy("shard").parquet(tok_path)
+            terms0 = assign_dense_ids(terms0, "term", "term_id_l",
+                                      n_buckets) \
+                .withColumn("term_id", F.col("term_id_l").cast("int")) \
+                .drop("term_id_l")
+        # persist: reused by the stage-4 terms join without re-running
+        # the tokenize pass; collect feeds ONLY the broadcast dict
+        lex_df = terms0.select("term_id", "term").persist()
+        term_rows = lex_df.collect()
+    # the one collected lexicon feeds the broadcast dict (BASELINE.json:6)
+    bc = spark.sparkContext.broadcast({r["term"]: r["term_id"]
+                                       for r in term_rows})
+    _mark("lexicon")
+
+    # ---- stage 2: tokenize pass B + docs table ------------------------
+    if not reuse_tok:
+        tok = (src.mapInPandas(
+                   lambda it: tokenize_ids_iter(it, bc, "doc_id", "text"),
+                   schema="doc_id long, term_id int, tf int, dl int")
+               .withColumn("shard",
+                           (F.col("doc_id") / docs_per_shard).cast("int")))
+        # plain write (one file per task): dir-partitioning by shard here
+        # would fan out tasks x shards tiny files; resume filters on the
+        # shard COLUMN instead (one extra scan only on the resume path)
+        tok.write.mode("overwrite").parquet(tok_path)
+        _mark("tokenize_write")
         tok = spark.read.parquet(tok_path)
-        docs = (docs_base
+        docs = (ids.select("doc_id",
+                           F.col(key_col).cast("string").alias("url"))
                 .join(tok.groupBy("doc_id").agg(
                     F.first("dl").cast("int").alias("doc_len")),
                     "doc_id", "left")
                 .fillna(0, ["doc_len"])
                 .withColumn("partition_id",
                             (F.col("doc_id") / docs_per_shard).cast("int")))
-        # dir-partitioned by shard so query-time doc-length reads prune
-        docs.write.mode("overwrite").partitionBy("partition_id") \
+        # dir-partitioned by shard so query-time doc-length reads prune;
+        # repartition first -> one file per shard dir, not one per task
+        docs.repartition("partition_id") \
+            .write.mode("overwrite").partitionBy("partition_id") \
             .parquet(docs_path)
+        _mark("docs_write")
         docs = spark.read.parquet(docs_path)
+        src.unpersist()
 
     glob = docs.agg(F.count("*").alias("n"),
-                    F.sum("doc_len").alias("len")).collect()[0]
-    n_docs, coll_len = int(glob["n"]), int(glob["len"] or 0)
-    avgdl = coll_len / n_docs if n_docs else 1.0
-    n_shards = max(1, math.ceil(n_docs / docs_per_shard))
-
-    # ---- stage 2: lexicon + broadcast dict ----------------------------
-    terms0 = tok.groupBy("term").agg(F.count("*").alias("df"),
-                                     F.sum("tf").alias("cf"))
-    terms = assign_dense_ids(terms0, "term", "term_id_l", n_buckets) \
-        .withColumn("term_id", F.col("term_id_l").cast("int")) \
-        .drop("term_id_l")
-    term_rows = terms.select("term", "term_id").collect()
-    bc = spark.sparkContext.broadcast({r["term"]: r["term_id"]
-                                       for r in term_rows})
+                    F.sum("doc_len").alias("len"),
+                    F.max("doc_id").alias("mx")).collect()[0]
+    coll_len = int(glob["len"] or 0)
+    if global_stats is not None:
+        # batch build inside a larger collection (SURVEY.md U1): scoring
+        # constants must come from the FULL collection or batch indexes
+        # would not be merge-compatible
+        n_docs, avgdl = int(global_stats[0]), float(global_stats[1])
+    else:
+        n_docs = int(glob["n"])
+        avgdl = coll_len / n_docs if n_docs else 1.0
+    max_doc = int(glob["mx"] if glob["mx"] is not None else 0)
+    n_shards = max(1, (max(max_doc + 1, n_docs) + docs_per_shard - 1)
+                   // docs_per_shard)
 
     # ---- stage 3: THE shuffle + encode --------------------------------
     pending = [s for s in range(n_shards) if s not in done_shards]
     tok_p = tok if not done_shards else tok.filter(F.col("shard").isin(pending))
-    tok_ids = (tok_p.mapInPandas(_term_id_mapper(bc),
-                                 schema="doc_id long, term_id int, "
-                                        "tf long, dl long")
-               .withColumn("shard",
-                           (F.col("doc_id") / docs_per_shard).cast("int")))
-    enc_in = (tok_ids
+    enc_in = (tok_p.select("doc_id", "term_id", "tf", "dl", "shard")
               .repartition(n_parts, "term_id", "shard")
               .sortWithinPartitions("term_id", "shard", "doc_id"))
     postings_new = enc_in.mapInPandas(
@@ -248,17 +334,27 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # dynamic = keep done shard dirs on resume; static = clean rebuild
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        "dynamic" if done_shards else "static")
-        postings_new.write.mode("overwrite") \
+        # encoded rows are tiny vs raw postings: one cheap extra shuffle
+        # puts each shard in a single file (query-time partition pruning
+        # then reads exactly the touched shard files)
+        postings_new.repartition("partition_id") \
+            .write.mode("overwrite") \
             .partitionBy("partition_id").parquet(post_path)
+    _mark("shuffle_encode_write")
     postings = spark.read.parquet(post_path)
 
-    # ---- stage 4: terms.max_score + final small tables ----------------
+    # ---- stage 4: terms df/cf/max_score + final small tables ----------
+    # df/cf aggregate over the INTEGER token table (A2): partial+final
+    # hash agg on int keys — far cheaper than counting term strings
+    term_stats = tok.groupBy("term_id").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf"))
     per_term_max = (postings
                     .select("term_id",
                             F.array_max(F.transform(
                                 "blocks", lambda blk: blk["max_score"]))
                             .alias("mx"))
                     .groupBy("term_id").agg(F.max("mx").alias("max_norm")))
+    terms = F.broadcast(lex_df).join(term_stats, "term_id")
     terms_final = (terms.join(per_term_max, "term_id", "left")
                    .withColumn("idf", F.log1p(
                        (F.lit(float(n_docs)) - F.col("df") + 0.5)
@@ -269,9 +365,10 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                                .cast("float"))
                    .select("term_id", "term", "df", "cf", "max_score"))
     terms_final.write.mode("overwrite").parquet(p("terms"))
+    lex_df.unpersist()
+    _mark("terms_write")
 
     wall_ms = int((time.monotonic() - t0) * 1000)
-    total_postings = postings.agg(F.sum("n_docs")).collect()[0][0] or 0
 
     # ---- stage 5: lineage + stats (per-shard metrics, §4.4) ------------
     shard_m = (postings.groupBy("partition_id")
@@ -281,6 +378,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                         lambda acc, blk: acc + F.length(blk["doc_bytes"])
                         + F.length(blk["tf_bytes"]))).alias("bytes"))
                .collect())
+    total_postings = sum(r["postings_cnt"] for r in shard_m)
     cnts = sorted(r["postings_cnt"] for r in shard_m) or [0]
     med = cnts[len(cnts) // 2] or 1
     lineage_rows = [
@@ -314,4 +412,5 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             "skew_ratio": float(max(cnts) / med),
             "bytes_per_posting": (sum(r["bytes"] for r in shard_m)
                                   / max(1, total_postings)),
-            "rebuilt_shards": pending}
+            "rebuilt_shards": pending,
+            "phases": phases}

@@ -1,0 +1,183 @@
+"""Multi-way index merge (SURVEY.md §2.7 U1, BASELINE.json:6
+"multi-way partition merges").
+
+Re-expresses irkit's k-way batch-index merger
+([pub:include/irkit/index/merger.hpp, tools/irk-merge]) over the
+doc-sharded Spark layout. Contract: batch indexes share the doc-id
+space (disjoint docs, global dense ids), a shared lexicon, and global
+scoring stats (build_index(shared_lexicon=, global_stats=)) — the Spark
+analog of irkit's docID-remap-free merge, which global ID assignment
+makes possible (SURVEY.md U1).
+
+Merge plan (one narrow shuffle):
+  postings := unionByName(batch postings)
+  cogroup by partition_id with the merged docs table (for doc lengths)
+  kernel: per term within the shard —
+    single source row  -> pass through untouched (no decode; the common
+                          case when batches were doc-range partitioned)
+    multiple rows      -> decode, concat, sort by doc_id, re-encode with
+                          exact per-block max tf_norm (doc lengths are
+                          in-shard, avgdl is a broadcast scalar)
+  terms := re-aggregate df/cf sums per term_id; max_score from merged
+           block maxes (same formula as build stage 4)
+Result is byte-identical to a single-shot build of the union
+(tested in tests/test_merge_resume.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from irkit_spark import config
+from irkit_spark.functions.codecs import encode_blocks
+from irkit_spark.operators.build import POSTINGS_SCHEMA
+from irkit_spark.operators.query import _decode_row_blocks
+
+
+def _merge_kernel(avgdl: float, codec: str, block_size: int,
+                  docs_per_shard: int):
+    k1, b = config.BM25_K1, config.BM25_B
+
+    def run(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"term_id": [], "partition_id": [], "n_docs": [],
+               "blocks": []}
+        if post_pdf.empty:
+            return pd.DataFrame(out)
+        shard = int(post_pdf["partition_id"].iloc[0])
+        base = shard * docs_per_shard
+        dl_arr = np.zeros(docs_per_shard, dtype=np.float64)
+        if not docs_pdf.empty:
+            dl_arr[docs_pdf["doc_id"].to_numpy() - base] = \
+                docs_pdf["doc_len"].to_numpy()
+        for tid, grp in post_pdf.groupby("term_id", sort=True):
+            if len(grp) == 1:
+                r = grp.iloc[0]
+                out["term_id"].append(int(tid))
+                out["partition_id"].append(shard)
+                out["n_docs"].append(int(r["n_docs"]))
+                out["blocks"].append(list(r["blocks"]))
+                continue
+            ds, ts = [], []
+            for _, r in grp.iterrows():
+                d, t = _decode_row_blocks(list(r["blocks"]), codec)
+                ds.append(d.astype(np.int64))
+                ts.append(t.astype(np.int64))
+            d = np.concatenate(ds)
+            t = np.concatenate(ts)
+            order = np.argsort(d, kind="stable")
+            d, t = d[order], t[order]
+            dl = dl_arr[d - base]
+            tf_norm = t.astype(np.float64) / (
+                t + k1 * (1.0 - b + b * dl / avgdl))
+            out["term_id"].append(int(tid))
+            out["partition_id"].append(shard)
+            out["n_docs"].append(int(d.size))
+            out["blocks"].append(encode_blocks(
+                d.astype(np.uint64), t.astype(np.uint64), tf_norm,
+                block_size, codec))
+        return pd.DataFrame(out)
+
+    return run
+
+
+def merge_indexes(spark: SparkSession, in_dirs: list[str],
+                  out_dir: str) -> dict:
+    t0 = time.monotonic()
+    os.makedirs(out_dir, exist_ok=True)
+    p = lambda name: os.path.join(out_dir, name)
+
+    stats = [spark.read.parquet(os.path.join(d, "stats")).collect()[0]
+             for d in in_dirs]
+    codec = stats[0]["codec"]
+    block_size = int(stats[0]["block_size"])
+    docs_per_shard = int(stats[0]["docs_per_shard"])
+    for s in stats[1:]:
+        if (s["codec"], int(s["block_size"]), int(s["docs_per_shard"])) != \
+                (codec, block_size, docs_per_shard):
+            raise ValueError("batch indexes built with different layouts")
+
+    docs = None
+    for d in in_dirs:
+        b = spark.read.parquet(os.path.join(d, "docs"))
+        docs = b if docs is None else docs.unionByName(b)
+    docs.write.mode("overwrite").partitionBy("partition_id") \
+        .parquet(p("docs"))
+    docs = spark.read.parquet(p("docs"))
+    g = docs.agg(F.count("*").alias("n"), F.sum("doc_len").alias("l"),
+                 F.max("doc_id").alias("mx")).collect()[0]
+    n_docs, coll_len = int(g["n"]), int(g["l"] or 0)
+    avgdl = coll_len / n_docs if n_docs else 1.0
+    n_shards = max(1, math.ceil((int(g["mx"] or 0) + 1) / docs_per_shard))
+
+    post = None
+    for d in in_dirs:
+        b = spark.read.parquet(os.path.join(d, "postings"))
+        post = b if post is None else post.unionByName(b)
+    kern = _merge_kernel(avgdl, codec, block_size, docs_per_shard)
+    merged = (post.groupBy("partition_id")
+              .cogroup(docs.select("partition_id", "doc_id", "doc_len")
+                       .groupBy("partition_id"))
+              .applyInPandas(lambda lt, rt: kern(lt, rt), POSTINGS_SCHEMA))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    merged.write.mode("overwrite").partitionBy("partition_id") \
+        .parquet(p("postings"))
+    postings = spark.read.parquet(p("postings"))
+
+    # terms: df/cf sums across batches (disjoint docs), fresh max_score
+    terms = None
+    for d in in_dirs:
+        b = spark.read.parquet(os.path.join(d, "terms"))
+        terms = b if terms is None else terms.unionByName(b)
+    tsum = (terms.groupBy("term_id", "term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+    per_term_max = (postings
+                    .select("term_id",
+                            F.array_max(F.transform(
+                                "blocks", lambda blk: blk["max_score"]))
+                            .alias("mx"))
+                    .groupBy("term_id").agg(F.max("mx").alias("max_norm")))
+    terms_final = (tsum.join(per_term_max, "term_id", "left")
+                   .withColumn("idf", F.log1p(
+                       (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                       / (F.col("df") + 0.5)))
+                   .withColumn("max_score",
+                               (F.col("idf") * F.coalesce(
+                                   "max_norm", F.lit(0.0))).cast("float"))
+                   .select("term_id", "term", "df", "cf", "max_score"))
+    terms_final.write.mode("overwrite").parquet(p("terms"))
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    total_postings = postings.agg(F.sum("n_docs")).collect()[0][0] or 0
+    shard_m = (postings.groupBy("partition_id")
+               .agg(F.sum("n_docs").alias("postings_cnt"),
+                    F.sum(F.aggregate(
+                        "blocks", F.lit(0).cast("long"),
+                        lambda acc, blk: acc + F.length(blk["doc_bytes"])
+                        + F.length(blk["tf_bytes"]))).alias("bytes"))
+               .collect())
+    cnts = sorted(r["postings_cnt"] for r in shard_m) or [0]
+    med = cnts[len(cnts) // 2] or 1
+    spark.createDataFrame(
+        [(int(r["partition_id"]), "done", int(r["postings_cnt"]),
+          int(r["bytes"]), float(r["postings_cnt"] / med), wall_ms, 1)
+         for r in shard_m],
+        "partition_id int, status string, postings_cnt long, bytes long, "
+        "skew_ratio double, wall_ms long, attempt int") \
+        .write.mode("overwrite").parquet(p("lineage"))
+    spark.createDataFrame(
+        [(n_docs, float(avgdl), coll_len, int(total_postings), codec,
+          block_size, docs_per_shard, n_shards, wall_ms)],
+        "n_docs long, avg_doc_len double, coll_len long, "
+        "total_postings long, codec string, block_size int, "
+        "docs_per_shard int, n_shards int, wall_ms long") \
+        .withColumn("built_at", F.current_timestamp()) \
+        .write.mode("overwrite").parquet(p("stats"))
+    return {"n_docs": n_docs, "total_postings": int(total_postings),
+            "wall_ms": wall_ms, "n_shards": n_shards}

@@ -145,10 +145,11 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
 
     def topk_frame(doc: np.ndarray, score: np.ndarray) -> pd.DataFrame:
         if doc.size > k:
-            part = np.argpartition(-score, k - 1)[:k * 2 if k * 2 < doc.size
-                                                   else doc.size]
-            # keep 2k before the exact sort to break score ties on doc_id
-            doc, score = doc[part], score[part]
+            # keep every doc tied with the k-th best score so the
+            # doc_id tie-break below stays exact, then sort the subset
+            kth = np.partition(score, doc.size - k)[doc.size - k]
+            keep = score >= kth
+            doc, score = doc[keep], score[keep]
         order = np.lexsort((doc, -score))[:k]
         return pd.DataFrame({"doc_id": doc[order].astype(np.int64),
                              "score": score[order]})
@@ -169,24 +170,22 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         cache: dict = {}
 
         if mode == "daat":       # exhaustive, Q4
-            docs_l, terms_l, contrib_l = [], [], []
+            # dense per-shard accumulator; adds happen per term in
+            # ascending term_id order from +0.0 — the SAME pinned float
+            # add order as the WAND kernel's exact_scores, so DAAT and
+            # WAND top-k are bit-identical (np.add.reduceat would
+            # right-associate and drift by 1 ulp).
+            acc = np.zeros(docs_per_shard, dtype=np.float64)
+            present = np.zeros(docs_per_shard, dtype=bool)
             for tid in sorted(term_rows):
                 d, t = _decode_row_blocks(term_rows[tid], codec)
-                d = d.astype(np.int64)
-                dl = dl_arr[d - base]
-                contrib_l.append(idf_by_tid[tid]
-                                 * bm25_tf_norm(t.astype(np.int64), dl, avgdl))
-                docs_l.append(d)
-                terms_l.append(np.full(d.size, tid, dtype=np.int64))
-            doc = np.concatenate(docs_l)
-            trm = np.concatenate(terms_l)
-            con = np.concatenate(contrib_l)
-            ix = np.lexsort((trm, doc))
-            doc, con = doc[ix], con[ix]
-            starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
-            uniq = doc[starts]
-            sc = np.add.reduceat(con, starts)
-            return topk_frame(uniq, sc)
+                off = d.astype(np.int64) - base
+                contrib = idf_by_tid[tid] * bm25_tf_norm(
+                    t.astype(np.int64), dl_arr[off], avgdl)
+                acc[off] += contrib          # doc ids unique within term
+                present[off] = True
+            idxs = np.flatnonzero(present)
+            return topk_frame(idxs + base, acc[idxs])
 
         # mode == "wand": two-phase lossless block-max pruning, Q5
         meta = {}

@@ -24,11 +24,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_dense_ids(df: DataFrame, key: str, id_col: str,
-                     n_buckets: int = 64) -> DataFrame:
+def dense_id_mapping(df: DataFrame, key: str, id_col: str,
+                     n_buckets: int = 64) -> tuple[DataFrame, int]:
+    """Narrow (key -> dense id) mapping + total count. Only the key
+    column moves through the bucket shuffle and the per-bucket sort —
+    never the wide payload (html/text)."""
     spark = df.sparkSession
+    keys = df.select(key)
     b = (F.crc32(F.col(key).cast("string")) % n_buckets).cast("int")
-    with_bucket = df.withColumn("__bucket", b)
+    with_bucket = keys.withColumn("__bucket", b)
     counts = (with_bucket.groupBy("__bucket").count()
               .orderBy("__bucket").collect())
     offsets, acc = {}, 0
@@ -38,9 +42,22 @@ def assign_dense_ids(df: DataFrame, key: str, id_col: str,
     offsets_df = spark.createDataFrame(
         [(k, v) for k, v in offsets.items()], "__bucket int, __offset long")
     w = Window.partitionBy("__bucket").orderBy(key)
-    return (with_bucket
-            .join(F.broadcast(offsets_df), "__bucket")
-            .withColumn(id_col,
-                        (F.col("__offset") + F.row_number().over(w) - 1)
-                        .cast("long"))
-            .drop("__bucket", "__offset"))
+    mapping = (with_bucket
+               .join(F.broadcast(offsets_df), "__bucket")
+               .withColumn(id_col,
+                           (F.col("__offset") + F.row_number().over(w) - 1)
+                           .cast("long"))
+               .drop("__bucket", "__offset"))
+    return mapping, acc
+
+
+def assign_dense_ids(df: DataFrame, key: str, id_col: str,
+                     n_buckets: int = 64,
+                     broadcast_rows: int = 5_000_000) -> DataFrame:
+    """Attach dense ids by joining the narrow mapping back: broadcast
+    join when the mapping fits (<= broadcast_rows), shuffle join above
+    that (at 10^12 keys the join moves the payload once — the same cost
+    the naive wide window would pay, without the wide sort)."""
+    mapping, total = dense_id_mapping(df, key, id_col, n_buckets)
+    right = F.broadcast(mapping) if total <= broadcast_rows else mapping
+    return df.join(right, key)

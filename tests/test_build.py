@@ -1,0 +1,96 @@
+"""Index build invariants (SURVEY.md §5.6, FIXTURES.md F5 goldens)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from irkit_spark.functions.codecs import CODECS, delta_decode
+
+
+def test_artifact_schemas(index_small):
+    idx, _ = index_small
+    assert set(idx.docs.columns) == {"doc_id", "url", "doc_len",
+                                     "partition_id"}
+    assert set(idx.terms.columns) == {"term_id", "term", "df", "cf",
+                                      "max_score"}
+    assert set(idx.postings.columns) == {"term_id", "partition_id",
+                                         "n_docs", "blocks"}
+
+
+def test_docids_dense_and_deterministic(index_small):
+    idx, _ = index_small
+    ids = sorted(r["doc_id"] for r in idx.docs.select("doc_id").collect())
+    assert ids == list(range(len(ids)))       # dense 0..N-1
+    assert len(ids) == 1000
+
+
+def test_cf_equals_doclen_sum(index_small):
+    idx, _ = index_small
+    cf = idx.terms.agg(F.sum("cf")).collect()[0][0]
+    dlen = idx.docs.agg(F.sum("doc_len")).collect()[0][0]
+    assert cf == dlen                          # FIXTURES.md F5 golden
+
+
+def test_df_matches_postings(index_small):
+    idx, _ = index_small
+    from_post = (idx.postings.groupBy("term_id")
+                 .agg(F.sum("n_docs").alias("df_p")))
+    joined = idx.terms.join(from_post, "term_id")
+    bad = joined.filter(F.col("df") != F.col("df_p")).count()
+    assert bad == 0
+
+
+def test_decoded_docids_strictly_increasing(index_small):
+    idx, _ = index_small
+    dec = CODECS[idx.codec][1]
+    rows = idx.postings.limit(200).collect()
+    assert rows
+    for r in rows:
+        prev = -1
+        for blk in r["blocks"]:
+            gaps = dec(bytes(blk["doc_bytes"]), blk["n"])
+            d = delta_decode(gaps, blk["first_doc"]).astype(np.int64)
+            assert (np.diff(d) > 0).all()
+            assert d[0] > prev
+            assert blk["first_doc"] == d[0] and blk["last_doc"] == d[-1]
+            prev = int(d[-1])
+            # block stays inside its shard
+            shard = r["partition_id"]
+            assert d[0] >= shard * idx.docs_per_shard
+            assert d[-1] < (shard + 1) * idx.docs_per_shard
+
+
+def test_lineage_and_stats(spark, index_small):
+    idx, metrics = index_small
+    import os
+    lin = spark.read.parquet(os.path.join(idx.path, "lineage"))
+    rows = lin.collect()
+    assert {r["status"] for r in rows} == {"done"}
+    assert all(r["attempt"] >= 1 for r in rows)
+    assert all(r["postings_cnt"] > 0 for r in rows)
+    assert all(r["bytes"] > 0 for r in rows)
+    assert metrics["skew_ratio"] < 2.0        # doc-sharding bounds skew
+    assert metrics["total_postings"] == \
+        idx.postings.agg(F.sum("n_docs")).collect()[0][0]
+
+
+def test_extraction_matches_golden_column(spark, pages_small):
+    """Engine extraction == the golden `text` column, byte-identical."""
+    from irkit_spark.functions.extract import extract_text_udf
+    got = (pages_small
+           .withColumn("text2", extract_text_udf()(F.col("html")))
+           .filter(F.col("text2") != F.col("text"))
+           .count())
+    assert got == 0
+
+
+def test_doc_id_assignment_parallelism_invariant(spark, pages_small):
+    """Same dense ids regardless of input partitioning (T2)."""
+    from irkit_spark.plans.dense_ids import assign_dense_ids
+    a = assign_dense_ids(pages_small.repartition(2), "url", "doc_id",
+                         16).select("url", "doc_id")
+    b = assign_dense_ids(pages_small.repartition(17), "url", "doc_id",
+                         16).select("url", "doc_id")
+    assert a.join(b, "url").filter(
+        a["doc_id"] != b["doc_id"]).count() == 0

@@ -1,0 +1,151 @@
+"""Training-data pipeline ops: dedup (exact/minhash/simhash), similarity
+search (brute vs LSH on planted neighbors), text stats, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """200 docs with planted duplicate structure: 10 exact-dup pairs,
+    10 near-dup pairs (1 token changed), rest random."""
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    rows = []
+    i = 0
+    for _ in range(10):                          # exact dups
+        text = " ".join(rng.choice(vocab, 40))
+        rows += [(i, text, "s"), (i + 1, text, "s")]
+        i += 2
+    for _ in range(10):                          # near dups
+        toks = list(rng.choice(vocab, 40))
+        rows.append((i, " ".join(toks), "s"))
+        toks[5] = "changed"
+        rows.append((i + 1, " ".join(toks), "s"))
+        i += 2
+    while i < 200:
+        rows.append((i, " ".join(rng.choice(vocab, 40)), "s"))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    from irkit_spark.pipeline.dedup import exact_dup_groups
+    groups = exact_dup_groups(dup_docs).filter(F.col("n_copies") > 1)
+    got = {(r["rep_doc"], r["n_copies"]) for r in groups.collect()}
+    assert got == {(2 * j, 2) for j in range(10)}
+
+
+def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
+    from irkit_spark.pipeline.dedup import minhash_lsh_pairs
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(dup_docs, 3, 0.5).collect()}
+    planted = {(2 * j, 2 * j + 1) for j in range(20)}
+    found = pairs & planted
+    assert len(found) >= 18            # near-dup recall >= 90%
+    assert len(pairs - planted) == 0   # no false positives at jac>=0.5
+
+
+def test_simhash_finds_planted_dups(spark, dup_docs):
+    from irkit_spark.pipeline.dedup import simhash_pairs
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in simhash_pairs(dup_docs, 6).collect()}
+    exact = {(2 * j, 2 * j + 1) for j in range(10)}
+    assert exact <= pairs              # exact dups: hamming 0
+
+
+def test_shingle_jaccard_vs_minhash_agree(spark, dup_docs):
+    from irkit_spark.pipeline.dedup import (minhash_lsh_pairs,
+                                            shingle_jaccard_pairs)
+    exact = {(r["doc_a"], r["doc_b"]): r["jac"]
+             for r in shingle_jaccard_pairs(dup_docs, 3, 0.5).collect()}
+    mh = {(r["doc_a"], r["doc_b"]): r["jac"]
+          for r in minhash_lsh_pairs(dup_docs, 3, 0.5).collect()}
+    # every LSH pair is verified with the same exact jaccard
+    for k, v in mh.items():
+        assert exact[k] == v
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """300 vectors; vec 0 is the query; vecs 1-10 are planted neighbors
+    (query + small noise), rest uniform random."""
+    rng = np.random.default_rng(42)
+    q = rng.standard_normal(32)
+    q /= np.linalg.norm(q)
+    rows = [(0, q.astype(float).tolist(), 0)]
+    for i in range(1, 11):
+        v = q + 0.1 * rng.standard_normal(32)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist(), 0))
+    for i in range(11, 300):
+        v = rng.standard_normal(32)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist(), 1))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"), q
+
+
+def test_bruteforce_cosine_finds_planted(spark, planted_vectors):
+    from irkit_spark.pipeline.similarity import cosine_topk
+    emb, q = planted_vectors
+    top = cosine_topk(emb.filter("vec_id != 0"), q.tolist(), 10).collect()
+    ids = {r["vec_id"] for r in top}
+    assert ids == set(range(1, 11))    # all planted neighbors found
+    assert all(r["cos"] > 0.7 for r in top)
+
+
+def test_lsh_ann_recall_on_planted(spark, planted_vectors):
+    from irkit_spark.pipeline.similarity import cosine_topk, lsh_topk
+    emb, q = planted_vectors
+    emb = emb.filter("vec_id != 0")
+    bf = [r["vec_id"] for r in cosine_topk(emb, q.tolist(), 10).collect()]
+    ann = [r["vec_id"] for r in lsh_topk(emb, q.tolist(), 10).collect()]
+    recall = len(set(bf) & set(ann)) / 10
+    assert recall >= 0.8               # structured data: LSH recalls
+
+
+def test_lang_id_on_real_stopwords(spark):
+    from irkit_spark.pipeline.textstats import lang_id
+    docs = spark.createDataFrame(
+        [(0, "the cat is on the mat and it is fine"),
+         (1, "der hund ist gut und das ist schön"),
+         (2, "le chat est dans la maison et il est là"),
+         (3, "el perro es bueno y es gris"),
+         (4, "xyzzy plugh")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_fingerprint_order_insensitive(spark):
+    from irkit_spark.pipeline.textstats import fingerprints
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta beta"),
+         (2, "alpha beta delta")],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: r["fp"] for r in fingerprints(docs).collect()}
+    assert fp[0] == fp[1]              # same token set
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_plumbing(spark, dup_docs):
+    from irkit_spark.pipeline.multimodal import (decode_image,
+                                                 extract_features,
+                                                 media_table)
+    media = media_table(dup_docs.limit(20))
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert 16 <= r["width"] < 256 and 16 <= r["height"] < 256
+        assert len(r["feat"]) == 8
+        assert len(r["digest"]) == 32
+    # decode stub is explicit, not silent
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    # determinism
+    feats2 = extract_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))

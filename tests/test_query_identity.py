@@ -1,0 +1,129 @@
+"""TAAT vs DAAT vs block-max WAND rank-identity + brute-force oracle
+(SURVEY.md §5.4/5.5 ≙ irkit test_taat/test_daat; BASELINE.json:14)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from irkit_spark.config import BM25_B, BM25_K1
+from irkit_spark.functions.scoring import bm25
+from irkit_spark.functions.tokenize import tokenize
+from irkit_spark.operators.query import search
+from irkit_spark.sources.queries import query_set
+
+QUERIES = [q for q in query_set(18)]
+
+
+@pytest.fixture(scope="module")
+def token_table(spark, pages_small):
+    """Brute-force pandas oracle input: (doc_id, term, tf, dl) + urls."""
+    from irkit_spark.operators.build import tokenize_spark
+    from irkit_spark.plans.dense_ids import assign_dense_ids
+    ids = assign_dense_ids(pages_small, "url", "doc_id", 64)
+    tok = tokenize_spark(ids, "doc_id", "text").toPandas()
+    n_docs = ids.count()
+    return tok, n_docs
+
+
+def brute_force_topk(tok: pd.DataFrame, n_docs: int, query: str, k: int):
+    """Pure-pandas BM25 oracle (SURVEY.md §5.5)."""
+    terms = sorted(set(tokenize(query)))
+    sub = tok[tok["term"].isin(terms)]
+    if sub.empty:
+        return []
+    dfs = sub.groupby("term")["doc_id"].nunique()
+    dl_all = tok.groupby("doc_id")["dl"].first()
+    avgdl = float(dl_all.reindex(range(n_docs), fill_value=0).mean())
+    scores: dict[int, float] = {}
+    for term in terms:                     # ascending term order
+        rows = sub[sub["term"] == term]
+        if rows.empty:
+            continue
+        s = bm25(rows["tf"].to_numpy(), float(dfs[term]),
+                 rows["dl"].to_numpy(), float(n_docs), avgdl)
+        for d, v in zip(rows["doc_id"].to_numpy(), s):
+            scores[int(d)] = scores.get(int(d), 0.0) + float(v)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ranked
+
+
+def assert_rank_identical(a, b, k):
+    """Rank identity up to float ties: identical after canonical
+    re-sort by (rounded score, doc_id); membership may differ only
+    inside the k-boundary tie group (scores equal at 6dp)."""
+    ca = sorted(((d, round(s, 6)) for d, s in a),
+                key=lambda x: (-x[1], x[0]))
+    cb = sorted(((d, round(s, 6)) for d, s in b),
+                key=lambda x: (-x[1], x[0]))
+    assert len(ca) == len(cb)
+    if ca == cb:
+        return
+    # allow divergence only within the boundary tie score
+    cut = min(ca[-1][1], cb[-1][1])
+    ha = [x for x in ca if x[1] > cut]
+    hb = [x for x in cb if x[1] > cut]
+    assert ha == hb, (ha[:5], hb[:5])
+    ta = {x for x in ca if x[1] == cut}
+    tb = {x for x in cb if x[1] == cut}
+    assert {s for _, s in ta | tb} == {cut}
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: f"q{q['query_id']}")
+def test_rank_identity(q, spark, index_small, token_table):
+    idx, _ = index_small
+    tok, n_docs = token_table
+    k = q["k"]
+    res = {}
+    for mode in ("taat", "daat", "wand"):
+        rows = search(idx, q["query"], k=k, mode=mode).collect()
+        res[mode] = [(r["doc_id"], r["score"]) for r in rows]
+    # DAAT and WAND are pinned to the same add order -> bit-identical
+    assert res["daat"] == res["wand"]
+    # TAAT: same ranking up to float ties; per-doc scores to 1e-9
+    assert_rank_identical(res["taat"], res["daat"], k)
+    daat_scores = dict(res["daat"])
+    for d, s in res["taat"]:
+        if d in daat_scores:
+            assert s == pytest.approx(daat_scores[d], abs=1e-9)
+    # brute-force pandas oracle
+    want = brute_force_topk(tok, n_docs, q["query"], k)
+    assert_rank_identical(res["daat"], want, k)
+    want_scores = dict(want)
+    for d, s in res["daat"]:
+        if d in want_scores:
+            assert s == pytest.approx(want_scores[d], abs=1e-9)
+
+
+def test_oov_query_empty(index_small):
+    idx, _ = index_small
+    assert search(idx, "zzoovq qqvooz", 10, "wand").count() == 0
+    assert search(idx, "", 10, "daat").count() == 0
+
+
+def test_wand_prunes_but_lossless(index_small):
+    """k=10 on a head-heavy query: WAND must equal DAAT exactly (the
+    pruning-losslessness core test, SURVEY.md Q5)."""
+    idx, _ = index_small
+    q = "term00000 term00001 term00002 term00003"
+    a = search(idx, q, 10, "wand").collect()
+    b = search(idx, q, 10, "daat").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+        [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_text_taat_oracle_path(spark, index_small, pages_small):
+    """The SQL-shaped text path (operators/sqlpath.bm25_topk_text) agrees
+    with the index-backed WAND on shared doc keys."""
+    from irkit_spark.operators.sqlpath import bm25_topk_text
+    idx, _ = index_small
+    docs_txt = (idx.docs.select("doc_id", "url")
+                .join(pages_small.select("url", "text"), "url")
+                .select("doc_id", "text"))
+    q = "term00004 term00200"
+    a = [(r["doc_id"], round(r["score"], 6))
+         for r in bm25_topk_text(docs_txt, q, 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 6))
+         for r in search(idx, q, 10, "wand").collect()]
+    assert a == b
