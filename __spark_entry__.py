@@ -62,10 +62,11 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     return _IDX_CACHE[sf_dir]
 
 
-def _index_search(spark, sf_dir, query, k, mode) -> DataFrame:
+def _index_search(spark, sf_dir, query, k, mode,
+                  scorer="bm25") -> DataFrame:
     from irkit_spark.operators.query import Index, search
     idx = Index(spark, _index_for(spark, sf_dir))
-    out = search(idx, query, k=k, mode=mode)
+    out = search(idx, query, k=k, mode=mode, scorer=scorer)
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -132,6 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_index_wand_top100(spark, sf):
         return _index_search(spark, sf, Q_BM25_B, 100, "wand")
 
+    def q_index_ql_top10(spark, sf):
+        return _index_search(spark, sf, Q_BM25_A, 10, "daat", scorer="ql")
+
     def q_dedup_exact(spark, sf):
         return dd.exact_dup_groups(_docs(spark, sf))
 
@@ -193,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_daat_top10": q_index_daat,
         "index_wand_top10": q_index_wand,
         "index_wand_top100": q_index_wand_top100,
+        "index_ql_top10": q_index_ql_top10,
         "dedup_exact": q_dedup_exact,
         "token_jaccard_pairs": q_token_jaccard,
         "shingle_jaccard_pairs": q_shingle_jaccard,
@@ -317,6 +322,7 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_daat_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),
+        "index_ql_top10": _ql_sql(Q_BM25_A, 10),
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n_copies
 FROM documents GROUP BY 1""",

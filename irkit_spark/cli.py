@@ -1,0 +1,124 @@
+"""CLI for the engine — the irkit tool surface re-expressed
+(SURVEY.md §3: irk-part/irk-warc/build ~ `build`, irk-merge ~ `merge`,
+irk-query ~ `query`, irk-lookup ~ `lookup`), shipped via
+`spark-submit --py-files irkit_spark.zip tools/submit_main.py ...`
+(BASELINE.json:6).
+
+The session comes from spark-submit's conf (master/executors set on the
+submit command line); only engine-level defaults are applied here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(app: str):
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.appName(app)
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_synth(args):
+    from irkit_spark.sources.pages import pages_df
+    spark = _session("irkit-synth")
+    pages_df(spark, args.n_docs).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"written": args.out, "n_docs": args.n_docs}))
+
+
+def cmd_build(args):
+    from irkit_spark.operators.build import build_index
+    spark = _session("irkit-build")
+    pages = spark.read.parquet(args.pages)
+    m = build_index(spark, pages, args.out, codec=args.codec,
+                    block_size=args.block_size,
+                    docs_per_shard=args.docs_per_shard,
+                    text_from_html=args.from_html,
+                    key_col=args.key_col,
+                    doc_id_col=args.doc_id_col,
+                    resume=args.resume)
+    print(json.dumps(m))
+
+
+def cmd_merge(args):
+    from irkit_spark.operators.merge import merge_indexes
+    spark = _session("irkit-merge")
+    print(json.dumps(merge_indexes(spark, args.inputs, args.out)))
+
+
+def cmd_query(args):
+    from irkit_spark.operators.query import Index, search
+    spark = _session("irkit-query")
+    idx = Index(spark, args.index)
+    rows = search(idx, args.query, k=args.k, mode=args.mode).collect()
+    for rank, r in enumerate(rows, 1):
+        # TREC-ish run output (SURVEY.md O3 [pub:tools/irk-query.cpp])
+        print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
+
+
+def cmd_lookup(args):
+    from irkit_spark.operators.query import Index
+    spark = _session("irkit-lookup")
+    idx = Index(spark, args.index)
+    if args.term:
+        print(json.dumps(idx.term_stats(args.term)))
+    elif args.url:
+        print(json.dumps(idx.doc(args.url)))
+    else:
+        print(json.dumps(idx.stats, default=str))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="irkit_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="generate a deterministic pages table")
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-docs", type=int, required=True)
+    s.set_defaults(fn=cmd_synth)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--codec", default="varbyte",
+                   choices=["varbyte", "streamvbyte"])
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--docs-per-shard", type=int, default=None)
+    b.add_argument("--from-html", action="store_true")
+    b.add_argument("--key-col", default="url")
+    b.add_argument("--doc-id-col", default=None)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge", help="merge batch indexes")
+    m.add_argument("--out", required=True)
+    m.add_argument("inputs", nargs="+")
+    m.set_defaults(fn=cmd_merge)
+
+    q = sub.add_parser("query", help="top-k BM25 query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="wand",
+                   choices=["taat", "daat", "wand"])
+    q.add_argument("--qid", default="0")
+    q.set_defaults(fn=cmd_query)
+
+    lk = sub.add_parser("lookup", help="term/doc/stats lookups")
+    lk.add_argument("--index", required=True)
+    lk.add_argument("--term")
+    lk.add_argument("--url")
+    lk.set_defaults(fn=cmd_lookup)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -337,7 +337,10 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # encoded rows are tiny vs raw postings: one cheap extra shuffle
         # puts each shard in a single file (query-time partition pruning
         # then reads exactly the touched shard files)
+        # sort by term_id within each shard file: parquet row-group
+        # min/max stats then prune query-term filters inside the scan
         postings_new.repartition("partition_id") \
+            .sortWithinPartitions("term_id") \
             .write.mode("overwrite") \
             .partitionBy("partition_id").parquet(post_path)
     _mark("shuffle_encode_write")
@@ -394,14 +397,18 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         "skew_ratio double, wall_ms long, attempt int") \
         .write.mode("overwrite").parquet(p("lineage"))
 
+    # bound_slack: WAND upper-bound multiplier, 1.0 for a one-shot build.
+    # Incremental merges of batches built under drifting avgdl set it to
+    # max(1, avgdl_final/min(avgdl_batch)) — tf_norm grows at most by
+    # that ratio when avgdl grows, so scaled bounds stay sound.
     stats_row = [(n_docs, float(avgdl), int(coll_len), int(total_postings),
                   codec, int(block_size), int(docs_per_shard), int(n_shards),
-                  wall_ms)]
+                  wall_ms, 1.0)]
     spark.createDataFrame(
         stats_row,
         "n_docs long, avg_doc_len double, coll_len long, total_postings long, "
         "codec string, block_size int, docs_per_shard int, n_shards int, "
-        "wall_ms long") \
+        "wall_ms long, bound_slack double") \
         .withColumn("built_at", F.current_timestamp()) \
         .write.mode("overwrite").parquet(p("stats"))
 

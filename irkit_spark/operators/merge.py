@@ -126,7 +126,8 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
                        .groupBy("partition_id"))
               .applyInPandas(lambda lt, rt: kern(lt, rt), POSTINGS_SCHEMA))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    merged.write.mode("overwrite").partitionBy("partition_id") \
+    merged.repartition("partition_id").sortWithinPartitions("term_id") \
+        .write.mode("overwrite").partitionBy("partition_id") \
         .parquet(p("postings"))
     postings = spark.read.parquet(p("postings"))
 
@@ -171,12 +172,23 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
         "partition_id int, status string, postings_cnt long, bytes long, "
         "skew_ratio double, wall_ms long, attempt int") \
         .write.mode("overwrite").parquet(p("lineage"))
+    # WAND soundness under incremental avgdl drift: batch indexes store
+    # per-block max tf_norm computed with THEIR avgdl; tf_norm grows at
+    # most by avgdl_final/avgdl_batch when avgdl grows, so this slack
+    # multiplier keeps merged bounds as true upper bounds (pass-through
+    # rows keep batch-time bounds; re-encoded rows use final avgdl).
+    batch_slacks = [float(s["bound_slack"])
+                    if "bound_slack" in s.asDict() else 1.0 for s in stats]
+    min_batch_avgdl = min(float(s["avg_doc_len"]) for s in stats)
+    slack = max(max(batch_slacks),
+                max(1.0, avgdl / min_batch_avgdl if min_batch_avgdl else 1.0))
     spark.createDataFrame(
         [(n_docs, float(avgdl), coll_len, int(total_postings), codec,
-          block_size, docs_per_shard, n_shards, wall_ms)],
+          block_size, docs_per_shard, n_shards, wall_ms, slack)],
         "n_docs long, avg_doc_len double, coll_len long, "
         "total_postings long, codec string, block_size int, "
-        "docs_per_shard int, n_shards int, wall_ms long") \
+        "docs_per_shard int, n_shards int, wall_ms long, "
+        "bound_slack double") \
         .withColumn("built_at", F.current_timestamp()) \
         .write.mode("overwrite").parquet(p("stats"))
     return {"n_docs": n_docs, "total_postings": int(total_postings),

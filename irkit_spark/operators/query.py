@@ -62,10 +62,13 @@ class Index:
         st = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avg_doc_len"])
+        self.coll_len = int(st["coll_len"])
         self.codec = st["codec"]
         self.block_size = int(st["block_size"])
         self.docs_per_shard = int(st["docs_per_shard"])
-        self.stats = st.asDict()
+        d = st.asDict()
+        self.bound_slack = float(d.get("bound_slack", 1.0))
+        self.stats = d
 
     # §3.3 lookups ([pub:tools/irk-lookup — low])
     def term_stats(self, term: str):
@@ -77,14 +80,14 @@ class Index:
         return rows[0].asDict() if rows else None
 
     def lookup_query(self, query: str) -> list[dict]:
-        """Query string -> [{term_id, idf, df}] (OOV dropped, Q6/P3)."""
+        """Query string -> [{term_id, idf, df, cf}] (OOV dropped, Q6/P3)."""
         toks = sorted(set(tokenize(query)))
         if not toks:
             return []
         rows = (self.terms.filter(F.col("term").isin(toks))
-                .select("term_id", "term", "df").collect())
+                .select("term_id", "term", "df", "cf").collect())
         return [{"term_id": int(r["term_id"]),
-                 "df": int(r["df"]),
+                 "df": int(r["df"]), "cf": int(r["cf"]),
                  "idf": float(idf_fn(np.array([r["df"]]), self.n_docs)[0])}
                 for r in sorted(rows, key=lambda r: r["term_id"])]
 
@@ -103,10 +106,20 @@ def _decode_row_blocks(blocks, codec: str):
 
 
 def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
-                  docs_per_shard: int, mode: str):
+                  docs_per_shard: int, mode: str, scorer: str = "bm25",
+                  coll_len: int = 1, bound_slack: float = 1.0):
     """Cogrouped per-shard scorer. qmeta sorted by term_id ascending."""
     idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
     dec = CODECS[codec][1]
+    # Dirichlet QL decomposition (SURVEY.md Q2):
+    #   sum_t ln((tf + mu*p_t)/(dl + mu))
+    #     = sum_t ln(1 + tf/(mu*p_t)) + K - |q|*ln(dl + mu)
+    # with p_t = cf_t/C and K = sum_t ln(mu*p_t): posting-level part +
+    # candidate-doc-level adjustment, exactly the oracle's value.
+    mu = config.QL_MU
+    p_by_tid = {m["term_id"]: m["cf"] / coll_len for m in qmeta}
+    ql_K = float(sum(np.log(mu * p) for p in p_by_tid.values()))
+    nq = len(qmeta)
 
     def exact_scores(term_rows, cand: np.ndarray, dl_arr: np.ndarray,
                      base: int, decoded_cache: dict) -> np.ndarray:
@@ -180,19 +193,26 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             for tid in sorted(term_rows):
                 d, t = _decode_row_blocks(term_rows[tid], codec)
                 off = d.astype(np.int64) - base
-                contrib = idf_by_tid[tid] * bm25_tf_norm(
-                    t.astype(np.int64), dl_arr[off], avgdl)
+                tf = t.astype(np.int64)
+                if scorer == "ql":
+                    contrib = np.log1p(tf / (mu * p_by_tid[tid]))
+                else:
+                    contrib = idf_by_tid[tid] * bm25_tf_norm(
+                        tf, dl_arr[off], avgdl)
                 acc[off] += contrib          # doc ids unique within term
                 present[off] = True
             idxs = np.flatnonzero(present)
-            return topk_frame(idxs + base, acc[idxs])
+            sc = acc[idxs]
+            if scorer == "ql":
+                sc = sc + ql_K - nq * np.log(dl_arr[idxs] + mu)
+            return topk_frame(idxs + base, sc)
 
         # mode == "wand": two-phase lossless block-max pruning, Q5
         meta = {}
         for tid, blocks in term_rows.items():
             mx = np.array([b["max_score"] for b in blocks], np.float64)
             meta[tid] = mx
-        shard_ub = {tid: idf_by_tid[tid] * meta[tid].max()
+        shard_ub = {tid: idf_by_tid[tid] * meta[tid].max() * bound_slack
                     for tid in term_rows}
         total_ub = sum(shard_ub.values())
 
@@ -212,7 +232,7 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         cand_parts = [seed_docs]
         for tid, blocks in term_rows.items():
             rest_ub = total_ub - shard_ub[tid]
-            ub_b = idf_by_tid[tid] * meta[tid] + rest_ub
+            ub_b = idf_by_tid[tid] * meta[tid] * bound_slack + rest_ub
             keep = np.flatnonzero(ub_b >= theta)
             for b_ix in keep.tolist():
                 key = (tid, b_ix)
@@ -234,8 +254,12 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
 
 
 def search(index: Index, query: str, k: int = 10,
-           mode: str = "wand") -> DataFrame:
-    """Top-k (doc_id, score); mode in {taat, daat, wand} (Q3/Q4/Q5)."""
+           mode: str = "wand", scorer: str = "bm25") -> DataFrame:
+    """Top-k (doc_id, score); mode in {taat, daat, wand} (Q3/Q4/Q5),
+    scorer in {bm25, ql} (Q1/Q2; WAND pruning bounds are BM25-only)."""
+    if scorer == "ql" and mode == "wand":
+        raise ValueError("block-max WAND bounds are defined for bm25; "
+                         "use mode='daat' or 'taat' with scorer='ql'")
     spark = index.spark
     qmeta = index.lookup_query(query)
     empty = spark.createDataFrame([], TOPK_SCHEMA)
@@ -245,7 +269,7 @@ def search(index: Index, query: str, k: int = 10,
     qpost = index.postings.filter(F.col("term_id").isin(tids))
 
     if mode == "taat":
-        return _taat_from_index(index, qmeta, qpost, k)
+        return _taat_from_index(index, qmeta, qpost, k, scorer)
 
     shards = [r["partition_id"] for r in
               qpost.select("partition_id").distinct().collect()]
@@ -254,7 +278,8 @@ def search(index: Index, query: str, k: int = 10,
     qdocs = index.docs.filter(F.col("partition_id").isin(shards)) \
         .select("partition_id", "doc_id", "doc_len")
     kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
-                         index.docs_per_shard, mode)
+                         index.docs_per_shard, mode, scorer,
+                         index.coll_len, index.bound_slack)
     local = (qpost.groupBy("partition_id")
              .cogroup(qdocs.groupBy("partition_id"))
              .applyInPandas(lambda lt, rt: kern(lt, rt), TOPK_SCHEMA))
@@ -262,7 +287,7 @@ def search(index: Index, query: str, k: int = 10,
 
 
 def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
-                     k: int) -> DataFrame:
+                     k: int, scorer: str = "bm25") -> DataFrame:
     """TAAT (Q3/A4): decode -> per-posting partial scores -> JVM-side
     groupBy(doc_id).sum -> top-k. The SQL-shaped path."""
     avgdl, codec = index.avgdl, index.codec
@@ -286,9 +311,28 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
 
     flat = qpost.mapInPandas(decode_partials,
                              "doc_id long, term_id int, tf long")
+    k1, b = config.BM25_K1, config.BM25_B
+    if scorer == "ql":
+        mu = config.QL_MU
+        nq = len(qmeta)
+        ql_k = float(np.sum(np.log(
+            [mu * m["cf"] / index.coll_len for m in qmeta])))
+        p_df = index.spark.createDataFrame(
+            [(m["term_id"], m["cf"] / index.coll_len) for m in qmeta],
+            "term_id int, p double")
+        partials = (flat.join(F.broadcast(p_df), "term_id")
+                    .withColumn("partial",
+                                F.log1p(F.col("tf") / (mu * F.col("p")))))
+        return (partials.groupBy("doc_id")
+                .agg(F.sum("partial").alias("s"))
+                .join(index.docs.select("doc_id", "doc_len"), "doc_id")
+                .withColumn("score",
+                            F.col("s") + ql_k
+                            - nq * F.log(F.col("doc_len") + mu))
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
     idf_df = index.spark.createDataFrame(
         [(m["term_id"], m["idf"]) for m in qmeta], "term_id int, idf double")
-    k1, b = config.BM25_K1, config.BM25_B
     scored = (flat
               .join(index.docs.select("doc_id", "doc_len"), "doc_id")
               .join(F.broadcast(idf_df), "term_id")

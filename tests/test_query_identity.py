@@ -113,6 +113,30 @@ def test_wand_prunes_but_lossless(index_small):
         [(r["doc_id"], r["score"]) for r in b]
 
 
+def test_ql_scorer_matches_text_oracle(spark, index_small, pages_small):
+    """Index-backed Dirichlet QL (daat + taat) == text-path QL oracle
+    (Q2; same decomposition, values to 6dp)."""
+    from irkit_spark.operators.sqlpath import ql_topk_text
+    idx, _ = index_small
+    docs_txt = (idx.docs.select("doc_id", "url")
+                .join(pages_small.select("url", "text"), "url")
+                .select("doc_id", "text"))
+    q = "term00003 term00150"
+    want = [(r["doc_id"], r["score"])
+            for r in ql_topk_text(docs_txt, q, 10).collect()]
+    for mode in ("daat", "taat"):
+        got = [(r["doc_id"], round(r["score"], 6))
+               for r in search(idx, q, 10, mode, scorer="ql").collect()]
+        assert got == want, mode
+
+
+def test_ql_wand_rejected(index_small):
+    idx, _ = index_small
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search(idx, "term00001", 10, "wand", scorer="ql")
+
+
 def test_text_taat_oracle_path(spark, index_small, pages_small):
     """The SQL-shaped text path (operators/sqlpath.bm25_topk_text) agrees
     with the index-backed WAND on shared doc keys."""
