@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
         return sim.lsh_topk(emb, _query_vec(spark, sf), 10)
 
+    def q_ivf_ann(spark, sf):
+        emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
+        return sim.ivf_topk(emb, _query_vec(spark, sf), 10)
+
     def q_media_features(spark, sf):
         return mm.extract_features(mm.media_table(_docs(spark, sf)))
 
@@ -211,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "lsh_ann_top10": q_lsh_ann,
+        "ivf_ann_top10": q_ivf_ann,
         "media_features": q_media_features,
     }
 

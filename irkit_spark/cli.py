@@ -34,8 +34,9 @@ def cmd_synth(args):
 
 def cmd_build(args):
     from irkit_spark.operators.build import build_index
+    from irkit_spark.sources.catalog import load_pages
     spark = _session("irkit-build")
-    pages = spark.read.parquet(args.pages)
+    pages = load_pages(spark, args.pages)   # parquet path OR catalog table
     m = build_index(spark, pages, args.out, codec=args.codec,
                     block_size=args.block_size,
                     docs_per_shard=args.docs_per_shard,

@@ -94,6 +94,77 @@ def lsh_topk(emb: DataFrame, query_vec, k: int = 10,
             .limit(k))
 
 
+def kmeans_centroids(emb: DataFrame, n_clusters: int = 16,
+                     sample: int = 4096, iters: int = 10,
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Seeded driver-side k-means on a bounded sample — the IVF coarse
+    quantizer. At 10^9+ vectors the sample stays bounded (limit) and
+    assignment below stays distributed; only centroids live on the
+    driver."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(42)
+    cent = x[rng.choice(len(x), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cluster): distributed nearest-centroid assignment —
+    one matmul per Arrow batch."""
+    cent = centroids
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "cluster": pd.Series([], dtype="int32")})
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-12)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64"),
+                "cluster": np.argmax(m @ cent.T, axis=1).astype("int32")})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, "vec_id long, cluster int")
+
+
+def ivf_topk(emb: DataFrame, query_vec, k: int = 10, n_clusters: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_dp: int = 6,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN: score only vectors whose cluster is among the n_probe
+    centroids nearest the query. Candidate selection is an equi-join on
+    cluster id (partition-prunable when assignments are stored
+    dir-partitioned by cluster) — the inverted-file shape that survives
+    10^9+ vectors."""
+    cent = (kmeans_centroids(emb, n_clusters, vec_col=vec_col)
+            if centroids is None else centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cent @ qn))[:n_probe].tolist()
+    assign = ivf_assign(emb, cent, id_col, vec_col)
+    cand_ids = (assign.filter(F.col("cluster").isin(probes))
+                .select(F.col("vec_id").alias("__cid")))
+    cand = emb.join(cand_ids, emb[id_col] == F.col("__cid")).drop("__cid")
+    return (cand.select(F.col(id_col).alias("vec_id"),
+                        F.round(_cos_expr(vec_col, query_vec), round_dp)
+                        .alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(k))
+
+
 def cosine_pairs(emb: DataFrame, threshold: float = 0.3,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  round_dp: int = 6) -> DataFrame:

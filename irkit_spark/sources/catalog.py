@@ -1,0 +1,64 @@
+"""Table-format knob: Iceberg catalog tables when a catalog is
+configured, parquet directories otherwise (SURVEY.md §1.3 — "the engine
+must treat the format as a config knob"; the sandbox ships no Iceberg
+runtime jars, so the Iceberg path is import/config-gated, same schemas
+either way).
+
+`load_pages` is the input-side knob (BASELINE.json:15 names an Iceberg
+table of web pages): a `catalog.db.table` identifier reads through the
+session catalog (`spark.read.table`), anything else is a parquet path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg SQL extension/catalog is on the session."""
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        return "IcebergSparkSessionExtensions" in ext
+    except Exception:
+        return False
+
+
+def load_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Read the pages input: table identifier -> catalog table (Iceberg
+    etc.), path -> parquet directory."""
+    looks_like_path = ("/" in source or source.startswith("file:")
+                       or source.startswith("s3") or source.startswith("hdfs"))
+    if looks_like_path or os.path.exists(source):
+        return spark.read.parquet(source)
+    return spark.read.table(source)
+
+
+def write_table(df: DataFrame, base: str, name: str,
+                partition_by: str | None = None,
+                fmt: str | None = None) -> None:
+    """Write an index artifact table under the chosen format.
+
+    fmt: 'iceberg' writes `writeTo(base + '.' + name)` (base = catalog
+    namespace, requires Iceberg jars + catalog conf); anything else
+    writes a parquet dir under base. Default from IRKIT_TABLE_FORMAT.
+    """
+    fmt = fmt or os.environ.get("IRKIT_TABLE_FORMAT", "parquet")
+    if fmt == "iceberg":
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                "IRKIT_TABLE_FORMAT=iceberg but no Iceberg extension is "
+                "configured on this session (add the iceberg-spark "
+                "runtime jar and a catalog; schemas are unchanged)")
+        w = df.writeTo(f"{base}.{name}").using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+            w = w.partitionedBy(F.col(partition_by))
+        w.createOrReplace()
+        return
+    path = os.path.join(base, name)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)

@@ -108,6 +108,21 @@ def test_lsh_ann_recall_on_planted(spark, planted_vectors):
     assert recall >= 0.8               # structured data: LSH recalls
 
 
+def test_ivf_ann_recall_on_planted(spark, planted_vectors):
+    from irkit_spark.pipeline.similarity import cosine_topk, ivf_topk
+    emb, q = planted_vectors
+    emb = emb.filter("vec_id != 0")
+    bf = [r["vec_id"] for r in cosine_topk(emb, q.tolist(), 10).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(emb, q.tolist(), 10,
+                                         n_clusters=8, n_probe=2).collect()]
+    recall = len(set(bf) & set(ivf)) / 10
+    assert recall >= 0.8
+    # determinism: seeded k-means, same result twice
+    ivf2 = [r["vec_id"] for r in ivf_topk(emb, q.tolist(), 10,
+                                          n_clusters=8, n_probe=2).collect()]
+    assert ivf == ivf2
+
+
 def test_lang_id_on_real_stopwords(spark):
     from irkit_spark.pipeline.textstats import lang_id
     docs = spark.createDataFrame(
@@ -130,6 +145,18 @@ def test_fingerprint_order_insensitive(spark):
     fp = {r["doc_id"]: r["fp"] for r in fingerprints(docs).collect()}
     assert fp[0] == fp[1]              # same token set
     assert fp[0] != fp[2]
+
+
+def test_catalog_format_knob(spark, dup_docs, tmp_path):
+    from irkit_spark.sources.catalog import (iceberg_available, load_pages,
+                                             write_table)
+    base = str(tmp_path)
+    write_table(dup_docs, base, "t1")
+    assert load_pages(spark, f"{base}/t1").count() == dup_docs.count()
+    # no Iceberg jars in this sandbox: the knob fails loudly, not quietly
+    assert not iceberg_available(spark)
+    with pytest.raises(RuntimeError, match="iceberg"):
+        write_table(dup_docs, "cat.db", "t2", fmt="iceberg")
 
 
 def test_multimodal_plumbing(spark, dup_docs):

@@ -1,0 +1,73 @@
+"""Physical-plan guarantees (pushdown/pruning) and head-term skew
+handling under an adversarial stopword distribution (SURVEY.md §4 m6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from irkit_spark.operators.build import build_index
+from irkit_spark.operators.query import Index, search
+
+
+def test_postings_scan_pushes_term_filter(spark, index_small):
+    idx, _ = index_small
+    plan = (idx.postings.filter(F.col("term_id").isin([1, 2, 3]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [In(term_id" in plan
+
+
+def test_docs_scan_prunes_partitions_and_columns(spark, index_small):
+    idx, _ = index_small
+    df = (idx.docs.filter(F.col("partition_id") == 1)
+          .select("doc_id", "doc_len"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "partition_id" in plan
+    assert "url" not in plan.split("ReadSchema")[1][:200]
+
+
+@pytest.fixture(scope="module")
+def skewed_index(spark, tmp_path_factory):
+    """500 docs where 'commonword' appears in EVERY doc (a stopword:
+    df == n_docs) amid a Zipf tail — the head-term case that would
+    melt a naive groupBy(term) reducer."""
+    rng = np.random.default_rng(42)
+    vocab = np.array([f"w{i:04d}" for i in range(800)], dtype=object)
+    p = 1.0 / np.arange(1, 801) ** 1.3
+    p /= p.sum()
+    rows = []
+    for i in range(500):
+        toks = list(rng.choice(vocab, size=60, p=p))
+        toks = ["commonword"] + toks + ["commonword"]
+        rows.append((f"https://s.example/{i:05d}", " ".join(toks)))
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path_factory.mktemp("skew") / "idx")
+    metrics = build_index(spark, df, out, docs_per_shard=100)
+    return Index(spark, out), metrics
+
+
+def test_head_term_is_split_and_bounded(spark, skewed_index):
+    idx, metrics = skewed_index
+    row = idx.terms.filter(F.col("term") == "commonword").collect()[0]
+    assert row["df"] == 500                   # every doc
+    sub = (idx.postings.filter(F.col("term_id") == row["term_id"])
+           .select("partition_id", "n_docs").collect())
+    # term-splitting: one bounded sub-list per shard, none above capacity
+    assert len(sub) == 5
+    assert all(r["n_docs"] <= 100 for r in sub)
+    assert metrics["skew_ratio"] < 1.5
+
+
+def test_stopword_query_still_correct(spark, skewed_index):
+    idx, _ = skewed_index
+    a = [(r["doc_id"], r["score"])
+         for r in search(idx, "commonword w0005", 10, "wand").collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in search(idx, "commonword w0005", 10, "daat").collect()]
+    assert a == b and len(a) == 10
+    # a pure-stopword query ranks by dl (shortest docs win) — just
+    # assert it returns k docs and is deterministic
+    c1 = [r["doc_id"] for r in search(idx, "commonword", 10, "wand").collect()]
+    c2 = [r["doc_id"] for r in search(idx, "commonword", 10, "wand").collect()]
+    assert c1 == c2 and len(c1) == 10
