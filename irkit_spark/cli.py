@@ -43,7 +43,8 @@ def cmd_build(args):
                     text_from_html=args.from_html,
                     key_col=args.key_col,
                     doc_id_col=args.doc_id_col,
-                    resume=args.resume)
+                    resume=args.resume,
+                    quantize=args.quantize)
     print(json.dumps(m))
 
 
@@ -95,6 +96,8 @@ def main(argv=None):
     b.add_argument("--key-col", default="url")
     b.add_argument("--doc-id-col", default=None)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--quantize", action="store_true",
+                   help="store 7-bit impact scores instead of tfs")
     b.set_defaults(fn=cmd_build)
 
     m = sub.add_parser("merge", help="merge batch indexes")

@@ -76,7 +76,7 @@ def tokenize_spark(df: DataFrame, id_col: str = "doc_id",
 
 
 def _encode_kernel(avgdl: float, codec: str, block_size: int,
-                   docs_per_shard: int):
+                   docs_per_shard: int, quantize: bool = False):
     """mapInPandas encoder: streaming (term_id, shard) group merger.
 
     Input batches arrive sorted by (term_id, shard, doc_id) within the
@@ -116,6 +116,12 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
             gaps[0] = 0
             gaps[1:] = (d[1:] - d[:-1]).view(np.uint64)
             gaps[bstarts] = 0   # overwrites cross-group negatives too
+            if quantize:
+                # precomputed 7-bit impact scores (irkit quantize.hpp,
+                # SURVEY.md §2.8): 0..127 = exactly one varbyte byte
+                # per posting; FLOOR so q/127 <= tf_norm and the
+                # exact per-block max_score stays a sound WAND bound
+                tf = np.floor(tf_norm * 127.0).astype(np.uint64)
             if codec == "varbyte":
                 # encode the WHOLE batch once; slice per block by offsets
                 wire_d = varbyte_encode(gaps)
@@ -192,6 +198,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 doc_id_col: str | None = None,
                 n_parts: int | None = None,
                 resume: bool = False,
+                quantize: bool = False,
                 shared_lexicon: DataFrame | None = None,
                 global_stats: tuple[int, float] | None = None) -> dict:
     """Build (or resume) the index; returns build metrics dict."""
@@ -326,7 +333,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
               .repartition(n_parts, "term_id", "shard")
               .sortWithinPartitions("term_id", "shard", "doc_id"))
     postings_new = enc_in.mapInPandas(
-        _encode_kernel(avgdl, codec, block_size, docs_per_shard),
+        _encode_kernel(avgdl, codec, block_size, docs_per_shard, quantize),
         schema=POSTINGS_SCHEMA)
 
     post_path = p("postings")
@@ -403,12 +410,12 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     # that ratio when avgdl grows, so scaled bounds stay sound.
     stats_row = [(n_docs, float(avgdl), int(coll_len), int(total_postings),
                   codec, int(block_size), int(docs_per_shard), int(n_shards),
-                  wall_ms, 1.0)]
+                  wall_ms, 1.0, bool(quantize))]
     spark.createDataFrame(
         stats_row,
         "n_docs long, avg_doc_len double, coll_len long, total_postings long, "
         "codec string, block_size int, docs_per_shard int, n_shards int, "
-        "wall_ms long, bound_slack double") \
+        "wall_ms long, bound_slack double, quantized boolean") \
         .withColumn("built_at", F.current_timestamp()) \
         .write.mode("overwrite").parquet(p("stats"))
 

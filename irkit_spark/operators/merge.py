@@ -42,7 +42,7 @@ from irkit_spark.operators.query import _decode_row_blocks
 
 
 def _merge_kernel(avgdl: float, codec: str, block_size: int,
-                  docs_per_shard: int):
+                  docs_per_shard: int, quantized: bool = False):
     k1, b = config.BM25_K1, config.BM25_B
 
     def run(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -73,9 +73,13 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
             t = np.concatenate(ts)
             order = np.argsort(d, kind="stable")
             d, t = d[order], t[order]
-            dl = dl_arr[d - base]
-            tf_norm = t.astype(np.float64) / (
-                t + k1 * (1.0 - b + b * dl / avgdl))
+            if quantized:
+                # payload IS the 7-bit impact: block max = max(q)/127
+                tf_norm = t.astype(np.float64) / 127.0
+            else:
+                dl = dl_arr[d - base]
+                tf_norm = t.astype(np.float64) / (
+                    t + k1 * (1.0 - b + b * dl / avgdl))
             out["term_id"].append(int(tid))
             out["partition_id"].append(shard)
             out["n_docs"].append(int(d.size))
@@ -98,9 +102,11 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     codec = stats[0]["codec"]
     block_size = int(stats[0]["block_size"])
     docs_per_shard = int(stats[0]["docs_per_shard"])
+    quantized = bool(stats[0].asDict().get("quantized", False))
     for s in stats[1:]:
-        if (s["codec"], int(s["block_size"]), int(s["docs_per_shard"])) != \
-                (codec, block_size, docs_per_shard):
+        if (s["codec"], int(s["block_size"]), int(s["docs_per_shard"]),
+                bool(s.asDict().get("quantized", False))) != \
+                (codec, block_size, docs_per_shard, quantized):
             raise ValueError("batch indexes built with different layouts")
 
     docs = None
@@ -120,7 +126,8 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     for d in in_dirs:
         b = spark.read.parquet(os.path.join(d, "postings"))
         post = b if post is None else post.unionByName(b)
-    kern = _merge_kernel(avgdl, codec, block_size, docs_per_shard)
+    kern = _merge_kernel(avgdl, codec, block_size, docs_per_shard,
+                         quantized)
     merged = (post.groupBy("partition_id")
               .cogroup(docs.select("partition_id", "doc_id", "doc_len")
                        .groupBy("partition_id"))
@@ -184,11 +191,12 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
                 max(1.0, avgdl / min_batch_avgdl if min_batch_avgdl else 1.0))
     spark.createDataFrame(
         [(n_docs, float(avgdl), coll_len, int(total_postings), codec,
-          block_size, docs_per_shard, n_shards, wall_ms, slack)],
+          block_size, docs_per_shard, n_shards, wall_ms, slack,
+          quantized)],
         "n_docs long, avg_doc_len double, coll_len long, "
         "total_postings long, codec string, block_size int, "
         "docs_per_shard int, n_shards int, wall_ms long, "
-        "bound_slack double") \
+        "bound_slack double, quantized boolean") \
         .withColumn("built_at", F.current_timestamp()) \
         .write.mode("overwrite").parquet(p("stats"))
     return {"n_docs": n_docs, "total_postings": int(total_postings),

@@ -68,6 +68,7 @@ class Index:
         self.docs_per_shard = int(st["docs_per_shard"])
         d = st.asDict()
         self.bound_slack = float(d.get("bound_slack", 1.0))
+        self.quantized = bool(d.get("quantized", False))
         self.stats = d
 
     # §3.3 lookups ([pub:tools/irk-lookup — low])
@@ -107,7 +108,8 @@ def _decode_row_blocks(blocks, codec: str):
 
 def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                   docs_per_shard: int, mode: str, scorer: str = "bm25",
-                  coll_len: int = 1, bound_slack: float = 1.0):
+                  coll_len: int = 1, bound_slack: float = 1.0,
+                  quantized: bool = False):
     """Cogrouped per-shard scorer. qmeta sorted by term_id ascending."""
     idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
     dec = CODECS[codec][1]
@@ -152,8 +154,12 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 if not m.any():
                     continue
                 tf = t[pos[m]]
-                dl = dl_arr[cand[m] - base]
-                scores[m] += idf_by_tid[tid] * bm25_tf_norm(tf, dl, avgdl)
+                if quantized:
+                    scores[m] += idf_by_tid[tid] * (tf / 127.0)
+                else:
+                    dl = dl_arr[cand[m] - base]
+                    scores[m] += idf_by_tid[tid] * bm25_tf_norm(tf, dl,
+                                                                avgdl)
         return scores
 
     def topk_frame(doc: np.ndarray, score: np.ndarray) -> pd.DataFrame:
@@ -196,6 +202,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 tf = t.astype(np.int64)
                 if scorer == "ql":
                     contrib = np.log1p(tf / (mu * p_by_tid[tid]))
+                elif quantized:
+                    contrib = idf_by_tid[tid] * (tf / 127.0)
                 else:
                     contrib = idf_by_tid[tid] * bm25_tf_norm(
                         tf, dl_arr[off], avgdl)
@@ -260,6 +268,10 @@ def search(index: Index, query: str, k: int = 10,
     if scorer == "ql" and mode == "wand":
         raise ValueError("block-max WAND bounds are defined for bm25; "
                          "use mode='daat' or 'taat' with scorer='ql'")
+    if scorer == "ql" and index.quantized:
+        raise ValueError("quantized indexes store 7-bit impacts, not "
+                         "term frequencies; QL needs tf — rebuild with "
+                         "quantize=False")
     spark = index.spark
     qmeta = index.lookup_query(query)
     empty = spark.createDataFrame([], TOPK_SCHEMA)
@@ -279,7 +291,8 @@ def search(index: Index, query: str, k: int = 10,
         .select("partition_id", "doc_id", "doc_len")
     kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
                          index.docs_per_shard, mode, scorer,
-                         index.coll_len, index.bound_slack)
+                         index.coll_len, index.bound_slack,
+                         index.quantized)
     local = (qpost.groupBy("partition_id")
              .cogroup(qdocs.groupBy("partition_id"))
              .applyInPandas(lambda lt, rt: kern(lt, rt), TOPK_SCHEMA))
@@ -333,13 +346,20 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
     idf_df = index.spark.createDataFrame(
         [(m["term_id"], m["idf"]) for m in qmeta], "term_id int, idf double")
-    scored = (flat
-              .join(index.docs.select("doc_id", "doc_len"), "doc_id")
-              .join(F.broadcast(idf_df), "term_id")
-              .withColumn("partial",
-                          F.col("idf") * F.col("tf")
-                          / (F.col("tf") + k1 * (1.0 - b + b
-                                                 * F.col("doc_len") / avgdl))))
+    if index.quantized:
+        # tf column carries the 7-bit impact; no doc-length join needed
+        scored = (flat.join(F.broadcast(idf_df), "term_id")
+                  .withColumn("partial",
+                              F.col("idf") * F.col("tf") / 127.0))
+    else:
+        scored = (flat
+                  .join(index.docs.select("doc_id", "doc_len"), "doc_id")
+                  .join(F.broadcast(idf_df), "term_id")
+                  .withColumn("partial",
+                              F.col("idf") * F.col("tf")
+                              / (F.col("tf") + k1 * (1.0 - b + b
+                                                     * F.col("doc_len")
+                                                     / avgdl))))
     return (scored.groupBy("doc_id")
             .agg(F.sum("partial").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
