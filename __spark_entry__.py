@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_index_ql_top10(spark, sf):
         return _index_search(spark, sf, Q_BM25_A, 10, "daat", scorer="ql")
 
+    def q_index_and_top10(spark, sf):
+        return _index_search(spark, sf, Q_AND, 10, "and")
+
     def q_dedup_exact(spark, sf):
         return dd.exact_dup_groups(_docs(spark, sf))
 
@@ -202,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wand_top10": q_index_wand,
         "index_wand_top100": q_index_wand_top100,
         "index_ql_top10": q_index_ql_top10,
+        "index_and_top10": q_index_and_top10,
         "dedup_exact": q_dedup_exact,
         "token_jaccard_pairs": q_token_jaccard,
         "shingle_jaccard_pairs": q_shingle_jaccard,
@@ -234,8 +238,12 @@ def _values(terms: list[str]) -> str:
     return ", ".join(f"('{t}')" for t in sorted(set(terms)))
 
 
-def _bm25_sql(query: str, k: int) -> str:
+def _bm25_sql(query: str, k: int, conjunctive: bool = False) -> str:
     terms = sorted(set(query.lower().split()))
+    conj = ""
+    if conjunctive:
+        conj = """
+  HAVING count(*) = (SELECT count(*) FROM ts JOIN q USING (term))"""
     return f"""
 WITH tf AS ({_TF}),
 dl AS ({_DL}),
@@ -249,7 +257,7 @@ sc AS (
                         * dl.dl / st.avgdl))) AS s
   FROM tf JOIN q USING (term) JOIN ts USING (term)
        JOIN dl USING (doc_id) CROSS JOIN st
-  GROUP BY 1)
+  GROUP BY 1{conj})
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
@@ -328,6 +336,7 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),
         "index_ql_top10": _ql_sql(Q_BM25_A, 10),
+        "index_and_top10": _bm25_sql(Q_AND, 10, conjunctive=True),
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n_copies
 FROM documents GROUP BY 1""",

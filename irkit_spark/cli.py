@@ -58,7 +58,8 @@ def cmd_query(args):
     from irkit_spark.operators.query import Index, search
     spark = _session("irkit-query")
     idx = Index(spark, args.index)
-    rows = search(idx, args.query, k=args.k, mode=args.mode).collect()
+    rows = search(idx, args.query, k=args.k, mode=args.mode,
+                  scorer=args.scorer).collect()
     for rank, r in enumerate(rows, 1):
         # TREC-ish run output (SURVEY.md O3 [pub:tools/irk-query.cpp])
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
@@ -110,7 +111,8 @@ def main(argv=None):
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", default="wand",
-                   choices=["taat", "daat", "wand"])
+                   choices=["taat", "daat", "wand", "and"])
+    q.add_argument("--scorer", default="bm25", choices=["bm25", "ql"])
     q.add_argument("--qid", default="0")
     q.set_defaults(fn=cmd_query)
 

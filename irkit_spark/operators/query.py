@@ -188,6 +188,89 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 list(r["blocks"]))
         cache: dict = {}
 
+        if mode == "and":
+            # conjunctive intersection (J1): small-adaptive — decode the
+            # rarest term fully, then for each other term (ascending
+            # size) selectively decode ONLY blocks containing surviving
+            # candidates (np.searchsorted against block ranges); blocks
+            # with no survivor in range are skipped undecoded. Docs
+            # missing any term are dropped; survivors get exact scores
+            # (block cache makes that nearly free).
+            if len(term_rows) < nq:
+                # some query term has no postings in this shard at all
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")})
+            order = sorted(term_rows,
+                           key=lambda t: sum(b["n"] for b in term_rows[t]))
+            cand = None
+            for tid in order:
+                blocks = term_rows[tid]
+                if cand is None:
+                    ds = []
+                    for b_ix, blk in enumerate(blocks):
+                        n = int(blk["n"])
+                        gaps = dec(bytes(blk["doc_bytes"]), n)
+                        d = delta_decode(gaps, int(blk["first_doc"])) \
+                            .astype(np.int64)
+                        t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
+                        cache[(tid, b_ix)] = (d, t)
+                        ds.append(d)
+                    cand = np.concatenate(ds) if ds else \
+                        np.empty(0, np.int64)
+                    continue
+                firsts = np.array([b["first_doc"] for b in blocks],
+                                  np.int64)
+                lasts = np.array([b["last_doc"] for b in blocks], np.int64)
+                bi = np.searchsorted(lasts, cand, side="left")
+                ok = bi < len(blocks)
+                hit = np.zeros(cand.size, dtype=bool)
+                hit[ok] = firsts[bi[ok]] <= cand[ok]
+                keep = np.zeros(cand.size, dtype=bool)
+                for b_ix in np.unique(bi[hit]).tolist():
+                    key = (tid, b_ix)
+                    if key not in cache:
+                        blk = blocks[b_ix]
+                        n = int(blk["n"])
+                        gaps = dec(bytes(blk["doc_bytes"]), n)
+                        cache[key] = (
+                            delta_decode(gaps, int(blk["first_doc"]))
+                            .astype(np.int64),
+                            dec(bytes(blk["tf_bytes"]), n).astype(np.int64))
+                    d, _t = cache[key]
+                    pos = np.searchsorted(d, cand)
+                    pos_ok = pos < d.size
+                    m = np.zeros(cand.size, dtype=bool)
+                    m[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
+                    keep |= m
+                cand = cand[keep]
+                if cand.size == 0:
+                    break
+            if cand is None or cand.size == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")})
+            sc = exact_scores(term_rows, cand, dl_arr, base, cache)
+            if scorer == "ql":
+                # exact_scores is bm25-only; recompute QL over survivors
+                acc = np.zeros(cand.size, dtype=np.float64)
+                for tid in sorted(term_rows):
+                    blocks = term_rows[tid]
+                    for b_ix in range(len(blocks)):
+                        key = (tid, b_ix)
+                        if key not in cache:
+                            continue
+                        d, t = cache[key]
+                        pos = np.searchsorted(d, cand)
+                        pos_ok = pos < d.size
+                        m = np.zeros(cand.size, dtype=bool)
+                        m[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
+                        if m.any():
+                            acc[m] += np.log1p(
+                                t[pos[m]] / (mu * p_by_tid[tid]))
+                sc = acc + ql_K - nq * np.log(dl_arr[cand - base] + mu)
+            return topk_frame(cand, sc)
+
         if mode == "daat":       # exhaustive, Q4
             # dense per-shard accumulator; adds happen per term in
             # ascending term_id order from +0.0 — the SAME pinned float
@@ -216,19 +299,28 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             return topk_frame(idxs + base, sc)
 
         # mode == "wand": two-phase lossless block-max pruning, Q5
-        meta = {}
+        meta, firsts_by, lasts_by = {}, {}, {}
         for tid, blocks in term_rows.items():
-            mx = np.array([b["max_score"] for b in blocks], np.float64)
-            meta[tid] = mx
-        shard_ub = {tid: idf_by_tid[tid] * meta[tid].max() * bound_slack
-                    for tid in term_rows}
-        total_ub = sum(shard_ub.values())
+            meta[tid] = np.array([b["max_score"] for b in blocks],
+                                 np.float64) * bound_slack
+            firsts_by[tid] = np.array([b["first_doc"] for b in blocks],
+                                      np.int64)
+            lasts_by[tid] = np.array([b["last_doc"] for b in blocks],
+                                     np.int64)
 
-        # phase 1: seed theta from the smallest term's docs
+        # phase 1: seed theta from the smallest term's docs (decoded
+        # through the shared block cache so exact_scores reuses them)
         seed_tid = min(term_rows,
                        key=lambda t: sum(b["n"] for b in term_rows[t]))
-        seed_docs, _ = _decode_row_blocks(term_rows[seed_tid], codec)
-        seed_docs = np.unique(seed_docs.astype(np.int64))
+        seed_parts = []
+        for b_ix, blk in enumerate(term_rows[seed_tid]):
+            n = int(blk["n"])
+            gaps = dec(bytes(blk["doc_bytes"]), n)
+            d = delta_decode(gaps, int(blk["first_doc"])).astype(np.int64)
+            t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
+            cache[(seed_tid, b_ix)] = (d, t)
+            seed_parts.append(d)
+        seed_docs = np.unique(np.concatenate(seed_parts))
         seed_scores = exact_scores(term_rows, seed_docs, dl_arr, base, cache)
         if seed_docs.size >= k:
             theta = np.partition(seed_scores, seed_docs.size - k)[
@@ -236,11 +328,45 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         else:
             theta = -np.inf
 
-        # phase 2: surviving blocks
+        # phase 2: surviving blocks. A block of term t covering doc
+        # range [f, l] bounds every doc in it by
+        #   idf_t * blockmax + sum_{t' != t} idf_t' * max(blockmax of
+        #   t' blocks overlapping [f, l])
+        # — the doc-range-aligned rest bound is what makes BMW actually
+        # skip (a rare term's narrow doc range prunes a stopword's
+        # blocks everywhere else). Lossless: a doc's t'-posting lives in
+        # a t' block containing it, hence overlapping [f, l].
+        def window_max(vals, a, b):
+            """max(vals[a[i]:b[i]]) per i (0.0 if empty); a, b are
+            nondecreasing — two-pointer sliding-window max."""
+            out = np.zeros(a.size, dtype=np.float64)
+            from collections import deque
+            dq: deque = deque()     # indices, decreasing vals
+            hi = 0
+            for i in range(a.size):
+                while hi < b[i]:
+                    while dq and vals[dq[-1]] <= vals[hi]:
+                        dq.pop()
+                    dq.append(hi)
+                    hi += 1
+                while dq and dq[0] < a[i]:
+                    dq.popleft()
+                if dq and a[i] < b[i]:
+                    out[i] = vals[dq[0]]
+            return out
+
         cand_parts = [seed_docs]
         for tid, blocks in term_rows.items():
-            rest_ub = total_ub - shard_ub[tid]
-            ub_b = idf_by_tid[tid] * meta[tid] * bound_slack + rest_ub
+            ub_b = idf_by_tid[tid] * meta[tid]
+            for tid2 in term_rows:
+                if tid2 == tid:
+                    continue
+                a = np.searchsorted(lasts_by[tid2], firsts_by[tid],
+                                    side="left")
+                b2 = np.searchsorted(firsts_by[tid2], lasts_by[tid],
+                                     side="right")
+                ub_b = ub_b + idf_by_tid[tid2] * window_max(
+                    meta[tid2], a, np.maximum(a, b2))
             keep = np.flatnonzero(ub_b >= theta)
             for b_ix in keep.tolist():
                 key = (tid, b_ix)

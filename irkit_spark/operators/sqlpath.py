@@ -131,6 +131,24 @@ def ql_topk_text(docs: DataFrame, query: str, k: int = 10,
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_conjunctive_topk_text(docs: DataFrame, query: str, k: int = 10,
+                               round_dp: int | None = 6) -> DataFrame:
+    """BM25 top-k over docs containing ALL query terms (J1 + Q1): the
+    oracle for the index kernel's conjunctive mode."""
+    spark = docs.sparkSession
+    q = _query_terms_df(spark, query)
+    tf = term_freqs(docs)
+    # OOV terms are dropped before traversal (P3), same as the kernel
+    n_invocab = (term_stats(docs).join(F.broadcast(q), "term").count())
+    cand = (tf.join(F.broadcast(q), "term")
+            .groupBy("doc_id").agg(F.count("*").alias("n"))
+            .filter(F.col("n") == n_invocab)
+            .select("doc_id"))
+    full = bm25_topk_text(docs, query, k=1 << 30, round_dp=round_dp)
+    return (full.join(cand, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def conjunctive_docs(docs: DataFrame, query: str) -> DataFrame:
     """Docs containing ALL query terms (J1 oracle form: k-way semi-join
     == GROUP BY doc HAVING count(distinct matched term) = |q|)."""

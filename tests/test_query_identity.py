@@ -137,6 +137,77 @@ def test_ql_wand_rejected(index_small):
         search(idx, "term00001", 10, "wand", scorer="ql")
 
 
+def test_conjunctive_intersection(spark, index_small, pages_small):
+    """mode='and' (J1: posting-list intersection inside mapInPandas)
+    == the conjunctive BM25 text oracle."""
+    from irkit_spark.operators.sqlpath import bm25_conjunctive_topk_text
+    idx, _ = index_small
+    docs_txt = (idx.docs.select("doc_id", "url")
+                .join(pages_small.select("url", "text"), "url")
+                .select("doc_id", "text"))
+    for q in ["term00000 term00001", "term00002 term00010 term00050",
+              "term00001 zzoovq"]:          # OOV dropped, not fatal
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_conjunctive_topk_text(docs_txt, q, 10)
+                .collect()]
+        got = [(r["doc_id"], round(r["score"], 6))
+               for r in search(idx, q, 10, "and").collect()]
+        assert got == want, q
+    # all-OOV conjunctive -> empty
+    assert search(idx, "zzoovq qqvooz", 10, "and").count() == 0
+
+
+def test_wand_skips_blocks(spark, tmp_path_factory):
+    """Pruning evidence: a rare term's narrow doc range prunes the
+    stopword's far blocks — the WAND kernel must decode strictly fewer
+    blocks than exist (driver-side direct kernel call with a counting
+    decoder), and still return the exact DAAT result."""
+    import irkit_spark.operators.query as qmod
+    from irkit_spark.functions.codecs import CODECS
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index
+    from pyspark.sql import functions as F
+    rows = []
+    for i in range(600):
+        extra = " rareword" if 5 <= i < 10 else ""
+        rows.append((f"https://x.example/{i:05d}",
+                     "common " * 3 + f"filler{i % 37}" + extra))
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path_factory.mktemp("prune") / "idx")
+    build_index(spark, df, out, docs_per_shard=1000)
+    idx = Index(spark, out)
+    q = "common rareword"
+    qmeta = idx.lookup_query(q)
+    tids = [m["term_id"] for m in qmeta]
+    post = idx.postings.filter(F.col("term_id").isin(tids)).toPandas()
+    docs = idx.docs.select("partition_id", "doc_id", "doc_len").toPandas()
+    total_blocks = int(post["blocks"].map(len).sum())
+    assert total_blocks >= 5
+
+    calls = {"n": 0}
+    real = CODECS[idx.codec]
+
+    def counting_dec(buf, n):
+        calls["n"] += 1
+        return real[1](buf, n)
+
+    CODECS[idx.codec] = (real[0], counting_dec)
+    try:
+        kern = qmod._shard_kernel(qmeta, idx.avgdl, idx.codec, 3,
+                                  idx.docs_per_shard, "wand")
+        out_w = kern(post, docs)
+        wand_block_decodes = calls["n"] / 2   # 2 codec calls per block
+        calls["n"] = 0
+        kern_d = qmod._shard_kernel(qmeta, idx.avgdl, idx.codec, 3,
+                                    idx.docs_per_shard, "daat")
+        out_d = kern_d(post, docs)
+    finally:
+        CODECS[idx.codec] = real
+    assert wand_block_decodes < total_blocks     # blocks were skipped
+    assert list(map(tuple, out_w.itertuples(index=False))) == \
+        list(map(tuple, out_d.itertuples(index=False)))  # still lossless
+
+
 def test_text_taat_oracle_path(spark, index_small, pages_small):
     """The SQL-shaped text path (operators/sqlpath.bm25_topk_text) agrees
     with the index-backed WAND on shared doc keys."""
