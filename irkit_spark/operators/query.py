@@ -391,6 +391,10 @@ def search(index: Index, query: str, k: int = 10,
            mode: str = "wand", scorer: str = "bm25") -> DataFrame:
     """Top-k (doc_id, score); mode in {taat, daat, wand} (Q3/Q4/Q5),
     scorer in {bm25, ql} (Q1/Q2; WAND pruning bounds are BM25-only)."""
+    if mode not in ("taat", "daat", "wand", "and"):
+        raise ValueError(f"unknown mode {mode!r}: taat|daat|wand|and")
+    if scorer not in ("bm25", "ql"):
+        raise ValueError(f"unknown scorer {scorer!r}: bm25|ql")
     if scorer == "ql" and mode == "wand":
         raise ValueError("block-max WAND bounds are defined for bm25; "
                          "use mode='daat' or 'taat' with scorer='ql'")
