@@ -53,10 +53,33 @@ def tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return row_idx, flat, lens
 
 
-def _flat_tokens(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def canonicalize_iter(batches: Iterator[pd.DataFrame],
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> Iterator[pd.DataFrame]:
+    """(doc_id, text) -> (doc_id, text=space-joined frozen tokens).
+
+    Runs the frozen regex tokenizer ONCE; downstream passes then split
+    on whitespace (pre_tokenized=True), which is ~5x cheaper than
+    re-running the regex. The token sequence is identical by
+    construction (tokens are [a-z0-9]+, so ' '.join is lossless)."""
+    for pdf in batches:
+        canon = [" ".join(_TOKEN.findall(t.lower()))
+                 if isinstance(t, str) else "" for t in pdf[text_col]]
+        yield pd.DataFrame({id_col: pdf[id_col],
+                            "text": pd.Series(canon, dtype="object")})
+
+
+def _flat_tokens(texts, pre_tokenized: bool = False
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Shared tokenize core: texts -> (flat object array, row_idx, lens)."""
-    tok_lists = [_TOKEN.findall(t.lower()) if isinstance(t, str)
-                 else [] for t in texts]
+    if pre_tokenized:
+        # str.split() returns [] for '' and tokens hold no whitespace,
+        # so this reproduces the frozen token sequence exactly
+        tok_lists = [t.split() if isinstance(t, str) else []
+                     for t in texts]
+    else:
+        tok_lists = [_TOKEN.findall(t.lower()) if isinstance(t, str)
+                     else [] for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                        count=len(tok_lists))
     total = int(lens.sum())
@@ -72,14 +95,16 @@ def _flat_tokens(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def distinct_terms_iter(batches: Iterator[pd.DataFrame],
-                        text_col: str = "text") -> Iterator[pd.DataFrame]:
+                        text_col: str = "text",
+                        pre_tokenized: bool = False
+                        ) -> Iterator[pd.DataFrame]:
     """Pass A of the build (SURVEY.md T3): per-batch DISTINCT terms —
     the big token stream never leaves the worker; only vocab-sized rows
     cross Arrow. A global distinct() finishes the term set; df/cf are
     aggregated later from the integer token table (far cheaper than
     counting strings here)."""
     for pdf in batches:
-        flat, _, _ = _flat_tokens(pdf[text_col])
+        flat, _, _ = _flat_tokens(pdf[text_col], pre_tokenized)
         if flat.size == 0:
             yield pd.DataFrame({"term": pd.Series([], dtype="object")})
             continue
@@ -89,7 +114,9 @@ def distinct_terms_iter(batches: Iterator[pd.DataFrame],
 
 def tokenize_ids_iter(batches: Iterator[pd.DataFrame], bc_term_ids,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> Iterator[pd.DataFrame]:
+                      text_col: str = "text",
+                      pre_tokenized: bool = False
+                      ) -> Iterator[pd.DataFrame]:
     """Pass B of the build (T1+A1+T3): (doc_id, text) ->
     (doc_id, term_id, tf, dl) with term-ID assignment via the broadcast
     dictionary INSIDE the kernel (BASELINE.json:6). The 10^12-row output
@@ -98,7 +125,7 @@ def tokenize_ids_iter(batches: Iterator[pd.DataFrame], bc_term_ids,
     in the dictionary are dropped (P3; only possible with a shared
     lexicon narrower than the batch)."""
     for pdf in batches:
-        flat, row_idx, lens = _flat_tokens(pdf[text_col])
+        flat, row_idx, lens = _flat_tokens(pdf[text_col], pre_tokenized)
         if flat.size == 0:
             yield pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                                 "term_id": pd.Series([], dtype="int32"),

@@ -53,7 +53,8 @@ from pyspark.sql import functions as F
 from irkit_spark import config
 from irkit_spark.functions.codecs import encode_blocks
 from irkit_spark.functions.extract import extract_text_udf
-from irkit_spark.functions.tokenize import (distinct_terms_iter,
+from irkit_spark.functions.tokenize import (canonicalize_iter,
+                                            distinct_terms_iter,
                                             tokenize_count_iter,
                                             tokenize_ids_iter)
 from irkit_spark.plans.dense_ids import assign_dense_ids
@@ -256,11 +257,15 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         if text_from_html:
             src = src.withColumn("text", extract_text_udf()(F.col("html")))
         src = src.select("doc_id", "text")
-        # extracted text is consumed by BOTH tokenize passes: persist it
-        # once (memory/disk) instead of re-running the extract UDF
-        src = src.persist()
+        # canonicalize = extract + run the frozen regex tokenizer ONCE;
+        # both passes below then split on whitespace (5x cheaper).
+        # persisted so pass B never re-runs extract/regex.
+        src = src.mapInPandas(
+            lambda it: canonicalize_iter(it, "doc_id", "text"),
+            schema="doc_id long, text string").persist()
         batch_terms = src.select("text").mapInPandas(
-            lambda it: distinct_terms_iter(it, "text"),
+            lambda it: distinct_terms_iter(it, "text",
+                                           pre_tokenized=True),
             schema="term string")
         terms0 = batch_terms.distinct()
         if shared_lexicon is not None:
@@ -283,7 +288,8 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     # ---- stage 2: tokenize pass B + docs table ------------------------
     if not reuse_tok:
         tok = (src.mapInPandas(
-                   lambda it: tokenize_ids_iter(it, bc, "doc_id", "text"),
+                   lambda it: tokenize_ids_iter(it, bc, "doc_id", "text",
+                                                pre_tokenized=True),
                    schema="doc_id long, term_id int, tf int, dl int")
                .withColumn("shard",
                            (F.col("doc_id") / docs_per_shard).cast("int")))
