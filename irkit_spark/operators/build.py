@@ -189,6 +189,121 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
     return run
 
 
+def _encode_kernel_arrow(avgdl: float, block_size: int,
+                         docs_per_shard: int, quantize: bool = False):
+    """mapInArrow encoder (varbyte fast path): the blocks column is
+    assembled as a pyarrow List<Struct> directly from numpy buffers —
+    no per-block Python dicts, no pandas round-trip. Per 30M postings
+    that removes ~0.5M python object allocations from the hot path.
+
+    Same streaming (term_id, shard) group-carry protocol as the pandas
+    kernel; wire bytes per block are contiguous slices of the one
+    whole-batch varbyte stream, so the Arrow BinaryArray is built from
+    the stream buffer + per-block offsets with zero copies.
+    """
+    import pyarrow as pa
+
+    from irkit_spark.functions.codecs import (varbyte_byte_offsets,
+                                              varbyte_encode)
+
+    k1, b = config.BM25_K1, config.BM25_B
+    out_schema = pa.schema([
+        ("term_id", pa.int32()),
+        ("partition_id", pa.int32()),
+        ("n_docs", pa.int32()),
+        ("blocks", pa.list_(pa.struct([
+            ("first_doc", pa.int64()), ("last_doc", pa.int64()),
+            ("n", pa.int32()), ("max_score", pa.float32()),
+            ("doc_bytes", pa.binary()), ("tf_bytes", pa.binary())]))),
+    ])
+
+    def encode_region(t, s, d, tf, dl) -> "pa.RecordBatch":
+        n = d.size
+        tf_norm = tf.astype(np.float64) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl))
+        gflag = np.empty(n, dtype=bool)
+        gflag[0] = True
+        gflag[1:] = (t[1:] != t[:-1]) | (s[1:] != s[:-1])
+        gid = np.cumsum(gflag) - 1
+        gstarts = np.flatnonzero(gflag)
+        pos = np.arange(n, dtype=np.int64) - gstarts[gid]
+        bflag = gflag | (pos % block_size == 0)
+        bstarts = np.flatnonzero(bflag)
+        bends = np.append(bstarts[1:], n)
+        gaps = np.empty(n, dtype=np.uint64)
+        gaps[0] = 0
+        gaps[1:] = (d[1:] - d[:-1]).view(np.uint64)
+        gaps[bstarts] = 0
+        if quantize:
+            tf = np.floor(tf_norm * 127.0).astype(np.uint64)
+        wire_d = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
+        off_d = varbyte_byte_offsets(gaps)
+        wire_t = np.frombuffer(varbyte_encode(tf), dtype=np.uint8)
+        off_t = varbyte_byte_offsets(tf)
+        bmax = np.maximum.reduceat(tf_norm, bstarts)
+        nblocks = bstarts.size
+        bin_off_d = off_d[np.append(bstarts, n)].astype(np.int32)
+        bin_off_t = off_t[np.append(bstarts, n)].astype(np.int32)
+        doc_bin = pa.Array.from_buffers(
+            pa.binary(), nblocks,
+            [None, pa.py_buffer(bin_off_d), pa.py_buffer(wire_d)])
+        tf_bin = pa.Array.from_buffers(
+            pa.binary(), nblocks,
+            [None, pa.py_buffer(bin_off_t), pa.py_buffer(wire_t)])
+        struct = pa.StructArray.from_arrays(
+            [pa.array(d[bstarts], pa.int64()),
+             pa.array(d[bends - 1], pa.int64()),
+             pa.array((bends - bstarts).astype(np.int32), pa.int32()),
+             pa.array(bmax.astype(np.float32), pa.float32()),
+             doc_bin, tf_bin],
+            names=["first_doc", "last_doc", "n", "max_score",
+                   "doc_bytes", "tf_bytes"])
+        blk_of_grp = gid[bstarts]
+        gb_starts = np.flatnonzero(
+            np.diff(blk_of_grp, prepend=blk_of_grp[0] - 1))
+        list_offsets = np.append(gb_starts, nblocks).astype(np.int32)
+        blocks_col = pa.ListArray.from_arrays(
+            pa.array(list_offsets, pa.int32()), struct)
+        gends = np.append(gstarts[1:], n)
+        return pa.RecordBatch.from_arrays(
+            [pa.array(t[gstarts].astype(np.int32), pa.int32()),
+             pa.array(s[gstarts].astype(np.int32), pa.int32()),
+             pa.array((gends - gstarts).astype(np.int32), pa.int32()),
+             blocks_col], schema=out_schema)
+
+    def run(batches):
+        carry = None   # tuple of numpy arrays (t, s, d, tf, dl)
+
+        def cols(rb):
+            names = rb.schema.names
+            get = lambda c: rb.column(names.index(c)).to_numpy(
+                zero_copy_only=False)
+            return (get("term_id"), get("shard"),
+                    get("doc_id").astype(np.int64),
+                    get("tf").astype(np.uint64),
+                    get("dl").astype(np.float64))
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            arrs = cols(rb)
+            if carry is not None:
+                arrs = tuple(np.concatenate([c, a])
+                             for c, a in zip(carry, arrs))
+            t, s = arrs[0], arrs[1]
+            last_t, last_s = t[-1], s[-1]
+            in_last = (t == last_t) & (s == last_s)
+            nz = np.flatnonzero(~in_last)
+            cut = (nz[-1] + 1) if nz.size else 0
+            carry = tuple(a[cut:] for a in arrs)
+            if cut:
+                yield encode_region(*(a[:cut] for a in arrs))
+        if carry is not None and carry[0].size:
+            yield encode_region(*carry)
+
+    return run
+
+
 def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 codec: str = config.DEFAULT_CODEC,
                 block_size: int = config.BLOCK_SIZE,
@@ -338,9 +453,16 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     enc_in = (tok_p.select("doc_id", "term_id", "tf", "dl", "shard")
               .repartition(n_parts, "term_id", "shard")
               .sortWithinPartitions("term_id", "shard", "doc_id"))
-    postings_new = enc_in.mapInPandas(
-        _encode_kernel(avgdl, codec, block_size, docs_per_shard, quantize),
-        schema=POSTINGS_SCHEMA)
+    if codec == "varbyte":
+        postings_new = enc_in.mapInArrow(
+            _encode_kernel_arrow(avgdl, block_size, docs_per_shard,
+                                 quantize),
+            schema=POSTINGS_SCHEMA)
+    else:
+        postings_new = enc_in.mapInPandas(
+            _encode_kernel(avgdl, codec, block_size, docs_per_shard,
+                           quantize),
+            schema=POSTINGS_SCHEMA)
 
     post_path = p("postings")
     if pending:
