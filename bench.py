@@ -61,11 +61,13 @@ def _machine_ceiling(n_lo: int, n_hi: int) -> dict:
     work = _ceiling_work
 
     out = {}
-    for n in (n_lo, n_hi):
-        with mp.Pool(n) as pool:
-            t0 = time.monotonic()
-            pool.map(work, range(n * 2))
-            out[n] = (n * 2) / (time.monotonic() - t0)  # tasks/sec
+    for _ in range(3):        # best-of-3: the probe itself sees noise
+        for n in (n_lo, n_hi):
+            with mp.Pool(n) as pool:
+                t0 = time.monotonic()
+                pool.map(work, range(n * 2))
+                tps = (n * 2) / (time.monotonic() - t0)
+            out[n] = max(out.get(n, 0.0), tps)
     return {"tasks_per_sec": out,
             "ceiling_efficiency": round(
                 out[n_hi] / (out[n_lo] * (n_hi / n_lo)), 3)}
