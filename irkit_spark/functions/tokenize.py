@@ -55,16 +55,24 @@ def tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray
 
 def canonicalize_iter(batches: Iterator[pd.DataFrame],
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> Iterator[pd.DataFrame]:
-    """(doc_id, text) -> (doc_id, text=space-joined frozen tokens).
+                      text_col: str = "text",
+                      from_html: bool = False) -> Iterator[pd.DataFrame]:
+    """(doc_id, text|html) -> (doc_id, text=space-joined frozen tokens).
 
-    Runs the frozen regex tokenizer ONCE; downstream passes then split
-    on whitespace (pre_tokenized=True), which is ~5x cheaper than
-    re-running the regex. The token sequence is identical by
-    construction (tokens are [a-z0-9]+, so ' '.join is lossless)."""
+    Runs the frozen extractor (optionally) and the frozen regex
+    tokenizer ONCE, fused in a single Python crossing — raw html enters
+    the worker, only canonical tokens leave (at web scale that removes
+    two full Arrow transfers of the corpus text). Downstream passes
+    split on whitespace (pre_tokenized=True), ~5x cheaper than the
+    regex; the token sequence is identical by construction (tokens are
+    [a-z0-9]+, so ' '.join is lossless)."""
+    from irkit_spark.functions.extract import extract_text
     for pdf in batches:
-        canon = [" ".join(_TOKEN.findall(t.lower()))
-                 if isinstance(t, str) else "" for t in pdf[text_col]]
+        if from_html:
+            texts = (extract_text(h) for h in pdf[text_col])
+        else:
+            texts = (t if isinstance(t, str) else "" for t in pdf[text_col])
+        canon = [" ".join(_TOKEN.findall(t.lower())) for t in texts]
         yield pd.DataFrame({id_col: pdf[id_col],
                             "text": pd.Series(canon, dtype="object")})
 

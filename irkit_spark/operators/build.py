@@ -368,16 +368,20 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             ids = assign_dense_ids(pages, key_col, "doc_id", n_buckets)
         else:
             ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
-        src = ids
-        if text_from_html:
-            src = src.withColumn("text", extract_text_udf()(F.col("html")))
-        src = src.select("doc_id", "text")
-        # canonicalize = extract + run the frozen regex tokenizer ONCE;
-        # both passes below then split on whitespace (5x cheaper).
-        # persisted so pass B never re-runs extract/regex.
-        src = src.mapInPandas(
-            lambda it: canonicalize_iter(it, "doc_id", "text"),
-            schema="doc_id long, text string").persist()
+        # canonicalize = frozen extract (when html) + frozen regex
+        # tokenizer, FUSED in one Python pass; both passes below then
+        # split on whitespace (5x cheaper). persisted so pass B never
+        # re-runs extract/regex. (extract_text_udf stays the standalone
+        # extraction surface; the fused kernel calls the same frozen
+        # extract_text — byte-identity is tested against the golden
+        # column either way.)
+        in_col = "html" if text_from_html else "text"
+        src = (ids.select("doc_id", F.col(in_col).alias("text"))
+               .mapInPandas(
+                   lambda it: canonicalize_iter(
+                       it, "doc_id", "text", from_html=text_from_html),
+                   schema="doc_id long, text string")
+               .persist())
         batch_terms = src.select("text").mapInPandas(
             lambda it: distinct_terms_iter(it, "text",
                                            pre_tokenized=True),
