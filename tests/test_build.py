@@ -85,6 +85,43 @@ def test_extraction_matches_golden_column(spark, pages_small):
     assert got == 0
 
 
+def test_index_content_parallelism_invariant(spark, pages_small,
+                                             tmp_path_factory):
+    """FIXTURES.md F5 golden: rebuilding under different input
+    partitioning / shuffle widths yields byte-identical postings and
+    identical doc-id assignment (the BASELINE.json:6 "identical docIDs
+    across N and 4N executors" invariant, as far as one JVM can vary)."""
+    from irkit_spark.operators.build import build_index
+    base = tmp_path_factory.mktemp("det")
+
+    def canon(path):
+        df = spark.read.parquet(str(path) + "/postings")
+        out = {}
+        for r in df.collect():
+            out[(r["term_id"], r["partition_id"])] = tuple(
+                (b["first_doc"], b["last_doc"], b["n"],
+                 bytes(b["doc_bytes"]), bytes(b["tf_bytes"]))
+                for b in r["blocks"])
+        return out
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        build_index(spark, pages_small.repartition(3), str(base / "a"),
+                    docs_per_shard=300, text_from_html=True, n_parts=5)
+        spark.conf.set("spark.sql.shuffle.partitions", "23")
+        build_index(spark, pages_small.repartition(17), str(base / "b"),
+                    docs_per_shard=300, text_from_html=True, n_parts=23)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert canon(base / "a") == canon(base / "b")
+    da = {r["url"]: r["doc_id"] for r in
+          spark.read.parquet(str(base / "a") + "/docs").collect()}
+    db = {r["url"]: r["doc_id"] for r in
+          spark.read.parquet(str(base / "b") + "/docs").collect()}
+    assert da == db
+
+
 def test_doc_id_assignment_parallelism_invariant(spark, pages_small):
     """Same dense ids regardless of input partitioning (T2)."""
     from irkit_spark.plans.dense_ids import assign_dense_ids
