@@ -41,7 +41,6 @@ S4/S5, §2.7 U1); Spark's sort-shuffle is the k-way merge.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 
@@ -52,7 +51,6 @@ from pyspark.sql import functions as F
 
 from irkit_spark import config
 from irkit_spark.functions.codecs import encode_blocks
-from irkit_spark.functions.extract import extract_text_udf
 from irkit_spark.functions.tokenize import (canonicalize_iter,
                                             distinct_terms_iter,
                                             tokenize_count_iter,
