@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_exact(spark, sf):
         return dd.exact_dup_groups(_docs(spark, sf))
 
+    def q_dedup_keep_first(spark, sf):
+        return dd.dedup_keep_first(_docs(spark, sf)) \
+            .select("doc_id", "lang", "source", "n_chars")
+
     def q_token_jaccard(spark, sf):
         return dd.token_jaccard_pairs(_docs(spark, sf), "source", 0.5)
 
@@ -207,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_ql_top10": q_index_ql_top10,
         "index_and_top10": q_index_and_top10,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
         "token_jaccard_pairs": q_token_jaccard,
         "shingle_jaccard_pairs": q_shingle_jaccard,
         "token_counts": q_token_counts,
@@ -340,6 +345,9 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n_copies
 FROM documents GROUP BY 1""",
+        "dedup_keep_first": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
         "token_jaccard_pairs": f"""
 WITH base AS (SELECT doc_id, source,
                      list_distinct({_TOKS}) AS toks FROM documents),

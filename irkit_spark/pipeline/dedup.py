@@ -44,6 +44,15 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
                  F.count("*").alias("n_copies")))
 
 
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """The applied form of exact dedup: keep only each text's canonical
+    (min doc_id) copy — the one-shuffle cleaning pass a training
+    pipeline actually runs. Returns the full surviving rows."""
+    reps = exact_dup_groups(docs).select(
+        F.col("rep_doc").alias("doc_id"))
+    return docs.join(reps, "doc_id", "left_semi")
+
+
 # ------------------------------------------------- exact Jaccard (oracle)
 
 def token_jaccard_pairs(docs: DataFrame, block_col: str = "source",

@@ -41,6 +41,15 @@ def test_exact_dedup(spark, dup_docs):
     assert got == {(2 * j, 2) for j in range(10)}
 
 
+def test_dedup_keep_first(spark, dup_docs):
+    from irkit_spark.pipeline.dedup import dedup_keep_first
+    kept = dedup_keep_first(dup_docs)
+    assert kept.count() == 190            # 200 docs - 10 exact dups
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for j in range(10):                   # canonical = min doc_id kept
+        assert 2 * j in ids and 2 * j + 1 not in ids
+
+
 def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
     from irkit_spark.pipeline.dedup import minhash_lsh_pairs
     pairs = {(r["doc_a"], r["doc_b"])
