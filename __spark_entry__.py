@@ -55,9 +55,11 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
                            "irkit_entry_idx_" +
                            sf_dir.strip("/").replace("/", "_"))
         shutil.rmtree(out, ignore_errors=True)
+        # n_parts pinned: the driver's session may default to 200
+        # shuffle partitions, absurd for a 500-doc gate corpus
         build_index(spark, _docs(spark, sf_dir), out,
                     docs_per_shard=200, doc_id_col="doc_id",
-                    key_col="doc_id")
+                    key_col="doc_id", n_parts=16)
         _IDX_CACHE[sf_dir] = out
     return _IDX_CACHE[sf_dir]
 
