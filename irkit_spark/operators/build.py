@@ -188,7 +188,8 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
 
 
 def _encode_kernel_arrow(avgdl: float, block_size: int,
-                         docs_per_shard: int, quantize: bool = False):
+                         docs_per_shard: int, quantize: bool = False,
+                         sort_in_kernel: bool = True):
     """mapInArrow encoder (varbyte fast path): the blocks column is
     assembled as a pyarrow List<Struct> directly from numpy buffers —
     no per-block Python dicts, no pandas round-trip. Per 30M postings
@@ -269,18 +270,19 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
              pa.array((gends - gstarts).astype(np.int32), pa.int32()),
              blocks_col], schema=out_schema)
 
-    def run(batches):
+    def cols(rb_or_tbl):
+        names = rb_or_tbl.schema.names
+        get = lambda c: rb_or_tbl.column(names.index(c)).to_numpy(
+            zero_copy_only=False)
+        return (get("term_id"), get("shard"),
+                get("doc_id").astype(np.int64),
+                get("tf").astype(np.uint64),
+                get("dl").astype(np.float64))
+
+    def run_presorted(batches):
+        """Input already sorted by (term_id, shard, doc_id) (Tungsten
+        sortWithinPartitions): streaming group-carry across batches."""
         carry = None   # tuple of numpy arrays (t, s, d, tf, dl)
-
-        def cols(rb):
-            names = rb.schema.names
-            get = lambda c: rb.column(names.index(c)).to_numpy(
-                zero_copy_only=False)
-            return (get("term_id"), get("shard"),
-                    get("doc_id").astype(np.int64),
-                    get("tf").astype(np.uint64),
-                    get("dl").astype(np.float64))
-
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -299,7 +301,26 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         if carry is not None and carry[0].size:
             yield encode_region(*carry)
 
-    return run
+    def run_sorting(batches):
+        """Input only repartitioned: the within-partition
+        sort(term, shard, docID) executes HERE as one np.lexsort —
+        same logical plan as sortWithinPartitions, ~3x cheaper than the
+        Tungsten row sort for these narrow int rows. Buffers the whole
+        partition (no spill): size n_parts so a partition's postings
+        fit an executor (the build already requires that for Tungsten's
+        in-memory sort to stay fast)."""
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        del chunks
+        t, s, d, tf, dl = cols(tbl)
+        del tbl
+        order = np.lexsort((d, s, t))
+        yield encode_region(t[order], s[order], d[order], tf[order],
+                            dl[order])
+
+    return run_sorting if sort_in_kernel else run_presorted
 
 
 def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
@@ -453,12 +474,17 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     pending = [s for s in range(n_shards) if s not in done_shards]
     tok_p = tok if not done_shards else tok.filter(F.col("shard").isin(pending))
     enc_in = (tok_p.select("doc_id", "term_id", "tf", "dl", "shard")
-              .repartition(n_parts, "term_id", "shard")
-              .sortWithinPartitions("term_id", "shard", "doc_id"))
+              .repartition(n_parts, "term_id", "shard"))
+    sort_in_kernel = codec == "varbyte"
+    if not sort_in_kernel:
+        # spill-safe Tungsten path (also the generic-codec path); the
+        # varbyte kernel executes the same within-partition sort as one
+        # np.lexsort instead (~3x cheaper for these narrow int rows)
+        enc_in = enc_in.sortWithinPartitions("term_id", "shard", "doc_id")
     if codec == "varbyte":
         postings_new = enc_in.mapInArrow(
             _encode_kernel_arrow(avgdl, block_size, docs_per_shard,
-                                 quantize),
+                                 quantize, sort_in_kernel),
             schema=POSTINGS_SCHEMA)
     else:
         postings_new = enc_in.mapInPandas(
