@@ -45,29 +45,32 @@ def _query_vec(spark: SparkSession, sf_dir: str):
     return [float(x) for x in row["embedding"]]
 
 
-def _index_for(spark: SparkSession, sf_dir: str) -> str:
+def _index_for(spark: SparkSession, sf_dir: str,
+               quantize: bool = False) -> str:
     """Build (once per process per sf_dir) a real compressed index over
     the documents table; doc_id is already dense so assignment is
     skipped (doc_id_col)."""
-    if sf_dir not in _IDX_CACHE:
+    key = sf_dir + ("#q" if quantize else "")
+    if key not in _IDX_CACHE:
         from irkit_spark.operators.build import build_index
         out = os.path.join(tempfile.gettempdir(),
                            "irkit_entry_idx_" +
+                           ("q_" if quantize else "") +
                            sf_dir.strip("/").replace("/", "_"))
         shutil.rmtree(out, ignore_errors=True)
         # n_parts pinned: the driver's session may default to 200
         # shuffle partitions, absurd for a 500-doc gate corpus
         build_index(spark, _docs(spark, sf_dir), out,
                     docs_per_shard=200, doc_id_col="doc_id",
-                    key_col="doc_id", n_parts=16)
-        _IDX_CACHE[sf_dir] = out
-    return _IDX_CACHE[sf_dir]
+                    key_col="doc_id", n_parts=16, quantize=quantize)
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
 
 
 def _index_search(spark, sf_dir, query, k, mode,
-                  scorer="bm25") -> DataFrame:
+                  scorer="bm25", quantize: bool = False) -> DataFrame:
     from irkit_spark.operators.query import Index, search
-    idx = Index(spark, _index_for(spark, sf_dir))
+    idx = Index(spark, _index_for(spark, sf_dir, quantize))
     out = search(idx, query, k=k, mode=mode, scorer=scorer)
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -135,6 +138,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_index_wand_top100(spark, sf):
         return _index_search(spark, sf, Q_BM25_B, 100, "wand")
 
+    def q_index_wand_top1000(spark, sf):
+        return _index_search(spark, sf, Q_OR, 1000, "wand")
+
+    def q_index_wand_quantized(spark, sf):
+        # 7-bit impact quantization: scores are the quantized surrogate
+        # (not exact BM25), so this is a rows-only entry; pytest
+        # (tests/test_quantized.py) bounds its error vs the exact index
+        return _index_search(spark, sf, Q_BM25_A, 10, "wand",
+                             quantize=True)
+
     def q_index_ql_top10(spark, sf):
         return _index_search(spark, sf, Q_BM25_A, 10, "daat", scorer="ql")
 
@@ -193,7 +206,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ivf_topk(emb, _query_vec(spark, sf), 10)
 
     def q_media_features(spark, sf):
-        return mm.extract_features(mm.media_table(_docs(spark, sf)))
+        # feat is array<float>; the driver's canonicalizer sorts pandas
+        # frames, which cannot hash a list column — emit the vector as
+        # its exact byte values (round(x*255) inverts the /255.0 in the
+        # deterministic stub; 6dp float formatting would diverge between
+        # float32 and the oracle's float64 for 3 of 256 byte values)
+        out = mm.extract_features(mm.media_table(_docs(spark, sf)))
+        return out.select(
+            "doc_id", "n_bytes", "digest",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.concat_ws(",", F.transform(
+                "feat",
+                lambda x: F.round(x * 255).cast("int").cast("string")))
+            .alias("feat_bytes"))
 
     return {
         "tokenize_tf": q_tokenize_tf,
@@ -210,6 +236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_daat_top10": q_index_daat,
         "index_wand_top10": q_index_wand,
         "index_wand_top100": q_index_wand_top100,
+        "index_wand_top1000": q_index_wand_top1000,
+        "index_wand_quantized_top10": q_index_wand_quantized,
         "index_ql_top10": q_index_ql_top10,
         "index_and_top10": q_index_and_top10,
         "dedup_exact": q_dedup_exact,
@@ -237,8 +265,11 @@ _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
 _TOK = (f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents")
 _TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOK}) t GROUP BY 1, 2"
 _DL = f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
-_TSTATS = (f"SELECT term, count(*) AS df, sum(tf) AS cf FROM ({_TF}) tf "
-           f"GROUP BY 1")
+# CAST(sum() AS BIGINT) everywhere: DuckDB's sum(BIGINT) is HUGEINT
+# (int128), which value-hash-diverges from Spark's BIGINT in the
+# driver's type-aware canonicalizer even when the values are equal
+_TSTATS = (f"SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf "
+           f"FROM ({_TF}) tf GROUP BY 1")
 
 
 def _values(terms: list[str]) -> str:
@@ -299,6 +330,27 @@ _COS_DOUBLE = ("list_aggregate(list_transform(list_zip({a}, {b}), "
                "x -> CAST(x AS DOUBLE) * x), 'sum')))")
 
 
+def _hxb(i: int) -> str:
+    """DuckDB expr for byte i (0-based) of the md5 hex string `hx` —
+    lets the oracle reproduce multimodal._fake_decode exactly."""
+    hexd = "'0123456789abcdef'"
+    return (f"((strpos({hexd}, substr(hx, {2 * i + 1}, 1)) - 1) * 16"
+            f" + strpos({hexd}, substr(hx, {2 * i + 2}, 1)) - 1)")
+
+
+def _media_features_sql() -> str:
+    feat = ", ".join(f"CAST({_hxb(8 + i)} AS VARCHAR)" for i in range(8))
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS hx,
+                  octet_length(CAST(text AS BLOB)) AS n_bytes
+           FROM documents)
+SELECT doc_id, n_bytes, hx AS digest,
+       CAST(16 + {_hxb(0)} % 240 AS BIGINT) AS width,
+       CAST(16 + {_hxb(1)} % 240 AS BIGINT) AS height,
+       concat_ws(',', {feat}) AS feat_bytes
+FROM m"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = {lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in {
         "en": ["the", "a", "of", "and", "to", "in", "is", "for"],
@@ -320,7 +372,7 @@ def oracle_sql() -> dict[str, str]:
 WITH dl AS ({_DL}), ts AS ({_TSTATS})
 SELECT (SELECT count(*) FROM dl) AS n_docs,
        (SELECT round(avg(dl), 6) FROM dl) AS avg_doc_len,
-       (SELECT sum(dl) FROM dl) AS coll_len,
+       (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS coll_len,
        (SELECT count(*) FROM ts) AS vocab""",
         "lexicon": f"""
 SELECT row_number() OVER (ORDER BY term) - 1 AS term_id, term, df, cf
@@ -330,18 +382,19 @@ FROM ({_TSTATS}) ts""",
         "ql_top10": _ql_sql(Q_BM25_A, 10),
         "and_conjunctive": f"""
 WITH tf AS ({_TF}), q(term) AS (VALUES {_values(and_terms)})
-SELECT doc_id, sum(tf) AS sum_tf
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf
 FROM tf JOIN q USING (term)
 GROUP BY doc_id HAVING count(*) = {len(and_terms)}
 ORDER BY doc_id""",
         "or_disjunctive": f"""
 WITH tf AS ({_TF}), q(term) AS (VALUES {_values(Q_OR.split())})
-SELECT doc_id, count(*) AS n_terms, sum(tf) AS sum_tf
+SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS sum_tf
 FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_taat_top10": _bm25_sql(Q_BM25_A, 10),
         "index_daat_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),
+        "index_wand_top1000": _bm25_sql(Q_OR, 1000),
         "index_ql_top10": _ql_sql(Q_BM25_A, 10),
         "index_and_top10": _bm25_sql(Q_AND, 10, conjunctive=True),
         "dedup_exact": """
@@ -425,4 +478,5 @@ WHERE round({cosp}, 6) > 0.3""",
         "media_metadata": """
 SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
        md5(text) AS digest FROM documents""",
+        "media_features": _media_features_sql(),
     }
