@@ -58,6 +58,12 @@ from irkit_spark.functions.tokenize import (canonicalize_iter,
 from irkit_spark.plans.dense_ids import assign_dense_ids
 
 TOK_SCHEMA = "doc_id long, term string, tf long, dl long"
+
+# Arrow binary arrays carry int32 offsets: one encode_region call whose
+# varbyte wire stream exceeds this silently overflows and corrupts
+# postings. Regions are split at (term_id, shard) group boundaries
+# before encoding when either stream would cross it (patchable in tests).
+MAX_BIN_OFFSET = (1 << 31) - 16
 POSTINGS_SCHEMA = (
     "term_id int, partition_id int, n_docs int, "
     "blocks array<struct<first_doc: long, last_doc: long, n: int, "
@@ -189,7 +195,8 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
 
 def _encode_kernel_arrow(avgdl: float, block_size: int,
                          docs_per_shard: int, quantize: bool = False,
-                         sort_in_kernel: bool = True):
+                         sort_in_kernel: bool = True,
+                         max_bin_offset: int | None = None):
     """mapInArrow encoder (varbyte fast path): the blocks column is
     assembled as a pyarrow List<Struct> directly from numpy buffers —
     no per-block Python dicts, no pandas round-trip. Per 30M postings
@@ -206,6 +213,8 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
                                               varbyte_encode)
 
     k1, b = config.BM25_K1, config.BM25_B
+    bin_limit = max_bin_offset if max_bin_offset is not None \
+        else MAX_BIN_OFFSET
     out_schema = pa.schema([
         ("term_id", pa.int32()),
         ("partition_id", pa.int32()),
@@ -216,8 +225,9 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
             ("doc_bytes", pa.binary()), ("tf_bytes", pa.binary())]))),
     ])
 
-    def encode_region(t, s, d, tf, dl) -> "pa.RecordBatch":
+    def encode_region(t, s, d, tf, dl):
         n = d.size
+        tf_in = tf                      # pre-quantize, for split recursion
         tf_norm = tf.astype(np.float64) / (
             tf + k1 * (1.0 - b + b * dl / avgdl))
         gflag = np.empty(n, dtype=bool)
@@ -235,10 +245,27 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         gaps[bstarts] = 0
         if quantize:
             tf = np.floor(tf_norm * 127.0).astype(np.uint64)
-        wire_d = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
+        # offsets are exact wire sizes, computable before encoding: if
+        # either stream would overflow the int32 Arrow binary offsets,
+        # split the region at a group boundary near the middle and
+        # recurse (group spans stay intact, so output rows stay unique
+        # per (term_id, partition_id))
         off_d = varbyte_byte_offsets(gaps)
-        wire_t = np.frombuffer(varbyte_encode(tf), dtype=np.uint8)
         off_t = varbyte_byte_offsets(tf)
+        if int(off_d[-1]) > bin_limit or int(off_t[-1]) > bin_limit:
+            if gstarts.size < 2:
+                raise ValueError(
+                    "single (term_id, shard) group exceeds the 2GB Arrow "
+                    "binary limit — lower DOCS_PER_SHARD")
+            i = np.searchsorted(gstarts, n // 2)
+            i = min(max(i, 1), gstarts.size - 1)
+            cut = int(gstarts[i])
+            for lo, hi in ((0, cut), (cut, n)):
+                yield from encode_region(t[lo:hi], s[lo:hi], d[lo:hi],
+                                         tf_in[lo:hi], dl[lo:hi])
+            return
+        wire_d = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
+        wire_t = np.frombuffer(varbyte_encode(tf), dtype=np.uint8)
         bmax = np.maximum.reduceat(tf_norm, bstarts)
         nblocks = bstarts.size
         bin_off_d = off_d[np.append(bstarts, n)].astype(np.int32)
@@ -264,7 +291,7 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         blocks_col = pa.ListArray.from_arrays(
             pa.array(list_offsets, pa.int32()), struct)
         gends = np.append(gstarts[1:], n)
-        return pa.RecordBatch.from_arrays(
+        yield pa.RecordBatch.from_arrays(
             [pa.array(t[gstarts].astype(np.int32), pa.int32()),
              pa.array(s[gstarts].astype(np.int32), pa.int32()),
              pa.array((gends - gstarts).astype(np.int32), pa.int32()),
@@ -297,9 +324,9 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
             cut = (nz[-1] + 1) if nz.size else 0
             carry = tuple(a[cut:] for a in arrs)
             if cut:
-                yield encode_region(*(a[:cut] for a in arrs))
+                yield from encode_region(*(a[:cut] for a in arrs))
         if carry is not None and carry[0].size:
-            yield encode_region(*carry)
+            yield from encode_region(*carry)
 
     def run_sorting(batches):
         """Input only repartitioned: the within-partition
@@ -317,8 +344,8 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         t, s, d, tf, dl = cols(tbl)
         del tbl
         order = np.lexsort((d, s, t))
-        yield encode_region(t[order], s[order], d[order], tf[order],
-                            dl[order])
+        yield from encode_region(t[order], s[order], d[order], tf[order],
+                                 dl[order])
 
     return run_sorting if sort_in_kernel else run_presorted
 
@@ -380,8 +407,13 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     if reuse_tok:
         tok = spark.read.parquet(tok_path)
         docs = spark.read.parquet(docs_path)
-        lex_df = spark.read.parquet(p("terms")).select("term_id", "term")
-        term_rows = lex_df.collect()
+        term_rows = (spark.read.parquet(p("terms"))
+                     .select("term_id", "term").collect())
+        # rebuild the lexicon frame from the collected rows: stage 4
+        # overwrites <out>/terms, and a lex_df still reading that path
+        # is the classic "cannot overwrite a path being read" hazard
+        lex_df = spark.createDataFrame(term_rows,
+                                       "term_id int, term string")
     else:
         if doc_id_col is None:
             ids = assign_dense_ids(pages, key_col, "doc_id", n_buckets)

@@ -10,8 +10,6 @@ only. All signature math is numpy inside mapInPandas (Arrow-batched).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,6 +25,38 @@ _MERSENNE = (1 << 61) - 1
 _rng = np.random.default_rng(42)
 _A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+# FROZEN string/shingle hash (re-frozen round 2, replacing the per-
+# shingle hashlib.md5 python loop): token -> 64-bit via pandas'
+# vectorized siphash (pd.util.hash_array, fixed default key), shingle ->
+# polynomial fold of its token hashes with multiplier _SH_P (uint64
+# wraparound). Purely C-level per batch; collisions are ~n^2/2^64.
+_SH_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_tokens(flat: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit token hash (frozen; see module constant)."""
+    if flat.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(flat).astype(np.uint64, copy=False)
+
+
+def _poly_windows(th: np.ndarray, n: int) -> np.ndarray:
+    """Hashes of all length-n windows of th: sum_k th[k+i] * P^(n-1-k)
+    (uint64 wraparound). A doc shorter than n folds as one window of
+    its full length."""
+    m = th.size
+    w = min(n, m)
+    with np.errstate(over="ignore"):    # uint64 wraparound is the point
+        pw = np.empty(w, dtype=np.uint64)
+        pw[-1] = np.uint64(1)
+        for i in range(w - 2, -1, -1):
+            pw[i] = pw[i + 1] * _SH_P
+        nw = m - w + 1
+        out = np.zeros(nw, dtype=np.uint64)
+        for k in range(w):
+            out += th[k:k + nw] * pw[k]
+    return out
 
 
 def _toks(text_col="text"):
@@ -119,55 +149,98 @@ def shingle_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 # ------------------------------------------------------------ minhash-lsh
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+def _shingle_hash_rows(batches, n: int):
+    """Per batch: tokenize once, hash tokens vectorized, window-fold to
+    shingle hashes, unique per doc. Yields (doc_ids, [hash sets])."""
     import re
-    toks = re.findall(TOKEN_RE, text.lower())
-    if len(toks) < n:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
-    hs = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-         for s in set(shingles)), dtype=np.uint64)
-    return hs
+    token = re.compile(TOKEN_RE)
+    for pdf in batches:
+        tok_lists = [token.findall((t or "").lower())
+                     for t in pdf["text"]]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for t in tok_lists:
+            if t:
+                flat[pos:pos + len(t)] = t
+                pos += len(t)
+        th = _hash_tokens(flat)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        ids, sets = [], []
+        for i, doc_id in enumerate(pdf["doc_id"]):
+            sl = th[bounds[i]:bounds[i + 1]]
+            if sl.size == 0:
+                continue
+            ids.append(doc_id)
+            sets.append(np.unique(_poly_windows(sl, n)))
+        yield ids, sets
+
+
+def shingle_hash_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shs array<long>, nsh): per-doc distinct shingle-hash
+    set — the verification side-table for LSH (bounded by doc length,
+    never by corpus size)."""
+
+    def run(batches):
+        for ids, sets in _shingle_hash_rows(batches, n):
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "shs": pd.Series([s.view(np.int64) for s in sets],
+                                 dtype="object"),
+                "nsh": pd.Series([s.size for s in sets], dtype="int64")})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, shs array<long>, nsh long")
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, band, band_hash): N_PERM minhashes folded into N_BANDS
-    band fingerprints — the LSH keys. Arrow-batched numpy."""
+    band fingerprints — the LSH keys. Fully vectorized numpy per batch
+    (token hash + window fold + permutation matmul + band fold)."""
 
     def run(batches):
-        for pdf in batches:
-            out_doc, out_band, out_hash = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                hs = _shingle_hashes(text or "", n)
-                if hs.size == 0:
-                    continue
+        for ids, sets in _shingle_hash_rows(batches, n):
+            if not ids:
+                yield pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band": pd.Series([], dtype="int32"),
+                    "band_hash": pd.Series([], dtype="int64")})
+                continue
+            sigs = np.empty((len(ids), N_PERM), dtype=np.uint64)
+            for i, hs in enumerate(sets):
                 # universal hashing: (a*h + b) mod p, min per permutation
                 vals = (hs[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
-                sig = vals.min(axis=1)          # N_PERM u64
-                bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
-                for bi in range(N_BANDS):
-                    h = hashlib.md5(bands[bi].tobytes()).hexdigest()[:16]
-                    out_doc.append(doc_id)
-                    out_band.append(bi)
-                    out_hash.append(h)
-            yield pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
-                                "band": pd.Series(out_band, dtype="int32"),
-                                "band_hash": pd.Series(out_hash,
-                                                       dtype="object")})
+                sigs[i] = vals.min(axis=1)
+            # fold each band's ROWS_PER_BAND minhashes into one 64-bit
+            # key: polynomial with _SH_P (vectorized over docs x bands)
+            bands = sigs.reshape(len(ids), N_BANDS, ROWS_PER_BAND)
+            bh = np.zeros((len(ids), N_BANDS), dtype=np.uint64)
+            for r in range(ROWS_PER_BAND):
+                bh = bh * _SH_P + bands[:, :, r]
+            yield pd.DataFrame({
+                "doc_id": np.repeat(np.asarray(ids, dtype=np.int64),
+                                    N_BANDS),
+                "band": np.tile(np.arange(N_BANDS, dtype=np.int32),
+                                len(ids)),
+                "band_hash": bh.reshape(-1).view(np.int64)})
 
     return docs.select("doc_id", "text").mapInPandas(
-        run, "doc_id long, band int, band_hash string")
+        run, "doc_id long, band int, band_hash long")
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                       verify_threshold: float = 0.5) -> DataFrame:
     """(doc_a, doc_b, jac): LSH candidates (same band bucket) verified
-    with exact shingle Jaccard. The scale path: candidate generation is
-    a groupBy on (band, band_hash) — bounded shuffle, no pair blowup."""
+    with exact shingle Jaccard — candidate-local.
+
+    The 100 TB shape end-to-end: candidate generation is an equi-join
+    on (band, band_hash) — shuffle bounded by bucket sizes, never the
+    O(n^2) pair space — and verification joins ONLY the candidate pairs
+    against the per-doc shingle-hash sets (two hash joins on doc_a /
+    doc_b) with exact Jaccard computed per pair JVM-side
+    (array_intersect). No corpus-wide shingle self-join anywhere in
+    the plan."""
     sig = minhash_signatures(docs, n)
     l, r = sig.alias("l"), sig.alias("r")
     cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
@@ -176,34 +249,45 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .distinct())
-    exact = shingle_jaccard_pairs(docs, n, threshold=0.0)
-    return (cand.join(exact, ["doc_a", "doc_b"])
+    sets = shingle_hash_sets(docs, n)
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shs").alias("shs_a"), F.col("nsh").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shs").alias("shs_b"), F.col("nsh").alias("nb"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jac", F.round(
+                inter / (F.col("na") + F.col("nb") - inter), 6))
             .filter(F.col("jac") >= verify_threshold)
             .select("doc_a", "doc_b", "jac"))
 
 
 # ---------------------------------------------------------------- simhash
 
-def simhash64(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash, chunk0..chunk3): 64-bit tf-weighted simhash +
-    four 16-bit chunks (pigeonhole keys: hamming<=3 dupes share >=1
-    chunk, so candidate generation is an equi-join per chunk)."""
+def _chunk_widths(n_chunks: int) -> list[int]:
+    base, rem = divmod(64, n_chunks)
+    return [base + 1 if i < rem else base for i in range(n_chunks)]
+
+
+def simhash64(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
+    """(doc_id, simhash, chunk0..chunk{c-1}): 64-bit tf-weighted simhash
+    + c bit-chunks (pigeonhole keys: two hashes within hamming <= c-1
+    share >= 1 identical chunk, so candidate generation is an equi-join
+    per chunk). Token hashing is the frozen vectorized _hash_tokens."""
 
     def run(batches):
         import re
+        token = re.compile(TOKEN_RE)
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = re.findall(TOKEN_RE, (text or "").lower())
+                toks = token.findall((text or "").lower())
                 if not toks:
                     ids.append(doc_id)
                     hashes.append(0)
                     continue
                 s = pd.Series(toks).value_counts()
-                th = np.fromiter(
-                    (int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                                    "little") for t in s.index),
-                    dtype=np.uint64)
+                th = _hash_tokens(np.asarray(s.index, dtype=object))
                 w = s.to_numpy().astype(np.float64)
                 bits = ((th[:, None] >> np.arange(64, dtype=np.uint64))
                         & np.uint64(1)).astype(np.float64)
@@ -218,28 +302,42 @@ def simhash64(docs: DataFrame) -> DataFrame:
     out = docs.select("doc_id", "text").mapInPandas(
         run, "doc_id long, simhash long")
     u = F.col("simhash").cast("long")
-    mask = F.lit(65535).cast("long")
+    widths = _chunk_widths(n_chunks)
+    offs = np.concatenate([[0], np.cumsum(widths)])
     return out.select(
         "doc_id", "simhash",
-        *[F.shiftrightunsigned(u, 16 * i).bitwiseAND(mask).cast("int")
-          .alias(f"chunk{i}") for i in range(4)])
+        *[F.shiftrightunsigned(u, int(offs[i]))
+          .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long")).cast("int")
+          .alias(f"chunk{i}") for i in range(n_chunks)])
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
+                  n_chunks: int | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming): near-dup pairs via chunk-bucketed
-    candidate join + exact hamming verify."""
-    sh = simhash64(docs)
+    candidate join + exact hamming verify.
+
+    Completeness: with c chunks of 64 bits, any pair within hamming
+    c-1 shares at least one unchanged chunk (pigeonhole), so
+    n_chunks defaults to max_hamming + 1 — every qualifying pair is
+    guaranteed to surface as a candidate. (4 fixed chunks would
+    silently miss hamming-4..6 pairs that differ in all four.)"""
+    c = n_chunks if n_chunks is not None else max_hamming + 1
+    if c < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={c} cannot guarantee recall at hamming "
+            f"{max_hamming}; need >= {max_hamming + 1}")
+    sh = simhash64(docs, n_chunks=c)
     cands = None
-    for i in range(4):
+    for i in range(c):
         l = sh.select(F.col("doc_id").alias("doc_a"),
                       F.col("simhash").alias("ha"),
                       F.col(f"chunk{i}").alias("ck"))
         r = sh.select(F.col("doc_id").alias("doc_b"),
                       F.col("simhash").alias("hb"),
                       F.col(f"chunk{i}").alias("ck"))
-        c = l.join(r, ["ck"]).filter(F.col("doc_a") < F.col("doc_b")) \
-             .select("doc_a", "doc_b", "ha", "hb")
-        cands = c if cands is None else cands.unionByName(c)
+        cd = l.join(r, ["ck"]).filter(F.col("doc_a") < F.col("doc_b")) \
+              .select("doc_a", "doc_b", "ha", "hb")
+        cands = cd if cands is None else cands.unionByName(cd)
     cands = cands.distinct()
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (cands.withColumn("hamming", ham.cast("int"))

@@ -46,7 +46,7 @@ def _load_counters(out_dir: str) -> dict:
         with open(pth) as f:
             return json.load(f)
     return {"n_docs": 0, "coll_len": 0, "next_doc_id": 0,
-            "next_term_id": 0, "batches": []}
+            "next_term_id": 0, "batches": [], "epochs": []}
 
 
 def _save_counters(out_dir: str, c: dict):
@@ -86,9 +86,19 @@ def _grow_lexicon(spark, out_dir: str, batch_terms, counters: dict):
 
 
 def process_batch(spark: SparkSession, batch_df, out_dir: str,
-                  docs_per_shard: int, codec: str = "varbyte") -> dict:
-    """One micro-batch -> one batch index with global ids/stats."""
+                  docs_per_shard: int, codec: str = "varbyte",
+                  epoch_id: int | None = None) -> dict:
+    """One micro-batch -> one batch index with global ids/stats.
+
+    Idempotent per epoch: foreachBatch replays a micro-batch when the
+    driver crashes between state mutation and the checkpoint commit, so
+    an epoch_id already recorded in counters.json is a no-op — without
+    this the replay would re-ingest the same docs under new doc_ids and
+    inflate n_docs/coll_len (exactly-once would silently degrade to
+    at-least-once)."""
     c = _load_counters(out_dir)
+    if epoch_id is not None and epoch_id in c.get("epochs", []):
+        return c
     batch_df = batch_df.cache()
     n = batch_df.count()
     if n == 0:
@@ -126,6 +136,8 @@ def process_batch(spark: SparkSession, batch_df, out_dir: str,
     c.update({"n_docs": n_docs, "coll_len": coll_len,
               "next_doc_id": c["next_doc_id"] + n})
     c["batches"].append(bdir)
+    if epoch_id is not None:
+        c.setdefault("epochs", []).append(epoch_id)
     _save_counters(out_dir, c)
     batch_df.unpersist()
     return c
@@ -145,7 +157,7 @@ def ingest_available_now(spark: SparkSession, input_dir: str,
               .parquet(input_dir))
     q = (stream.writeStream
          .foreachBatch(lambda df, epoch: process_batch(
-             spark, df, out_dir, docs_per_shard, codec))
+             spark, df, out_dir, docs_per_shard, codec, epoch_id=epoch))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())

@@ -68,6 +68,30 @@ def test_simhash_finds_planted_dups(spark, dup_docs):
     assert exact <= pairs              # exact dups: hamming 0
 
 
+def test_simhash_complete_vs_bruteforce(spark, dup_docs):
+    """Pigeonhole completeness: with n_chunks = max_hamming + 1, the
+    chunk-bucketed candidate join surfaces EVERY pair within the
+    hamming radius (incl. pairs at hamming 4-6, which 4 fixed 16-bit
+    chunks silently missed), and no others."""
+    from irkit_spark.pipeline.dedup import simhash64, simhash_pairs
+    hs = {r["doc_id"]: r["simhash"]
+          for r in simhash64(dup_docs).select("doc_id", "simhash").collect()}
+    ids = sorted(hs)
+    want = {(a, b)
+            for ai, a in enumerate(ids) for b in ids[ai + 1:]
+            if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 6}
+    mids = {h: bin(h & ((1 << 64) - 1)).count("1") for h in
+            (hs[a] ^ hs[b] for a, b in want)}
+    # the planted corpus must actually exercise the 4-6 band
+    assert any(4 <= v <= 6 for v in mids.values())
+    got = {(r["doc_a"], r["doc_b"])
+           for r in simhash_pairs(dup_docs, 6).collect()}
+    assert got == want
+    # under-chunking that would break the guarantee is rejected loudly
+    with pytest.raises(ValueError, match="recall"):
+        simhash_pairs(dup_docs, 6, n_chunks=4)
+
+
 def test_shingle_jaccard_vs_minhash_agree(spark, dup_docs):
     from irkit_spark.pipeline.dedup import (minhash_lsh_pairs,
                                             shingle_jaccard_pairs)

@@ -1,0 +1,102 @@
+"""Robustness fixes: Arrow 2GB binary-offset split, streaming epoch
+idempotence, resume-path lexicon re-read, Iceberg config gating."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from irkit_spark.operators.build import _encode_kernel_arrow
+
+
+def _tok_batch(term_id, shard, doc_id, tf, dl):
+    return pa.RecordBatch.from_arrays(
+        [pa.array(np.asarray(term_id, dtype=np.int32), pa.int32()),
+         pa.array(np.asarray(shard, dtype=np.int32), pa.int32()),
+         pa.array(np.asarray(doc_id, dtype=np.int64), pa.int64()),
+         pa.array(np.asarray(tf, dtype=np.int64), pa.int64()),
+         pa.array(np.asarray(dl, dtype=np.int64), pa.int64())],
+        names=["term_id", "shard", "doc_id", "tf", "dl"])
+
+
+def _rows(batches):
+    out = []
+    for rb in batches:
+        for r in rb.to_pylist():
+            out.append((r["term_id"], r["partition_id"], r["n_docs"],
+                        tuple((b["first_doc"], b["last_doc"], b["n"],
+                               b["doc_bytes"], b["tf_bytes"])
+                              for b in r["blocks"])))
+    return sorted(out)
+
+
+def test_arrow_encoder_splits_oversized_regions():
+    """A region whose varbyte wire stream exceeds the binary-offset
+    limit is split at group boundaries: same postings out, never an
+    int32 offset overflow (exercised with a tiny patched limit)."""
+    rng = np.random.default_rng(7)
+    n_terms, docs = 40, 300
+    t = np.repeat(np.arange(n_terms, dtype=np.int32), docs)
+    s = np.zeros(t.size, dtype=np.int32)
+    d = np.tile(np.arange(docs, dtype=np.int64) * 3, n_terms)
+    tf = rng.integers(1, 200, size=t.size).astype(np.int64)
+    dl = np.full(t.size, 120, dtype=np.int64)
+
+    def run(limit):
+        k = _encode_kernel_arrow(100.0, 16, 1000, max_bin_offset=limit)
+        return list(k(iter([_tok_batch(t, s, d, tf, dl)])))
+
+    full = run(None)
+    assert len(full) == 1
+    limited = run(4096)          # forces many recursive splits
+    assert len(limited) > 1
+    assert _rows(limited) == _rows(full)
+    # one group alone over the limit cannot be split -> explicit error
+    with pytest.raises(ValueError, match="2GB"):
+        run(16)
+
+
+def test_streaming_epoch_replay_is_noop(spark, tmp_path):
+    """foreachBatch replay of an already-recorded epoch must not
+    double-ingest (exactly-once across crash/replay)."""
+    import json
+
+    from irkit_spark.sources.pages import pages_pandas
+    from irkit_spark.streaming.ingest import process_batch
+    out = str(tmp_path / "sidx")
+    df = spark.createDataFrame(pages_pandas(60))
+    c1 = process_batch(spark, df, out, docs_per_shard=50, epoch_id=0)
+    assert c1["n_docs"] == 60 and c1["epochs"] == [0]
+    c2 = process_batch(spark, df, out, docs_per_shard=50, epoch_id=0)
+    assert c2["n_docs"] == 60 and len(c2["batches"]) == 1
+    # persisted state unchanged too
+    with open(os.path.join(out, "_state", "counters.json")) as f:
+        assert json.load(f)["n_docs"] == 60
+
+
+def test_resume_with_all_shards_done_rewrites_terms(spark, pages_small,
+                                                    tmp_path):
+    """resume=True over a finished build reuses tok/docs/terms; the
+    terms table is re-derived and rewritten to the same path it was
+    read from — must not hit the overwrite-while-reading hazard."""
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index, search
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_small, out, docs_per_shard=300,
+                text_from_html=True)
+    before = sorted(
+        (r["term_id"], r["term"], r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(out, "terms")).collect())
+    m = build_index(spark, pages_small, out, docs_per_shard=300,
+                    text_from_html=True, resume=True)
+    assert m["rebuilt_shards"] == []
+    after = sorted(
+        (r["term_id"], r["term"], r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(out, "terms")).collect())
+    assert before == after
+    assert search(Index(spark, out), "term00001", 5, "wand").count() == 5
+
+
