@@ -40,6 +40,15 @@ DOCS_PER_SHARD = int(os.environ.get("IRKIT_DOCS_PER_SHARD", "100000"))
 # Must be >> max parallelism and << collection size at scale.
 ID_BUCKETS = int(os.environ.get("IRKIT_ID_BUCKETS", "64"))
 
+# Term-ID assignment gate: at or below this vocab size the lexicon is
+# collected, sorted on the driver, and shipped as a broadcast dict
+# (BASELINE.json:6 "broadcast dictionary"); above it (Common-Crawl-scale
+# vocabs of 10^8-10^9, where both the collect and the dict would kill
+# the driver) ids come from a range-partitioned sorted-rank assignment
+# and pass B joins on the term string instead.
+BROADCAST_VOCAB_MAX = int(os.environ.get("IRKIT_BROADCAST_VOCAB_MAX",
+                                         "4000000"))
+
 SHUFFLE_PARTITIONS = int(os.environ.get("IRKIT_SHUFFLE_PARTITIONS", "32"))
 
 

@@ -158,7 +158,9 @@ def tokenize_ids_iter(batches: Iterator[pd.DataFrame], bc_term_ids,
 
 def tokenize_count_iter(batches: Iterator[pd.DataFrame],
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> Iterator[pd.DataFrame]:
+                        text_col: str = "text",
+                        pre_tokenized: bool = False
+                        ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, text) -> (doc_id, term, tf, dl).
 
     tf counting per (doc, term) inside the Arrow batch: one factorize
@@ -168,7 +170,7 @@ def tokenize_count_iter(batches: Iterator[pd.DataFrame],
     afterwards is the salted repartition-by-term (SURVEY.md §3.1).
     """
     for pdf in batches:
-        flat, row_idx, lens = _flat_tokens(pdf[text_col])
+        flat, row_idx, lens = _flat_tokens(pdf[text_col], pre_tokenized)
         if flat.size == 0:
             yield pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                                 "term": pd.Series([], dtype="object"),

@@ -55,7 +55,7 @@ from irkit_spark.functions.tokenize import (canonicalize_iter,
                                             distinct_terms_iter,
                                             tokenize_count_iter,
                                             tokenize_ids_iter)
-from irkit_spark.plans.dense_ids import assign_dense_ids
+from irkit_spark.plans.dense_ids import assign_dense_ids, sorted_rank_mapping
 
 TOK_SCHEMA = "doc_id long, term string, tf long, dl long"
 
@@ -64,8 +64,12 @@ TOK_SCHEMA = "doc_id long, term string, tf long, dl long"
 # postings. Regions are split at (term_id, shard) group boundaries
 # before encoding when either stream would cross it (patchable in tests).
 MAX_BIN_OFFSET = (1 << 31) - 16
+# cf = sum of raw tf over the (term, shard) group, aggregated inside
+# the encode kernel: stage 4's df/cf then come from the tiny postings
+# table (sum(n_docs), sum(cf)) instead of a second full scan + shuffle
+# of the 10^12-row token table
 POSTINGS_SCHEMA = (
-    "term_id int, partition_id int, n_docs int, "
+    "term_id int, partition_id int, n_docs int, cf long, "
     "blocks array<struct<first_doc: long, last_doc: long, n: int, "
     "max_score: float, doc_bytes: binary, tf_bytes: binary>>")
 
@@ -121,6 +125,7 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
             gaps[0] = 0
             gaps[1:] = (d[1:] - d[:-1]).view(np.uint64)
             gaps[bstarts] = 0   # overwrites cross-group negatives too
+            cf_g = np.add.reduceat(tf.astype(np.int64), gstarts)
             if quantize:
                 # precomputed 7-bit impact scores (irkit quantize.hpp,
                 # SURVEY.md §2.8): 0..127 = exactly one varbyte byte
@@ -153,18 +158,20 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
                     "term_id": t[gstarts].astype("int32"),
                     "partition_id": s[gstarts].astype("int32"),
                     "n_docs": (gends - gstarts).astype("int32"),
+                    "cf": cf_g.astype("int64"),
                     "blocks": [blocks_all[a:b]
                                for a, b in zip(gb_starts, gb_ends)],
                 })
             # generic per-group path (streamvbyte etc.)
             gends = np.append(gstarts[1:], n)
             rows = {"term_id": [], "partition_id": [], "n_docs": [],
-                    "blocks": []}
+                    "cf": [], "blocks": []}
             du = d.astype(np.uint64)
-            for g0, g1 in zip(gstarts, gends):
+            for gi, (g0, g1) in enumerate(zip(gstarts, gends)):
                 rows["term_id"].append(int(t[g0]))
                 rows["partition_id"].append(int(s[g0]))
                 rows["n_docs"].append(int(g1 - g0))
+                rows["cf"].append(int(cf_g[gi]))
                 rows["blocks"].append(encode_blocks(
                     du[g0:g1], tf[g0:g1], tf_norm[g0:g1], block_size,
                     codec))
@@ -219,6 +226,7 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         ("term_id", pa.int32()),
         ("partition_id", pa.int32()),
         ("n_docs", pa.int32()),
+        ("cf", pa.int64()),
         ("blocks", pa.list_(pa.struct([
             ("first_doc", pa.int64()), ("last_doc", pa.int64()),
             ("n", pa.int32()), ("max_score", pa.float32()),
@@ -243,6 +251,7 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         gaps[0] = 0
         gaps[1:] = (d[1:] - d[:-1]).view(np.uint64)
         gaps[bstarts] = 0
+        cf_g = np.add.reduceat(tf_in.astype(np.int64), gstarts)
         if quantize:
             tf = np.floor(tf_norm * 127.0).astype(np.uint64)
         # offsets are exact wire sizes, computable before encoding: if
@@ -295,6 +304,7 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
             [pa.array(t[gstarts].astype(np.int32), pa.int32()),
              pa.array(s[gstarts].astype(np.int32), pa.int32()),
              pa.array((gends - gstarts).astype(np.int32), pa.int32()),
+             pa.array(cf_g.astype(np.int64), pa.int64()),
              blocks_col], schema=out_schema)
 
     def cols(rb_or_tbl):
@@ -362,7 +372,8 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 resume: bool = False,
                 quantize: bool = False,
                 shared_lexicon: DataFrame | None = None,
-                global_stats: tuple[int, float] | None = None) -> dict:
+                global_stats: tuple[int, float] | None = None,
+                broadcast_vocab_max: int | None = None) -> dict:
     """Build (or resume) the index; returns build metrics dict."""
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -390,30 +401,39 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
 
     # ---- stage 1: doc ids + lexicon pass (SURVEY.md T2/T3/A2) ---------
     # Two tokenization passes keep the 10^12-row stream INTEGER-ONLY:
-    #   pass A emits per-batch aggregated (term, df, cf) — vocab-sized,
-    #   tiny — from which the lexicon + broadcast dict are built;
-    #   pass B re-tokenizes and emits (doc_id, term_id, tf, dl) ints via
-    #   the broadcast dict inside the kernel. No Python string column
-    #   ever crosses Arrow in bulk (the old single-pass-with-strings +
-    #   id-remap flow moved 2x the rows and all term strings through the
-    #   Python channel and did not scale with cores).
+    #   pass A emits per-batch DISTINCT terms — vocab-sized, tiny — from
+    #   which the lexicon is built; pass B re-tokenizes and emits
+    #   (doc_id, term_id, tf, dl) ints via the broadcast dict inside the
+    #   kernel. No Python string column ever crosses Arrow in bulk (the
+    #   old single-pass-with-strings + id-remap flow moved 2x the rows
+    #   and all term strings through the Python channel and did not
+    #   scale with cores).
+    # Term-ID assignment is gated on vocab size (BASELINE.json:6 names
+    # the broadcast dictionary; a 10^8-10^9-term web vocab would kill
+    # the driver): at or below the cap the distinct terms are collected
+    # ONCE, sorted on the driver (term_id = sorted rank — one Spark job
+    # total), and shipped as the broadcast dict; above it ids come from
+    # a range-partitioned sorted-rank assignment and pass B joins on the
+    # term string instead (same sorted-rank id space either way, so the
+    # two paths produce byte-identical indexes — tested).
     tok_path = p("tok")
     docs_path = p("docs")
     reuse_tok = (resume and os.path.exists(os.path.join(tok_path, "_SUCCESS"))
                  and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
                  and os.path.exists(os.path.join(p("terms"), "_SUCCESS")))
     src = None
-    lex_df = None
+    bc = None
+    join_ids = False
+    vocab_cap = (broadcast_vocab_max if broadcast_vocab_max is not None
+                 else config.BROADCAST_VOCAB_MAX)
     if reuse_tok:
         tok = spark.read.parquet(tok_path)
         docs = spark.read.parquet(docs_path)
-        term_rows = (spark.read.parquet(p("terms"))
-                     .select("term_id", "term").collect())
-        # rebuild the lexicon frame from the collected rows: stage 4
-        # overwrites <out>/terms, and a lex_df still reading that path
-        # is the classic "cannot overwrite a path being read" hazard
-        lex_df = spark.createDataFrame(term_rows,
-                                       "term_id int, term string")
+        # no driver collect (the vocab may be huge); stage 4 writes the
+        # re-derived terms table to a temp dir and swaps it in, so this
+        # frame never reads a path that is being overwritten
+        join_ids = True
+        lex_df = spark.read.parquet(p("terms")).select("term_id", "term")
     else:
         if doc_id_col is None:
             ids = assign_dense_ids(pages, key_col, "doc_id", n_buckets)
@@ -437,32 +457,61 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             lambda it: distinct_terms_iter(it, "text",
                                            pre_tokenized=True),
             schema="term string")
-        terms0 = batch_terms.distinct()
         if shared_lexicon is not None:
-            lex = shared_lexicon.select("term", "term_id")
-            terms0 = terms0.join(lex, "term")
+            # incremental batch build: ids come from the shared, growing
+            # lexicon; the batch vocab is bounded, so the dict broadcast
+            # is safe
+            lex_df = (batch_terms.distinct()
+                      .join(shared_lexicon.select("term", "term_id"),
+                            "term")
+                      .select(F.col("term_id").cast("int").alias("term_id"),
+                              "term")
+                      .persist())
+            bc = spark.sparkContext.broadcast(
+                {r["term"]: r["term_id"] for r in lex_df.collect()})
         else:
-            terms0 = assign_dense_ids(terms0, "term", "term_id_l",
-                                      n_buckets) \
-                .withColumn("term_id", F.col("term_id_l").cast("int")) \
-                .drop("term_id_l")
-        # persist: reused by the stage-4 terms join without re-running
-        # the tokenize pass; collect feeds ONLY the broadcast dict
-        lex_df = terms0.select("term_id", "term").persist()
-        term_rows = lex_df.collect()
-    # the one collected lexicon feeds the broadcast dict (BASELINE.json:6)
-    bc = spark.sparkContext.broadcast({r["term"]: r["term_id"]
-                                       for r in term_rows})
+            vocab = [r[0] for r in
+                     batch_terms.distinct().limit(vocab_cap + 1).collect()]
+            if len(vocab) <= vocab_cap:
+                vocab.sort()
+                bc = spark.sparkContext.broadcast(
+                    {t: i for i, t in enumerate(vocab)})
+                lex_df = spark.createDataFrame(
+                    pd.DataFrame({"term_id": np.arange(len(vocab),
+                                                       dtype=np.int32),
+                                  "term": pd.Series(vocab, dtype="object")}),
+                    "term_id int, term string")
+            else:
+                join_ids = True
+                lex_df = (sorted_rank_mapping(
+                              batch_terms.distinct(), "term", "term_id_l",
+                              n_parts)
+                          .select(F.col("term_id_l").cast("int")
+                                  .alias("term_id"), "term")
+                          .persist())
     _mark("lexicon")
 
     # ---- stage 2: tokenize pass B + docs table ------------------------
     if not reuse_tok:
-        tok = (src.mapInPandas(
-                   lambda it: tokenize_ids_iter(it, bc, "doc_id", "text",
-                                                pre_tokenized=True),
-                   schema="doc_id long, term_id int, tf int, dl int")
-               .withColumn("shard",
-                           (F.col("doc_id") / docs_per_shard).cast("int")))
+        if bc is not None:
+            tok = src.mapInPandas(
+                lambda it: tokenize_ids_iter(it, bc, "doc_id", "text",
+                                             pre_tokenized=True),
+                schema="doc_id long, term_id int, tf int, dl int")
+        else:
+            # huge-vocab path: pass B emits term strings and the id
+            # assignment is a shuffle join against the lexicon
+            tok = (src.mapInPandas(
+                       lambda it: tokenize_count_iter(
+                           it, "doc_id", "text", pre_tokenized=True),
+                       schema=TOK_SCHEMA)
+                   .join(lex_df, "term")
+                   .select("doc_id",
+                           F.col("term_id").cast("int").alias("term_id"),
+                           F.col("tf").cast("int").alias("tf"),
+                           F.col("dl").cast("int").alias("dl")))
+        tok = tok.withColumn(
+            "shard", (F.col("doc_id") / docs_per_shard).cast("int"))
         # plain write (one file per task): dir-partitioning by shard here
         # would fan out tasks x shards tiny files; resume filters on the
         # shard COLUMN instead (one extra scan only on the resume path)
@@ -542,18 +591,21 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     postings = spark.read.parquet(post_path)
 
     # ---- stage 4: terms df/cf/max_score + final small tables ----------
-    # df/cf aggregate over the INTEGER token table (A2): partial+final
-    # hash agg on int keys — far cheaper than counting term strings
-    term_stats = tok.groupBy("term_id").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf"))
-    per_term_max = (postings
-                    .select("term_id",
-                            F.array_max(F.transform(
-                                "blocks", lambda blk: blk["max_score"]))
-                            .alias("mx"))
-                    .groupBy("term_id").agg(F.max("mx").alias("max_norm")))
-    terms = F.broadcast(lex_df).join(term_stats, "term_id")
-    terms_final = (terms.join(per_term_max, "term_id", "left")
+    # df/cf/max_norm all come from ONE scan of the tiny encoded postings
+    # table (A2): the encode kernel pre-aggregated cf per (term, shard),
+    # so the 10^12-row token table is never scanned a second time
+    per_term = (postings
+                .select("term_id", "n_docs", "cf",
+                        F.array_max(F.transform(
+                            "blocks", lambda blk: blk["max_score"]))
+                        .alias("mx"))
+                .groupBy("term_id")
+                .agg(F.sum("n_docs").cast("long").alias("df"),
+                     F.sum("cf").alias("cf"),
+                     F.max("mx").alias("max_norm")))
+    lex_side = lex_df if join_ids else F.broadcast(lex_df)
+    terms_final = (lex_side.join(per_term, "term_id", "left")
+                   .fillna(0, ["df", "cf"])
                    .withColumn("idf", F.log1p(
                        (F.lit(float(n_docs)) - F.col("df") + 0.5)
                        / (F.col("df") + 0.5)))
@@ -562,7 +614,17 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                                                           F.lit(0.0)))
                                .cast("float"))
                    .select("term_id", "term", "df", "cf", "max_score"))
-    terms_final.write.mode("overwrite").parquet(p("terms"))
+    if reuse_tok:
+        # swap via a temp dir: lex_df reads the live terms path (local/
+        # HDFS rename is atomic enough here; object stores would use a
+        # versioned path + pointer instead)
+        import shutil
+        tmp_terms = p("terms_tmp")
+        terms_final.write.mode("overwrite").parquet(tmp_terms)
+        shutil.rmtree(p("terms"))
+        os.replace(tmp_terms, p("terms"))
+    else:
+        terms_final.write.mode("overwrite").parquet(p("terms"))
     lex_df.unpersist()
     _mark("terms_write")
 

@@ -47,7 +47,7 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
 
     def run(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
         out = {"term_id": [], "partition_id": [], "n_docs": [],
-               "blocks": []}
+               "cf": [], "blocks": []}
         if post_pdf.empty:
             return pd.DataFrame(out)
         shard = int(post_pdf["partition_id"].iloc[0])
@@ -62,6 +62,7 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
                 out["term_id"].append(int(tid))
                 out["partition_id"].append(shard)
                 out["n_docs"].append(int(r["n_docs"]))
+                out["cf"].append(int(r["cf"]))
                 out["blocks"].append(list(r["blocks"]))
                 continue
             ds, ts = [], []
@@ -83,6 +84,9 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
             out["term_id"].append(int(tid))
             out["partition_id"].append(shard)
             out["n_docs"].append(int(d.size))
+            # cf from the input rows' aggregates, NOT the decoded
+            # payload (which is the impact, not tf, when quantized)
+            out["cf"].append(int(grp["cf"].sum()))
             out["blocks"].append(encode_blocks(
                 d.astype(np.uint64), t.astype(np.uint64), tf_norm,
                 block_size, codec))

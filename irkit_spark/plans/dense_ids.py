@@ -51,6 +51,35 @@ def dense_id_mapping(df: DataFrame, key: str, id_col: str,
     return mapping, acc
 
 
+def sorted_rank_mapping(df: DataFrame, key: str, id_col: str,
+                        n_parts: int | None = None) -> DataFrame:
+    """(key -> dense id) where id = global rank in sorted key order,
+    WITHOUT a single-partition window: range-partition by key,
+    per-partition counts -> exclusive prefix-sum offsets, id = offset +
+    in-partition row_number. The result is the unique global sorted
+    rank, so it is deterministic regardless of how range-boundary
+    sampling splits the partitions; each sort is bounded by one
+    partition. The keys frame is persisted so the counts job and the
+    window job see the same materialized partitioning."""
+    spark = df.sparkSession
+    n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = (df.select(key).repartitionByRange(n_parts, key)
+            .withColumn("__p", F.spark_partition_id()).persist())
+    counts = keys.groupBy("__p").count().collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["__p"]):
+        offsets[row["__p"]] = acc
+        acc += row["count"]
+    odf = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "__p int, __offset long")
+    w = Window.partitionBy("__p").orderBy(key)
+    return (keys.join(F.broadcast(odf), "__p")
+            .withColumn(id_col,
+                        (F.col("__offset") + F.row_number().over(w) - 1)
+                        .cast("long"))
+            .drop("__p", "__offset"))
+
+
 def assign_dense_ids(df: DataFrame, key: str, id_col: str,
                      n_buckets: int = 64,
                      broadcast_rows: int = 5_000_000) -> DataFrame:

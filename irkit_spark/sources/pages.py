@@ -90,11 +90,16 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 
 def pages_df(spark, n_docs: int):
-    """Distributed generation: one fixed chunk grid, parallel workers."""
+    """Distributed generation: one fixed chunk grid, parallel workers.
+
+    One partition per chunk — NOT capped at defaultParallelism: a table
+    generated (and persisted) at local[2] would otherwise land in 2
+    parquet files of one big row group each, silently capping every
+    downstream scan stage at 2-way parallelism even at local[32] (the
+    round-1 scaling numbers were bounded by exactly this)."""
     n_chunks = (n_docs + CHUNK - 1) // CHUNK
     chunk_ids = spark.range(n_chunks).withColumnRenamed("id", "chunk_id")
-    chunk_ids = chunk_ids.repartition(
-        min(n_chunks, spark.sparkContext.defaultParallelism))
+    chunk_ids = chunk_ids.repartition(n_chunks)
 
     def gen(batches):
         for pdf in batches:

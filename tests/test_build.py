@@ -15,7 +15,7 @@ def test_artifact_schemas(index_small):
     assert set(idx.terms.columns) == {"term_id", "term", "df", "cf",
                                       "max_score"}
     assert set(idx.postings.columns) == {"term_id", "partition_id",
-                                         "n_docs", "blocks"}
+                                         "n_docs", "cf", "blocks"}
 
 
 def test_docids_dense_and_deterministic(index_small):
@@ -120,6 +120,36 @@ def test_index_content_parallelism_invariant(spark, pages_small,
     db = {r["url"]: r["doc_id"] for r in
           spark.read.parquet(str(base / "b") + "/docs").collect()}
     assert da == db
+
+
+def test_vocab_gate_paths_byte_identical(spark, pages_small,
+                                         tmp_path_factory):
+    """Term-ID assignment gate: the huge-vocab path (no driver collect,
+    no broadcast dict — sorted-rank ids + shuffle-join pass B) must
+    produce a byte-identical index to the broadcast-dict path, because
+    both assign term_id = rank in sorted term order."""
+    from irkit_spark.operators.build import build_index
+    base = tmp_path_factory.mktemp("gate")
+
+    def canon(path):
+        df = spark.read.parquet(str(path) + "/postings")
+        return {(r["term_id"], r["partition_id"]):
+                (r["n_docs"], r["cf"], tuple(
+                    (b["first_doc"], bytes(b["doc_bytes"]),
+                     bytes(b["tf_bytes"])) for b in r["blocks"]))
+                for r in df.collect()}
+
+    build_index(spark, pages_small, str(base / "dict"),
+                docs_per_shard=300, text_from_html=True)
+    build_index(spark, pages_small, str(base / "join"),
+                docs_per_shard=300, text_from_html=True,
+                broadcast_vocab_max=0)     # force the huge-vocab path
+    assert canon(base / "dict") == canon(base / "join")
+    ta = sorted((r["term_id"], r["term"], r["df"], r["cf"]) for r in
+                spark.read.parquet(str(base / "dict") + "/terms").collect())
+    tb = sorted((r["term_id"], r["term"], r["df"], r["cf"]) for r in
+                spark.read.parquet(str(base / "join") + "/terms").collect())
+    assert ta == tb
 
 
 def test_doc_id_assignment_parallelism_invariant(spark, pages_small):

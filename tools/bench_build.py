@@ -30,7 +30,9 @@ def main():
     pages = pages_df(spark, n_docs)
     # materialize the input first so build wall-clock measures the
     # build, not the synthetic generator (shared across core counts)
-    gen_dir = os.path.join(os.path.dirname(out_dir), f"pages_{n_docs}")
+    # v2: one file per generation chunk (see pages_df) — a cache dir
+    # written by the old layout would silently cap scan parallelism
+    gen_dir = os.path.join(os.path.dirname(out_dir), f"pages_{n_docs}_v2")
     if not os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
         pages.write.mode("overwrite").parquet(gen_dir)
     pages = spark.read.parquet(gen_dir)
