@@ -205,6 +205,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
         return sim.ivf_topk(emb, _query_vec(spark, sf), 10)
 
+    def q_lsh_cosine_pairs(spark, sf):
+        # banded-LSH blocked near-dup pairs (approximate recall ->
+        # rows-only; every returned cos is exact by construction).
+        # 0.45 because the synthetic embeddings top out at cos ~0.51
+        return sim.lsh_cosine_pairs(_emb(spark, sf), 0.45)
+
+    def q_ann_index(spark, sf):
+        # persisted ANN index: partition-pruned cluster scan
+        out = os.path.join(tempfile.gettempdir(),
+                           "irkit_entry_ann_" +
+                           sf.strip("/").replace("/", "_"))
+        emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
+        if out not in _IDX_CACHE:
+            shutil.rmtree(out, ignore_errors=True)
+            sim.build_ann_index(emb, out)
+            _IDX_CACHE[out] = out
+        return sim.ann_index_topk(spark, out, _query_vec(spark, sf), 10)
+
     def q_media_features(spark, sf):
         # feat is array<float>; the driver's canonicalizer sorts pandas
         # frames, which cannot hash a list column — emit the vector as
@@ -255,6 +273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash,
         "lsh_ann_top10": q_lsh_ann,
         "ivf_ann_top10": q_ivf_ann,
+        "lsh_cosine_pairs": q_lsh_cosine_pairs,
+        "ann_index_top10": q_ann_index,
         "media_features": q_media_features,
     }
 

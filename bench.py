@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -26,7 +27,10 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("IRKIT_BENCH_DOCS", "300000"))
+# 500k docs (~30M postings): large enough that the driver-side serial
+# floor (job barriers, collects, commit protocol) is amortized and the
+# N->4N ratio measures the data-parallel path, small enough to repeat
+BENCH_DOCS = int(os.environ.get("IRKIT_BENCH_DOCS", "500000"))
 # N -> 4N pair for the scaling-efficiency criterion. 2 -> 8 is the
 # regime where THIS sandbox's memory subsystem can actually provide 4x
 # the resources (see BENCH.md: pure-multiprocessing ceiling at 32 procs
@@ -74,10 +78,16 @@ def _machine_ceiling(n_lo: int, n_hi: int) -> dict:
 
 
 def _build_at(cores: int, out_dir: str) -> dict:
-    r = subprocess.run(
-        [sys.executable, os.path.join(HERE, "tools", "bench_build.py"),
-         str(cores), str(BENCH_DOCS), out_dir],
-        capture_output=True, text=True, timeout=1800)
+    # pin the whole JVM to exactly `cores` CPUs: a local[N] JVM otherwise
+    # runs GC/shuffle/IO threads BEYOND its N task slots (measured: a
+    # local[2] build keeps ~2.5 cores busy on this box), which inflates
+    # the N-core baseline and understates true N->4N scaling. Pinning
+    # makes "N cores" mean N cores, like an N-core executor allotment.
+    cmd = [sys.executable, os.path.join(HERE, "tools", "bench_build.py"),
+           str(cores), str(BENCH_DOCS), out_dir]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
         raise RuntimeError(f"bench build @{cores} failed: "
                            f"{r.stderr[-2000:]}")
@@ -94,11 +104,14 @@ def main():
     # the sandbox VM shares a host (run-to-run wall varies ~2x under
     # neighbor load): interleave repeats per level and keep the best
     # (least-contended) run as the throughput estimate
-    repeats = int(os.environ.get("IRKIT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("IRKIT_BENCH_REPEATS", "3"))
     best: dict[int, dict] = {}
     for rep in range(repeats):
-        levels = (N_CORES, N4_CORES) if rep else (N_CORES, N4_CORES,
-                                                  EXTRA_CORES)
+        # alternate the order across repeats: host neighbor load decays
+        # on ~minutes timescales, so a fixed N-then-4N order would bias
+        # the ratio systematically
+        levels = (N_CORES, N4_CORES, EXTRA_CORES) if rep % 2 == 0 \
+            else (N4_CORES, N_CORES)
         for cores in levels:
             m = _build_at(cores, os.path.join(base, f"idx{cores}"))
             if cores not in best or m["wall_sec"] < best[cores]["wall_sec"]:
@@ -158,6 +171,7 @@ def main():
                 bx["postings_per_sec"] / (4 * b4n["postings_per_sec"]), 3),
             "skew_ratio": bx["skew_ratio"],
             "bytes_per_posting": bx["bytes_per_posting"],
+            "phases_n": bn.get("phases", {}),
             "phases_4n": b4n.get("phases", {}),
             "machine_ceiling": ceiling,
             f"efficiency_vs_ceiling_{N_CORES}_to_{N4_CORES}": round(

@@ -337,22 +337,32 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         # blocks everywhere else). Lossless: a doc's t'-posting lives in
         # a t' block containing it, hence overlapping [f, l].
         def window_max(vals, a, b):
-            """max(vals[a[i]:b[i]]) per i (0.0 if empty); a, b are
-            nondecreasing — two-pointer sliding-window max."""
+            """max(vals[a[i]:b[i]]) per i (0.0 if empty): vectorized
+            sparse-table range-max — O(m log m) build over the block
+            metadata, O(1) per window, no per-block Python loop (this
+            was the one scalar Python loop left in the query hot
+            path)."""
             out = np.zeros(a.size, dtype=np.float64)
-            from collections import deque
-            dq: deque = deque()     # indices, decreasing vals
-            hi = 0
-            for i in range(a.size):
-                while hi < b[i]:
-                    while dq and vals[dq[-1]] <= vals[hi]:
-                        dq.pop()
-                    dq.append(hi)
-                    hi += 1
-                while dq and dq[0] < a[i]:
-                    dq.popleft()
-                if dq and a[i] < b[i]:
-                    out[i] = vals[dq[0]]
+            m = vals.size
+            valid = a < b
+            if m == 0 or not valid.any():
+                return out
+            st = [vals.astype(np.float64)]
+            j = 1
+            while (1 << j) <= m:
+                p, h = st[j - 1], 1 << (j - 1)
+                st.append(np.maximum(p[:m - (1 << j) + 1],
+                                     p[h:m - h + 1]))
+                j += 1
+            av, bv = a[valid], b[valid]
+            lev = np.floor(np.log2(bv - av)).astype(np.int64)
+            res = np.empty(av.size, dtype=np.float64)
+            for lv in np.unique(lev).tolist():
+                msk = lev == lv
+                half = 1 << lv
+                res[msk] = np.maximum(st[lv][av[msk]],
+                                      st[lv][bv[msk] - half])
+            out[valid] = res
             return out
 
         cand_parts = [seed_docs]

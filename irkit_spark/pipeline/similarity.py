@@ -165,12 +165,133 @@ def ivf_topk(emb: DataFrame, query_vec, k: int = 10, n_clusters: int = 16,
             .limit(k))
 
 
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    return int(emb.select(F.size(vec_col)).first()[0])
+
+
+def lsh_band_signatures(emb: DataFrame, dim: int, band_bits: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, band, bsig): the N_PLANES sign bits split into bands of
+    `band_bits` — the pair-blocking keys (two vectors are candidates if
+    ANY band matches; more/narrower bands = higher recall)."""
+    planes = _planes(dim)
+    n_bands = N_PLANES // band_bits
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "band": pd.Series([], dtype="int32"),
+                                    "bsig": pd.Series([], dtype="int32")})
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (m @ planes > 0).astype(np.int64)      # (n, N_PLANES)
+            bb = bits.reshape(len(pdf), n_bands, band_bits)
+            bsig = (bb << np.arange(band_bits)).sum(axis=2)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf[id_col].to_numpy().astype("int64"),
+                                    n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32),
+                                len(pdf)),
+                "bsig": bsig.reshape(-1).astype("int32")})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, "vec_id long, band int, bsig int")
+
+
+def lsh_cosine_pairs(emb: DataFrame, threshold: float = 0.8,
+                     band_bits: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_dp: int = 6) -> DataFrame:
+    """(vec_a, vec_b, cos): embedding near-dup pairs via banded-LSH
+    blocking + exact cosine verify — the scale form of cosine_pairs:
+    candidate generation is an equi-join on (band, bsig) (shuffle
+    bounded by bucket sizes, never the O(n^2) pair space), and only
+    candidate pairs are re-scored. Approximate: recall is the banded-
+    LSH collision probability (tested vs the exact all-pairs oracle)."""
+    dim = _dim_of(emb, vec_col)
+    sig = lsh_band_signatures(emb, dim, band_bits, id_col, vec_col)
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bsig") == F.col("r.bsig"))
+                   & (F.col("l.vec_id") < F.col("r.vec_id")))
+            .select(F.col("l.vec_id").alias("vec_a"),
+                    F.col("r.vec_id").alias("vec_b"))
+            .distinct())
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = (emb.select(F.col(id_col).alias("id"), v.alias("v"))
+            .withColumn("n", F.sqrt(F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0), lambda a, x: a + x))))
+    va = norm.select(F.col("id").alias("vec_a"), F.col("v").alias("va"),
+                     F.col("n").alias("na"))
+    vb = norm.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")),
+                                       round_dp))
+            .filter(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos"))
+
+
+def build_ann_index(emb: DataFrame, out_dir: str, n_clusters: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """Persisted ANN index: vectors stored WITH their IVF cluster and
+    LSH signature, dir-partitioned by cluster, plus a centroids table.
+    Query-time candidate selection is then a partition-PRUNED scan of
+    n_probe cluster dirs — no signature/assignment recompute per query
+    (the serving shape for 10^9+ vectors)."""
+    import os
+    dim = _dim_of(emb, vec_col)
+    cent = kmeans_centroids(emb, n_clusters, vec_col=vec_col)
+    assign = ivf_assign(emb, cent, id_col, vec_col)
+    sig = lsh_signatures(emb, dim, id_col, vec_col)
+    table = (emb.select(F.col(id_col).alias("vec_id"), vec_col)
+             .join(assign, "vec_id").join(sig, "vec_id"))
+    (table.repartition("cluster").write.mode("overwrite")
+     .partitionBy("cluster").parquet(os.path.join(out_dir, "vectors")))
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cluster int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "centroids"))
+    return {"n_clusters": int(len(cent)), "dim": dim}
+
+
+def ann_index_topk(spark, out_dir: str, query_vec, k: int = 10,
+                   n_probe: int = 4, vec_col: str = "embedding",
+                   round_dp: int = 6) -> DataFrame:
+    """Top-k over a persisted ANN index: pick n_probe nearest centroids
+    on the driver, scan ONLY those cluster partitions, exact-cosine the
+    survivors."""
+    import os
+    cent_rows = spark.read.parquet(
+        os.path.join(out_dir, "centroids")).collect()
+    cent = np.array([r["centroid"] for r in
+                     sorted(cent_rows, key=lambda r: r["cluster"])])
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cent @ qn))[:n_probe].tolist()
+    vecs = spark.read.parquet(os.path.join(out_dir, "vectors")) \
+        .filter(F.col("cluster").isin(probes))
+    return (vecs.select("vec_id",
+                        F.round(_cos_expr(vec_col, query_vec), round_dp)
+                        .alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(k))
+
+
 def cosine_pairs(emb: DataFrame, threshold: float = 0.3,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  round_dp: int = 6) -> DataFrame:
     """(vec_a, vec_b, cos): embedding near-dup pairs above threshold.
-    All-pairs form (oracle / small scale); at 100 TB use lsh_signatures
-    as the blocking key first — same verify expression."""
+    All-pairs form (the oracle); lsh_cosine_pairs is the banded-LSH
+    blocked form that survives 100 TB — same verify expression."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
     norm = base.withColumn(

@@ -156,6 +156,51 @@ def test_ivf_ann_recall_on_planted(spark, planted_vectors):
     assert ivf == ivf2
 
 
+def test_lsh_cosine_pairs_recall(spark, planted_vectors):
+    """Banded-LSH blocked pairs vs the exact all-pairs oracle: every
+    reported pair carries the exact cosine (0 FP by construction) and
+    recall on high-cos pairs is near-total on the planted cluster."""
+    from irkit_spark.pipeline.similarity import cosine_pairs, lsh_cosine_pairs
+    emb, _ = planted_vectors
+    exact = {(r["vec_a"], r["vec_b"]): r["cos"]
+             for r in cosine_pairs(emb, 0.8).collect()}
+    got = {(r["vec_a"], r["vec_b"]): r["cos"]
+           for r in lsh_cosine_pairs(emb, 0.8).collect()}
+    assert exact, "planted cluster must produce high-cos pairs"
+    assert set(got) <= set(exact)             # verified: no FP
+    assert len(got) / len(exact) >= 0.9       # banded recall
+    for kk, v in got.items():
+        assert exact[kk] == v                 # same exact cosine
+
+
+def test_ann_index_persisted_matches_ivf(spark, planted_vectors, tmp_path):
+    """The persisted ANN index (partition-pruned cluster scan) returns
+    the same top-k as the in-flight IVF path with the same centroids."""
+    import numpy as np
+
+    from irkit_spark.pipeline.similarity import (ann_index_topk,
+                                                 build_ann_index, ivf_topk)
+    emb, q = planted_vectors
+    emb = emb.filter("vec_id != 0")
+    out = str(tmp_path / "ann")
+    meta = build_ann_index(emb, out, n_clusters=8)
+    assert meta["n_clusters"] == 8 and meta["dim"] == 32
+    cent = np.array([r["centroid"] for r in sorted(
+        spark.read.parquet(out + "/centroids").collect(),
+        key=lambda r: r["cluster"])])
+    want = [(r["vec_id"], r["cos"]) for r in
+            ivf_topk(emb, q.tolist(), 10, n_probe=2,
+                     centroids=cent).collect()]
+    got = [(r["vec_id"], r["cos"]) for r in
+           ann_index_topk(spark, out, q.tolist(), 10, n_probe=2).collect()]
+    assert got == want
+    # the scan is actually partition-pruned to the probed clusters
+    plan = ann_index_topk(spark, out, q.tolist(), 10, n_probe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan.replace("#", " #") or \
+        "cluster IN" in plan or "PartitionFilters" in plan
+
+
 def test_lang_id_on_real_stopwords(spark):
     from irkit_spark.pipeline.textstats import lang_id
     docs = spark.createDataFrame(
