@@ -276,28 +276,53 @@ def simhash64(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
     per chunk). Token hashing is the frozen vectorized _hash_tokens."""
 
     def run(batches):
+        # Batch-vectorized: one factorize + one reduceat per chunk of
+        # docs instead of a value_counts + (tokens x 64) matmul per doc.
+        # All-integer arithmetic (weights are tf counts), so the bit
+        # signs — and therefore the simhash values — are exactly those
+        # of the per-doc formulation.
         import re
         token = re.compile(TOKEN_RE)
+        b64 = np.arange(64, dtype=np.uint64)
+        chunk = 3000          # bounds the (rows x 64) int32 workspace
         for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = token.findall((text or "").lower())
-                if not toks:
-                    ids.append(doc_id)
-                    hashes.append(0)
+            out_h = np.zeros(len(pdf), dtype=np.int64)
+            texts = pdf["text"]
+            for c0 in range(0, len(pdf), chunk):
+                sub = texts.iloc[c0:c0 + chunk]
+                tok_lists = [token.findall((t or "").lower())
+                             for t in sub]
+                lens = np.fromiter((len(t) for t in tok_lists),
+                                   np.int64, count=len(tok_lists))
+                total = int(lens.sum())
+                if total == 0:
                     continue
-                s = pd.Series(toks).value_counts()
-                th = _hash_tokens(np.asarray(s.index, dtype=object))
-                w = s.to_numpy().astype(np.float64)
-                bits = ((th[:, None] >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)).astype(np.float64)
-                acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
-                h = int(((acc > 0).astype(np.uint64)
-                         << np.arange(64, dtype=np.uint64)).sum())
-                ids.append(doc_id)
-                hashes.append(h - (1 << 64) if h >= 1 << 63 else h)
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "simhash": pd.Series(hashes, dtype="int64")})
+                flat = np.empty(total, dtype=object)
+                pos = 0
+                for t in tok_lists:
+                    if t:
+                        flat[pos:pos + len(t)] = t
+                        pos += len(t)
+                row = np.repeat(np.arange(len(tok_lists), dtype=np.int64),
+                                lens)
+                codes, uniq = pd.factorize(flat)
+                nu = len(uniq)
+                ukey, cnt = np.unique(row * nu + codes,
+                                      return_counts=True)
+                rws = ukey // nu
+                th = _hash_tokens(np.asarray(uniq, dtype=object))[
+                    ukey % nu]
+                bits = ((th[:, None] >> b64) & np.uint64(1)) \
+                    .astype(np.int32)
+                contrib = (2 * bits - 1) * cnt[:, None].astype(np.int32)
+                starts = np.flatnonzero(
+                    np.diff(rws, prepend=rws[0] - 1))
+                acc = np.add.reduceat(contrib, starts, axis=0)
+                hh = ((acc > 0).astype(np.uint64) << b64).sum(axis=1)
+                out_h[c0 + rws[starts]] = hh.view(np.int64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy().astype("int64"),
+                "simhash": out_h})
 
     out = docs.select("doc_id", "text").mapInPandas(
         run, "doc_id long, simhash long")
@@ -326,19 +351,22 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
         raise ValueError(
             f"n_chunks={c} cannot guarantee recall at hamming "
             f"{max_hamming}; need >= {max_hamming + 1}")
+    # ONE self-join on (chunk index, chunk value) over the exploded
+    # chunk table instead of c separate self-joins unioned: same
+    # candidate set, but 2 kernel executions + 1 shuffle instead of 2c
     sh = simhash64(docs, n_chunks=c)
-    cands = None
-    for i in range(c):
-        l = sh.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("ha"),
-                      F.col(f"chunk{i}").alias("ck"))
-        r = sh.select(F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("hb"),
-                      F.col(f"chunk{i}").alias("ck"))
-        cd = l.join(r, ["ck"]).filter(F.col("doc_a") < F.col("doc_b")) \
-              .select("doc_a", "doc_b", "ha", "hb")
-        cands = cd if cands is None else cands.unionByName(cd)
-    cands = cands.distinct()
+    longf = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[F.col(f"chunk{i}") for i in range(c)]))
+        .alias("ck_i", "ck_v"))
+    l = longf.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("ha"), "ck_i", "ck_v")
+    r = longf.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("hb"), "ck_i", "ck_v")
+    cands = (l.join(r, ["ck_i", "ck_v"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "ha", "hb")
+             .distinct())
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (cands.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)

@@ -122,6 +122,41 @@ def test_index_content_parallelism_invariant(spark, pages_small,
     assert da == db
 
 
+def test_streamvbyte_build_parity(spark, pages_small, index_small,
+                                  tmp_path):
+    """Full build through the generic (pandas) encode kernel with the
+    streamvbyte codec: decoded postings and search results must equal
+    the varbyte index's exactly."""
+    from irkit_spark.functions.codecs import CODECS, delta_decode
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index, search
+    out = str(tmp_path / "svb")
+    m = build_index(spark, pages_small, out, docs_per_shard=300,
+                    text_from_html=True, codec="streamvbyte")
+    vb_idx, vb_m = index_small
+    assert m["total_postings"] == vb_m["total_postings"]
+    svb = Index(spark, out)
+    q = "term00000 term00003 term00123"
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in search(vb_idx, q, 10, "wand").collect()]
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in search(svb, q, 10, "wand").collect()]
+    assert got == want
+
+    def decoded(idx):
+        dec = CODECS[idx.codec][1]
+        out = {}
+        for r in idx.postings.collect():
+            ds = []
+            for b in r["blocks"]:
+                gaps = dec(bytes(b["doc_bytes"]), int(b["n"]))
+                ds.extend(delta_decode(gaps, int(b["first_doc"])).tolist())
+            out[(r["term_id"], r["partition_id"])] = (r["cf"], ds)
+        return out
+
+    assert decoded(svb) == decoded(vb_idx)
+
+
 def test_vocab_gate_paths_byte_identical(spark, pages_small,
                                          tmp_path_factory):
     """Term-ID assignment gate: the huge-vocab path (no driver collect,
