@@ -526,11 +526,19 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         tok.write.mode("overwrite").parquet(tok_path)
         _mark("tokenize_write")
         tok = spark.read.parquet(tok_path)
+        # doc lengths straight off the persisted canonical text (token
+        # count = split count; '' -> 0): a 2 x n_docs narrow join, NOT
+        # a second scan + groupBy of the 10^12-row token table. This is
+        # also the true token length for docs whose terms are all OOV
+        # under a shared lexicon.
+        dl_df = src.select(
+            "doc_id",
+            F.when(F.col("text") == "", F.lit(0))
+            .otherwise(F.size(F.split("text", " ")))
+            .cast("int").alias("doc_len"))
         docs = (ids.select("doc_id",
                            F.col(key_col).cast("string").alias("url"))
-                .join(tok.groupBy("doc_id").agg(
-                    F.first("dl").cast("int").alias("doc_len")),
-                    "doc_id", "left")
+                .join(dl_df, "doc_id", "left")
                 .fillna(0, ["doc_len"])
                 .withColumn("partition_id",
                             (F.col("doc_id") / docs_per_shard).cast("int")))
