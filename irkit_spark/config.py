@@ -40,6 +40,14 @@ DOCS_PER_SHARD = int(os.environ.get("IRKIT_DOCS_PER_SHARD", "100000"))
 # Must be >> max parallelism and << collection size at scale.
 ID_BUCKETS = int(os.environ.get("IRKIT_ID_BUCKETS", "64"))
 
+# Query-time doc-length gate: at or below this many docs the Index
+# broadcasts per-shard doc-length arrays once (int32; ~4MB per 10^6
+# docs) and the per-shard query kernel runs over postings alone — no
+# docs-table shuffle per query. Above it (10^9-10^12 docs) queries fall
+# back to the cogrouped join, which only ships the touched shards.
+DL_BROADCAST_MAX = int(os.environ.get("IRKIT_DL_BROADCAST_MAX",
+                                      "5000000"))
+
 # Term-ID assignment gate: at or below this vocab size the lexicon is
 # collected, sorted on the driver, and shipped as a broadcast dict
 # (BASELINE.json:6 "broadcast dictionary"); above it (Common-Crawl-scale

@@ -53,7 +53,8 @@ TOPK_SCHEMA = "doc_id long, score double"
 class Index:
     """Loaded index handle (SURVEY.md §1.3 catalog of Spark tables)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 dl_broadcast_max: int | None = None):
         self.spark = spark
         self.path = path
         self.postings = spark.read.parquet(os.path.join(path, "postings"))
@@ -70,6 +71,29 @@ class Index:
         self.bound_slack = float(d.get("bound_slack", 1.0))
         self.quantized = bool(d.get("quantized", False))
         self.stats = d
+        self._dl_cap = (dl_broadcast_max if dl_broadcast_max is not None
+                        else config.DL_BROADCAST_MAX)
+        self._dl_bc = None          # lazy, built on first search
+
+    def doc_len_broadcast(self):
+        """Per-shard doc-length arrays as one broadcast (gated on
+        n_docs): lets the shard kernel run over postings alone, with no
+        docs-table shuffle per query. None above the cap — queries then
+        cogroup against the (touched shards of the) docs table."""
+        if self.n_docs > self._dl_cap:
+            return None
+        if self._dl_bc is None:
+            rows = self.docs.select("partition_id", "doc_id",
+                                    "doc_len").collect()
+            dps = self.docs_per_shard
+            arrs: dict[int, np.ndarray] = {}
+            for r in rows:
+                s = int(r["partition_id"])
+                if s not in arrs:
+                    arrs[s] = np.zeros(dps, dtype=np.int32)
+                arrs[s][int(r["doc_id"]) - s * dps] = int(r["doc_len"])
+            self._dl_bc = self.spark.sparkContext.broadcast(arrs)
+        return self._dl_bc
 
     # §3.3 lookups ([pub:tools/irk-lookup — low])
     def term_stats(self, term: str):
@@ -109,8 +133,10 @@ def _decode_row_blocks(blocks, codec: str):
 def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                   docs_per_shard: int, mode: str, scorer: str = "bm25",
                   coll_len: int = 1, bound_slack: float = 1.0,
-                  quantized: bool = False):
-    """Cogrouped per-shard scorer. qmeta sorted by term_id ascending."""
+                  quantized: bool = False, dl_bc=None):
+    """Per-shard scorer: cogrouped with the docs table, or — when dl_bc
+    (the broadcast per-shard doc-length arrays) is set — over postings
+    alone. qmeta sorted by term_id ascending."""
     idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
     dec = CODECS[codec][1]
     # Dirichlet QL decomposition (SURVEY.md Q2):
@@ -173,15 +199,24 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         return pd.DataFrame({"doc_id": doc[order].astype(np.int64),
                              "score": score[order]})
 
-    def run(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
-        if post_pdf.empty or docs_pdf.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
+    def run(post_pdf: pd.DataFrame,
+            docs_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
+        empty_out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                  "score": pd.Series([], dtype="float64")})
+        if post_pdf.empty:
+            return empty_out
         shard = int(post_pdf["partition_id"].iloc[0])
         base = shard * docs_per_shard
-        dl_arr = np.zeros(docs_per_shard, dtype=np.float64)
-        d_ids = docs_pdf["doc_id"].to_numpy() - base
-        dl_arr[d_ids] = docs_pdf["doc_len"].to_numpy()
+        if dl_bc is not None:
+            got = dl_bc.value.get(shard)
+            dl_arr = (got.astype(np.float64) if got is not None
+                      else np.zeros(docs_per_shard, dtype=np.float64))
+        else:
+            if docs_pdf is None or docs_pdf.empty:
+                return empty_out
+            dl_arr = np.zeros(docs_per_shard, dtype=np.float64)
+            d_ids = docs_pdf["doc_id"].to_numpy() - base
+            dl_arr[d_ids] = docs_pdf["doc_len"].to_numpy()
         term_rows: dict[int, list] = {}
         for _, r in post_pdf.iterrows():
             term_rows.setdefault(int(r["term_id"]), []).extend(
@@ -423,16 +458,24 @@ def search(index: Index, query: str, k: int = 10,
     if mode == "taat":
         return _taat_from_index(index, qmeta, qpost, k, scorer)
 
+    dl_bc = index.doc_len_broadcast()
+    kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
+                         index.docs_per_shard, mode, scorer,
+                         index.coll_len, index.bound_slack,
+                         index.quantized, dl_bc=dl_bc)
+    if dl_bc is not None:
+        # gated fast path: doc lengths ride the one-time broadcast, so
+        # a query is a pruned postings scan + per-shard kernel + tiny
+        # top-k — no docs shuffle, no shard-discovery job
+        local = (qpost.groupBy("partition_id")
+                 .applyInPandas(lambda pdf: kern(pdf), TOPK_SCHEMA))
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     shards = [r["partition_id"] for r in
               qpost.select("partition_id").distinct().collect()]
     if not shards:
         return empty
     qdocs = index.docs.filter(F.col("partition_id").isin(shards)) \
         .select("partition_id", "doc_id", "doc_len")
-    kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
-                         index.docs_per_shard, mode, scorer,
-                         index.coll_len, index.bound_slack,
-                         index.quantized)
     local = (qpost.groupBy("partition_id")
              .cogroup(qdocs.groupBy("partition_id"))
              .applyInPandas(lambda lt, rt: kern(lt, rt), TOPK_SCHEMA))

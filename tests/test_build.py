@@ -196,3 +196,18 @@ def test_doc_id_assignment_parallelism_invariant(spark, pages_small):
                          16).select("url", "doc_id")
     assert a.join(b, "url").filter(
         a["doc_id"] != b["doc_id"]).count() == 0
+
+
+def test_sorted_rank_mapping_deterministic(spark, pages_small):
+    """sorted_rank_mapping (the huge-vocab id assigner) yields the
+    global sorted rank regardless of input partitioning or the number
+    of range partitions."""
+    from irkit_spark.plans.dense_ids import sorted_rank_mapping
+    keys = pages_small.select("url")
+    a = {r["url"]: r["id"] for r in sorted_rank_mapping(
+        keys.repartition(3), "url", "id", 4).collect()}
+    b = {r["url"]: r["id"] for r in sorted_rank_mapping(
+        keys.repartition(17), "url", "id", 11).collect()}
+    assert a == b
+    want = {u: i for i, u in enumerate(sorted(a))}
+    assert a == want

@@ -157,6 +157,25 @@ def test_conjunctive_intersection(spark, index_small, pages_small):
     assert search(idx, "zzoovq qqvooz", 10, "and").count() == 0
 
 
+def test_dl_broadcast_and_cogroup_paths_identical(spark, index_small):
+    """The gated doc-length-broadcast fast path (no docs shuffle per
+    query) must return exactly the cogrouped path's results on every
+    mode, and the gate must actually select the expected plan."""
+    from irkit_spark.operators.query import Index
+    idx_fast, _ = index_small
+    assert idx_fast.doc_len_broadcast() is not None    # under the cap
+    idx_slow = Index(spark, idx_fast.path, dl_broadcast_max=0)
+    assert idx_slow.doc_len_broadcast() is None        # forced cogroup
+    for q, k, mode in [("term00000 term00003 term00123", 10, "wand"),
+                       ("term00001 term00010", 100, "daat"),
+                       ("term00000 term00002", 10, "and")]:
+        fast = [(r["doc_id"], round(r["score"], 9))
+                for r in search(idx_fast, q, k, mode).collect()]
+        slow = [(r["doc_id"], round(r["score"], 9))
+                for r in search(idx_slow, q, k, mode).collect()]
+        assert fast == slow and fast
+
+
 def test_wand_skips_blocks(spark, tmp_path_factory):
     """Pruning evidence: a rare term's narrow doc range prunes the
     stopword's far blocks — the WAND kernel must decode strictly fewer
