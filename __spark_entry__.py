@@ -190,6 +190,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.media_table(_docs(spark, sf)) \
             .select("doc_id", "n_bytes", "digest")
 
+    def q_bpe_token_counts(spark, sf):
+        return ts.bpe_token_counts(_docs(spark, sf))
+
+    def q_sample_frames(spark, sf):
+        return mm.sample_frames(mm.media_table(_docs(spark, sf)))
+
+    def q_resize_images(spark, sf):
+        return mm.resize_images(mm.media_table(_docs(spark, sf)))
+
     # --- rows-only (non-SQL-expressible) entries -----------------------
     def q_minhash_lsh(spark, sf):
         return dd.minhash_lsh_pairs(_docs(spark, sf), 3, 0.5)
@@ -269,6 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top10": q_ann_cosine,
         "cosine_pairs": q_cosine_pairs,
         "media_metadata": q_media_metadata,
+        "bpe_token_counts": q_bpe_token_counts,
+        "sample_frames": q_sample_frames,
+        "resize_images": q_resize_images,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "lsh_ann_top10": q_lsh_ann,
@@ -499,4 +511,29 @@ WHERE round({cosp}, 6) > 0.3""",
 SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
        md5(text) AS digest FROM documents""",
         "media_features": _media_features_sql(),
+        # the gate corpus is pure ASCII (verified: octet_length ==
+        # length for every row), so VARCHAR substr/md5 are byte-exact
+        # stand-ins for the kernel's byte slicing
+        "bpe_token_counts": r"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+       AS BIGINT) AS n_ws,
+  CAST(len(list_filter(regexp_extract_all(lower(text),
+    '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s]+|\s+'),
+    x -> trim(x) != '')) AS BIGINT) AS n_bpe
+FROM documents""",
+        "sample_frames": """
+WITH m AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+i AS (SELECT unnest([0, 1, 2, 3]) AS fi)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST((ln * (fi + 1)) // 4 - (ln * fi) // 4 AS BIGINT)
+           AS n_frame_bytes,
+       md5(substr(text, (ln * fi) // 4 + 1,
+                  (ln * (fi + 1)) // 4 - (ln * fi) // 4))
+           AS frame_digest
+FROM m CROSS JOIN i""",
+        "resize_images": """
+SELECT doc_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+       md5(text || '64x64') AS resized_digest FROM documents""",
     }

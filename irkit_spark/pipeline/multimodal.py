@@ -61,6 +61,61 @@ def media_table(docs: DataFrame, payload_col: str = "text") -> DataFrame:
         F.md5(payload).alias("digest"))
 
 
+FRAME_SCHEMA = ("doc_id long, frame_idx int, n_frame_bytes long, "
+                "frame_digest string")
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing: split each binary payload into n_frames
+    contiguous byte ranges and emit one row per frame. The byte-range
+    arithmetic, Arrow batching and output schema are exactly what a
+    real video frame sampler needs — only the decode inside each range
+    is the documented stub (no codecs in this sandbox)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "n_frame_bytes": [],
+                    "frame_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                ln = len(b)
+                for i in range(n_frames):
+                    fr = b[(ln * i) // n_frames:(ln * (i + 1)) // n_frames]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["n_frame_bytes"].append(len(fr))
+                    rows["frame_digest"].append(
+                        hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int = 64,
+                  height: int = 64) -> DataFrame:
+    """Resize plumbing: binary in, (dims + resized payload digest) out.
+    A real resize would decode/resample inside the kernel
+    (decode_image is the explicit stub); the deterministic stand-in
+    derives the output bytes as payload || 'WxH' so the pipeline shape
+    is fully testable and oracle-checkable."""
+
+    def run(batches):
+        tag = f"{width}x{height}".encode()
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "resized_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["resized_digest"].append(
+                    hashlib.md5(bytes(payload) + tag).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media").mapInPandas(
+        run, "doc_id long, width int, height int, resized_digest string")
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads — the real
     plumbing (Arrow binary batches in, array<float> out); the decode

@@ -38,6 +38,27 @@ def token_counts(docs: DataFrame) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_text"))
 
 
+# GPT-2-style pre-tokenizer regex (public BPE pre-tokenization shape:
+# contraction suffixes, space-prefixed letter/digit runs, punctuation
+# runs, whitespace). Written in the Java-regex / RE2 common subset so
+# Spark and the DuckDB oracle match byte-for-byte.
+BPE_RE = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s]+|\s+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws, n_bpe): whitespace-split count + BPE-ish
+    pre-tokenizer match count (whitespace runs excluded) — the two
+    token-budget estimators a training pipeline actually uses."""
+    trimmed = F.trim(F.col("text"))
+    n_ws = (F.when(trimmed == "", F.lit(0))
+            .otherwise(F.size(F.split(trimmed, r"\s+"))))
+    m = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)
+    n_bpe = F.size(F.filter(m, lambda x: F.trim(x) != F.lit("")))
+    return docs.select("doc_id",
+                       n_ws.cast("long").alias("n_ws"),
+                       n_bpe.cast("long").alias("n_bpe"))
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stop_ratio, uniq_ratio, mean_tok_len):
     cheap quality heuristics (length / stopword / repetition ratios)."""

@@ -237,6 +237,50 @@ def test_catalog_format_knob(spark, dup_docs, tmp_path):
         write_table(dup_docs, "cat.db", "t2", fmt="iceberg")
 
 
+def test_frame_sampling_and_resize_plumbing(spark, dup_docs):
+    """Frame byte-ranges partition the payload exactly; resize emits the
+    deterministic stand-in digest; both reproducible."""
+    import hashlib
+
+    from irkit_spark.pipeline.multimodal import (media_table,
+                                                 resize_images,
+                                                 sample_frames)
+    media = media_table(dup_docs.limit(10))
+    frames = sample_frames(media, 4).collect()
+    assert len(frames) == 40
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"]
+             for r in dup_docs.limit(10).collect()}
+    for doc_id, fr in by_doc.items():
+        fr.sort(key=lambda r: r["frame_idx"])
+        b = texts[doc_id].encode()
+        assert sum(r["n_frame_bytes"] for r in fr) == len(b)
+        ln = len(b)
+        for i, r in enumerate(fr):
+            want = b[(ln * i) // 4:(ln * (i + 1)) // 4]
+            assert r["frame_digest"] == hashlib.md5(want).hexdigest()
+    rs = resize_images(media, 32, 48).collect()
+    assert all(r["width"] == 32 and r["height"] == 48 for r in rs)
+    assert rs[0]["resized_digest"] == hashlib.md5(
+        texts[rs[0]["doc_id"]].encode() + b"32x48").hexdigest()
+
+
+def test_bpe_token_counts_shape(spark):
+    from irkit_spark.pipeline.textstats import bpe_token_counts
+    docs = spark.createDataFrame(
+        [(0, "it's a test-case with 1234 numbers"),
+         (1, ""), (2, "   "), (3, "one")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_ws"], r["n_bpe"])
+           for r in bpe_token_counts(docs).collect()}
+    # "it's a test-case with 1234 numbers" -> ws: 6 tokens; bpe: it|'s|
+    # a| test|-|case| with| 123|4| numbers = 10 non-ws matches
+    assert got[0] == (6, 10)
+    assert got[1] == (0, 0) and got[2] == (0, 0) and got[3] == (1, 1)
+
+
 def test_multimodal_plumbing(spark, dup_docs):
     from irkit_spark.pipeline.multimodal import (decode_image,
                                                  extract_features,
