@@ -55,7 +55,7 @@ from irkit_spark.functions.tokenize import (canonicalize_iter,
                                             distinct_terms_iter,
                                             tokenize_count_iter,
                                             tokenize_ids_iter)
-from irkit_spark.plans.dense_ids import assign_dense_ids, sorted_rank_mapping
+from irkit_spark.plans.dense_ids import dense_id_mapping, sorted_rank_mapping
 
 TOK_SCHEMA = "doc_id long, term string, tf long, dl long"
 
@@ -441,10 +441,6 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         join_ids = True
         lex_df = spark.read.parquet(p("terms")).select("term_id", "term")
     else:
-        if doc_id_col is None:
-            ids = assign_dense_ids(pages, key_col, "doc_id", n_buckets)
-        else:
-            ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
         # canonicalize = frozen extract (when html) + frozen regex
         # tokenizer, FUSED in one Python pass; both passes below then
         # split on whitespace (5x cheaper). persisted so pass B never
@@ -453,13 +449,30 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # extract_text — byte-identity is tested against the golden
         # column either way.)
         in_col = "html" if text_from_html else "text"
-        src = (ids.select("doc_id", F.col(in_col).alias("text"))
-               .mapInPandas(
-                   lambda it: canonicalize_iter(
-                       it, "doc_id", "text", from_html=text_from_html),
-                   schema="doc_id long, text string")
-               .persist())
-        batch_terms = src.select("text").mapInPandas(
+        if doc_id_col is not None:
+            ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+            src = (ids.select("doc_id", F.col(in_col).alias("text"))
+                   .mapInPandas(
+                       lambda it: canonicalize_iter(
+                           it, "doc_id", "text", from_html=text_from_html),
+                       schema="doc_id long, text string")
+                   .persist())
+        else:
+            # canonicalize FIRST, keyed by url: the raw table is scanned
+            # exactly once (doc-id bucket counts, the lexicon pass and
+            # the docs table all read the persisted canonical output,
+            # not the raw html)
+            src0 = (pages.select(F.col(key_col).cast("string").alias("url"),
+                                 F.col(in_col).alias("text"))
+                    .mapInPandas(
+                        lambda it: canonicalize_iter(
+                            it, "url", "text", from_html=text_from_html),
+                        schema="url string, text string")
+                    .persist())
+            mapping, _ = dense_id_mapping(src0, "url", "doc_id", n_buckets)
+            src = src0.join(F.broadcast(mapping), "url")
+        batch_terms = (src0 if doc_id_col is None else src) \
+            .select("text").mapInPandas(
             lambda it: distinct_terms_iter(it, "text",
                                            pre_tokenized=True),
             schema="term string")
@@ -500,14 +513,14 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     # ---- stage 2: tokenize pass B + docs table ------------------------
     if not reuse_tok:
         if bc is not None:
-            tok = src.mapInPandas(
+            tok = src.select("doc_id", "text").mapInPandas(
                 lambda it: tokenize_ids_iter(it, bc, "doc_id", "text",
                                              pre_tokenized=True),
                 schema="doc_id long, term_id int, tf int, dl int")
         else:
             # huge-vocab path: pass B emits term strings and the id
             # assignment is a shuffle join against the lexicon
-            tok = (src.mapInPandas(
+            tok = (src.select("doc_id", "text").mapInPandas(
                        lambda it: tokenize_count_iter(
                            it, "doc_id", "text", pre_tokenized=True),
                        schema=TOK_SCHEMA)
@@ -531,17 +544,20 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # a second scan + groupBy of the 10^12-row token table. This is
         # also the true token length for docs whose terms are all OOV
         # under a shared lexicon.
-        dl_df = src.select(
-            "doc_id",
-            F.when(F.col("text") == "", F.lit(0))
-            .otherwise(F.size(F.split("text", " ")))
-            .cast("int").alias("doc_len"))
-        docs = (ids.select("doc_id",
-                           F.col(key_col).cast("string").alias("url"))
-                .join(dl_df, "doc_id", "left")
-                .fillna(0, ["doc_len"])
-                .withColumn("partition_id",
-                            (F.col("doc_id") / docs_per_shard).cast("int")))
+        dl_col = (F.when(F.col("text") == "", F.lit(0))
+                  .otherwise(F.size(F.split("text", " ")))
+                  .cast("int").alias("doc_len"))
+        if doc_id_col is None:
+            # src carries (url, doc_id, text): the docs table is a
+            # straight projection, no join at all
+            docs = src.select("doc_id", "url", dl_col)
+        else:
+            docs = (ids.select("doc_id",
+                               F.col(key_col).cast("string").alias("url"))
+                    .join(src.select("doc_id", dl_col), "doc_id", "left")
+                    .fillna(0, ["doc_len"]))
+        docs = docs.withColumn(
+            "partition_id", (F.col("doc_id") / docs_per_shard).cast("int"))
         # dir-partitioned by shard so query-time doc-length reads prune;
         # repartition first -> one file per shard dir, not one per task
         docs.repartition("partition_id") \
@@ -549,7 +565,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             .parquet(docs_path)
         _mark("docs_write")
         docs = spark.read.parquet(docs_path)
-        src.unpersist()
+        (src if doc_id_col is not None else src0).unpersist()
 
     glob = docs.agg(F.count("*").alias("n"),
                     F.sum("doc_len").alias("len"),
