@@ -199,6 +199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_resize_images(spark, sf):
         return mm.resize_images(mm.media_table(_docs(spark, sf)))
 
+    def q_winnow(spark, sf):
+        # rolling-hash winnowing fingerprints (MOSS): rows-only — the
+        # k-gram rolling hash + sliding-window min is not reasonably
+        # SQL-expressible; pytest pins the winnowing guarantees
+        return ts.winnow_fingerprints(_docs(spark, sf))
+
     # --- rows-only (non-SQL-expressible) entries -----------------------
     def q_minhash_lsh(spark, sf):
         return dd.minhash_lsh_pairs(_docs(spark, sf), 3, 0.5)
@@ -281,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "sample_frames": q_sample_frames,
         "resize_images": q_resize_images,
+        "winnow_fingerprints": q_winnow,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "lsh_ann_top10": q_lsh_ann,

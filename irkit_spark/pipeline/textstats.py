@@ -104,3 +104,46 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))
         .alias("fp"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """(doc_id, fp): winnowed rolling-hash fingerprints (the MOSS
+    scheme): rolling polynomial hash over every character k-gram of the
+    lowercased text, then keep the minimum of each window of w
+    consecutive hashes, deduped. Guarantees: identical docs share the
+    full set; any shared substring of length >= k + w - 1 shares at
+    least one fingerprint. Joining on fp is the standard local-overlap
+    dedup blocking key at corpus scale (one groupBy, no pair blowup)."""
+    import numpy as np
+    import pandas as pd
+
+    from irkit_spark.pipeline.dedup import _poly_windows
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer((text or "").lower().encode(),
+                                  dtype=np.uint8)
+                if b.size < k:
+                    continue
+                with np.errstate(over="ignore"):
+                    # bytes -> 64-bit lanes so the k-gram polynomial
+                    # fold mixes the whole word
+                    th = ((b.astype(np.uint64) + np.uint64(1))
+                          * np.uint64(0x9E3779B97F4A7C15))
+                    hs = _poly_windows(th, k)
+                if hs.size >= w:
+                    from numpy.lib.stride_tricks import sliding_window_view
+                    sel = sliding_window_view(hs, w).min(axis=1)
+                else:
+                    sel = hs.min(keepdims=True)
+                u = np.unique(sel)
+                ids.extend([doc_id] * u.size)
+                fps.extend(u.view(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, fp long")

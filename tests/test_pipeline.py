@@ -225,6 +225,30 @@ def test_fingerprint_order_insensitive(spark):
     assert fp[0] != fp[2]
 
 
+def test_winnow_fingerprints_guarantees(spark):
+    """Winnowing guarantees: exact dups share the full fingerprint set;
+    docs sharing a long substring share >= 1 fingerprint; disjoint
+    texts share none."""
+    from irkit_spark.pipeline.textstats import winnow_fingerprints
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, shared), (1, shared),
+         (2, "unrelated prefix text here " + shared + " plus a suffix"),
+         (3, "zzz qqq xxx vvv kkk www yyy uuu ttt sss rrr ppp ooo nnn")],
+        "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] == fps[1]                      # exact dup: same set
+    assert fps[0] & fps[2]                       # long shared substring
+    assert not (fps[0] & fps[3])                 # disjoint text
+    # determinism
+    fps2 = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        fps2.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps == fps2
+
+
 def test_catalog_format_knob(spark, dup_docs, tmp_path):
     from irkit_spark.sources.catalog import (iceberg_available, load_pages,
                                              write_table)
