@@ -199,6 +199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_resize_images(spark, sf):
         return mm.resize_images(mm.media_table(_docs(spark, sf)))
 
+    def q_dedup_near(spark, sf):
+        # applied near-dup dedup (LSH pairs -> connected components ->
+        # keep canonical): rows-only (the pair set is LSH-approximate)
+        return dd.dedup_near_keep_first(_docs(spark, sf), 3, 0.5) \
+            .select("doc_id", "lang", "source", "n_chars")
+
     def q_winnow(spark, sf):
         # rolling-hash winnowing fingerprints (MOSS): rows-only — the
         # k-gram rolling hash + sliding-window min is not reasonably
@@ -288,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_frames": q_sample_frames,
         "resize_images": q_resize_images,
         "winnow_fingerprints": q_winnow,
+        "dedup_near_keep_first": q_dedup_near,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "lsh_ann_top10": q_lsh_ann,

@@ -262,6 +262,60 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "jac"))
 
 
+# ------------------------------------------------- near-dup apply (CC)
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, component): connected components of an undirected pair
+    graph via min-label propagation — each round every node adopts the
+    smallest label in its closed neighborhood; converges in
+    O(log(diameter)) rounds (dup clusters are tiny, so 2-3 in
+    practice). Each round is two hash joins + a groupBy — no driver
+    data, scales with the edge list."""
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("doc_id"))
+              .distinct()
+              .withColumn("component", F.col("doc_id"))).persist()
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels,
+                              edges["dst"] == labels["doc_id"])
+                   .groupBy("src")
+                   .agg(F.min("component").alias("nbr_comp")))
+        updated = (labels.join(nbr_min,
+                               labels["doc_id"] == nbr_min["src"], "left")
+                   .select(labels["doc_id"],
+                           F.least("component",
+                                   F.coalesce("nbr_comp", "component"))
+                           .alias("component"))).persist()
+        changed = (updated.join(labels.withColumnRenamed(
+                       "component", "old"), "doc_id")
+                   .filter(F.col("component") != F.col("old")).count())
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near_keep_first(docs: DataFrame, n: int = 3,
+                          threshold: float = 0.5) -> DataFrame:
+    """The applied form of near-dup dedup: MinHash-LSH pairs ->
+    connected components -> keep each component's canonical (min
+    doc_id) member. Docs in no near-dup pair survive untouched.
+    End-to-end 100 TB shape: banded candidates, candidate-local verify,
+    label propagation, one left-anti join."""
+    pairs = minhash_lsh_pairs(docs, n, threshold)
+    comp = connected_components(pairs)
+    losers = (comp.join(
+        comp.groupBy("component").agg(F.min("doc_id").alias("keep")),
+        "component")
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select("doc_id"))
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 # ---------------------------------------------------------------- simhash
 
 def _chunk_widths(n_chunks: int) -> list[int]:

@@ -92,6 +92,37 @@ def test_simhash_complete_vs_bruteforce(spark, dup_docs):
         simhash_pairs(dup_docs, 6, n_chunks=4)
 
 
+def test_connected_components_transitive(spark):
+    """Chains and triangles collapse to the min-id component; isolated
+    pairs stay separate."""
+    from irkit_spark.pipeline.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> comp 1
+         (10, 11), (11, 12), (10, 12),    # triangle -> comp 10
+         (20, 21)],                       # pair -> comp 20
+        "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_near_keep_first(spark, dup_docs):
+    """Near-dup apply: each planted pair loses its higher doc_id; docs
+    outside any near-dup pair survive."""
+    from irkit_spark.pipeline.dedup import (dedup_near_keep_first,
+                                            minhash_lsh_pairs)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(dup_docs, 3, 0.5).collect()}
+    kept = {r["doc_id"] for r in
+            dedup_near_keep_first(dup_docs, 3, 0.5).collect()}
+    losers = {b for _, b in pairs}
+    keepers = {a for a, _ in pairs} - losers
+    assert kept.isdisjoint(losers)
+    assert keepers <= kept
+    assert kept | losers == set(range(200))
+
+
 def test_shingle_jaccard_vs_minhash_agree(spark, dup_docs):
     from irkit_spark.pipeline.dedup import (minhash_lsh_pairs,
                                             shingle_jaccard_pairs)
