@@ -73,6 +73,13 @@ POSTINGS_SCHEMA = (
     "blocks array<struct<first_doc: long, last_doc: long, n: int, "
     "max_score: float, doc_bytes: binary, tf_bytes: binary>>")
 
+# Explicit artifact-reader schemas: skips footer-based inference AND
+# keeps empty builds loadable (a partitionBy write of zero rows leaves
+# a dir with no data files, which schema inference cannot read)
+TOK_TABLE_SCHEMA = "doc_id long, term_id int, tf int, dl int"
+DOCS_TABLE_SCHEMA = "doc_id long, url string, doc_len int, partition_id int"
+TERMS_TABLE_SCHEMA = "term_id int, term string, df long, cf long, max_score float"
+
 
 def tokenize_spark(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -538,7 +545,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # row-group min/max stats prune the resume filter anyway.
         tok.write.mode("overwrite").parquet(tok_path)
         _mark("tokenize_write")
-        tok = spark.read.parquet(tok_path)
+        tok = spark.read.schema(TOK_TABLE_SCHEMA).parquet(tok_path)
         # doc lengths straight off the persisted canonical text (token
         # count = split count; '' -> 0): a 2 x n_docs narrow join, NOT
         # a second scan + groupBy of the 10^12-row token table. This is
@@ -564,7 +571,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             .write.mode("overwrite").partitionBy("partition_id") \
             .parquet(docs_path)
         _mark("docs_write")
-        docs = spark.read.parquet(docs_path)
+        docs = spark.read.schema(DOCS_TABLE_SCHEMA).parquet(docs_path)
         (src if doc_id_col is not None else src0).unpersist()
 
     glob = docs.agg(F.count("*").alias("n"),
@@ -623,7 +630,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             .write.mode("overwrite") \
             .partitionBy("partition_id").parquet(post_path)
     _mark("shuffle_encode_write")
-    postings = spark.read.parquet(post_path)
+    postings = spark.read.schema(POSTINGS_SCHEMA).parquet(post_path)
 
     # ---- stage 4: terms df/cf/max_score + final small tables ----------
     # df/cf/max_norm all come from ONE scan of the tiny encoded postings

@@ -57,9 +57,15 @@ class Index:
                  dl_broadcast_max: int | None = None):
         self.spark = spark
         self.path = path
-        self.postings = spark.read.parquet(os.path.join(path, "postings"))
-        self.terms = spark.read.parquet(os.path.join(path, "terms"))
-        self.docs = spark.read.parquet(os.path.join(path, "docs"))
+        from irkit_spark.operators.build import (DOCS_TABLE_SCHEMA,
+                                                 POSTINGS_SCHEMA,
+                                                 TERMS_TABLE_SCHEMA)
+        self.postings = spark.read.schema(POSTINGS_SCHEMA) \
+            .parquet(os.path.join(path, "postings"))
+        self.terms = spark.read.schema(TERMS_TABLE_SCHEMA) \
+            .parquet(os.path.join(path, "terms"))
+        self.docs = spark.read.schema(DOCS_TABLE_SCHEMA) \
+            .parquet(os.path.join(path, "docs"))
         st = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avg_doc_len"])

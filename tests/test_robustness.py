@@ -59,6 +59,34 @@ def test_arrow_encoder_splits_oversized_regions():
         run(16)
 
 
+def test_empty_and_single_doc_builds(spark, tmp_path):
+    """Degenerate corpora: an empty pages table and a single-doc table
+    both build, load and answer queries without error."""
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index, search
+    from irkit_spark.sources.pages import PAGES_SCHEMA
+
+    empty = spark.createDataFrame([], PAGES_SCHEMA)
+    out0 = str(tmp_path / "empty")
+    m0 = build_index(spark, empty, out0, docs_per_shard=100,
+                     text_from_html=True)
+    assert m0["n_docs"] == 0 and m0["total_postings"] == 0
+    idx0 = Index(spark, out0)
+    assert search(idx0, "anything", 5, "wand").count() == 0
+
+    import datetime
+    one = spark.createDataFrame(
+        [("https://x.example/1", datetime.datetime(2020, 1, 1),
+          b"<html><body>hello tiny world</body></html>", None, "en")],
+        PAGES_SCHEMA)
+    out1 = str(tmp_path / "one")
+    m1 = build_index(spark, one, out1, docs_per_shard=100,
+                     text_from_html=True)
+    assert m1["n_docs"] == 1 and m1["total_postings"] == 3
+    got = search(Index(spark, out1), "hello", 5, "wand").collect()
+    assert [r["doc_id"] for r in got] == [0]
+
+
 def test_streaming_epoch_replay_is_noop(spark, tmp_path):
     """foreachBatch replay of an already-recorded epoch must not
     double-ingest (exactly-once across crash/replay)."""
