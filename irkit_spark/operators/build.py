@@ -1,25 +1,32 @@
 """Distributed inverted-index build (SURVEY.md §3.1, BASELINE.json:6).
 
-Pipeline (stage per line; shuffles marked):
+Pipeline (stage per line; shuffles marked). The raw table is scanned
+exactly ONCE (the canonicalize pass); everything downstream reads the
+persisted canonical output:
 
   pages(url, warc_ts, html, text, lang)                     [input_hint]
-    -> extract: Arrow pandas_udf html->text                 (S3)
-    -> doc_id:  deterministic dense two-pass assignment     (T2, 1 small shuffle)
-    -> tok:     mapInPandas tokenize+count -> (doc_id, term, tf, dl)  (T1+A1,
-                no explode shuffle; dl rides along so encode needs no
-                doc-length join)
-    -> tok checkpoint: parquet partitioned by shard         (resumability §4.4)
-    -> terms:   groupBy(term).agg(df, cf) + dense term_id   (A2+T3, small shuffle)
-                -> broadcast {term -> term_id} dict         [B:6]
-    -> THE shuffle: repartition(n_parts, term_id, shard)
-                + sortWithinPartitions(term_id, shard, doc_id)
+    -> canonicalize: frozen extract + frozen tokenizer, fused in one
+                Arrow pandas pass keyed by url; persisted    (S3+T1)
+    -> doc_id:  deterministic dense two-pass assignment over the
+                persisted urls                               (T2, 1 small shuffle)
+    -> lexicon: per-batch DISTINCT terms -> vocab-gated term ids
+                (driver-sorted broadcast dict <= cap [B:6]; range-
+                partitioned sorted-rank + shuffle join above — same
+                sorted-rank id space, byte-identical)        (T3)
+    -> tok:     mapInPandas -> (doc_id, term_id, tf, dl) integer-only
+                stream; shard derived from doc_id, never shuffled
+    -> tok checkpoint: parquet                               (resumability §4.4)
+    -> THE shuffle: repartition(n_parts, term_id, doc_id // DPS)
                 == the "salted repartition-by-term +
                 sortWithinPartitions(term, docID)" of BASELINE.json:6,
-                with salt = shard(doc_id) = doc_id // DOCS_PER_SHARD.
-    -> encode:  mapInPandas streaming-group kernel: delta-gap + varbyte/
-                streamvbyte blocks + per-block max tf_norm   (C1/C2/C3/C4/A5)
-    -> write:   postings (dir-partitioned by shard), terms, docs, stats,
-                lineage (per-shard status + metrics)         (S5, §4.4)
+                with salt = shard(doc_id); the within-partition sort
+                runs as np.lexsort inside the varbyte encode kernel
+    -> encode:  streaming-group kernel: delta-gap + varbyte/streamvbyte
+                blocks + per-block max tf_norm + per-group cf
+                                                             (C1-C4/A5/A2)
+    -> write:   postings (dir-partitioned by shard), terms (df/cf/
+                max_score from ONE postings scan), docs (dl from the
+                canonical text), stats, lineage              (S5, §4.4)
 
 Skew handling (explicit, BASELINE.json:14): the salt IS the term-split —
 a head term's posting list is cut into <= n_shards sub-lists, each
