@@ -132,7 +132,10 @@ def main():
     # the sandbox VM shares a host (run-to-run wall varies ~2x under
     # neighbor load): interleave repeats per level and keep the best
     # (least-contended) run as the throughput estimate
-    repeats = int(os.environ.get("IRKIT_BENCH_REPEATS", "3"))
+    # 2 repeats = 5 builds (~10-13 min total with queries/probes): best-
+    # of-2 per level + 2 within-repeat paired ratios; raise via env for
+    # longer, tighter sessions
+    repeats = int(os.environ.get("IRKIT_BENCH_REPEATS", "2"))
     best: dict[int, dict] = {}
     per_rep: list[dict[int, dict]] = []
     for rep in range(repeats):
