@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.media_table(_docs(spark, sf)) \
             .select("doc_id", "n_bytes", "digest")
 
+    def q_quality_filter(spark, sf):
+        return ts.quality_filter(_docs(spark, sf)) \
+            .select("doc_id", "lang", "source", "n_chars")
+
     def q_bpe_token_counts(spark, sf):
         return ts.bpe_token_counts(_docs(spark, sf))
 
@@ -290,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top10": q_ann_cosine,
         "cosine_pairs": q_cosine_pairs,
         "media_metadata": q_media_metadata,
+        "quality_filter": q_quality_filter,
         "bpe_token_counts": q_bpe_token_counts,
         "sample_frames": q_sample_frames,
         "resize_images": q_resize_images,
@@ -525,6 +530,12 @@ WHERE round({cosp}, 6) > 0.3""",
 SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
        md5(text) AS digest FROM documents""",
         "media_features": _media_features_sql(),
+        "quality_filter": f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE len({_TOKS}) >= 20
+  AND (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})) >= 0.3
+  AND (list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+       * 1.0 / len({_TOKS})) <= 12.0""",
         # the gate corpus is pure ASCII (verified: octet_length ==
         # length for every row), so VARCHAR substr/md5 are byte-exact
         # stand-ins for the kernel's byte slicing

@@ -79,6 +79,24 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         .alias("mean_tok_len"))
 
 
+def quality_filter(docs: DataFrame, min_tokens: int = 20,
+                   min_uniq_ratio: float = 0.3,
+                   max_mean_tok_len: float = 12.0) -> DataFrame:
+    """The applied form of quality scoring: keep docs passing the
+    length / repetition / gibberish thresholds — the cleaning pass a
+    training pipeline actually runs. One codegen'd scan, no shuffle."""
+    t = _toks()
+    n = F.size(t).cast("double")
+    uniq_ratio = F.when(n > 0, F.size(F.array_distinct(t)) / n) \
+        .otherwise(0.0)
+    tok_chars = F.aggregate(t, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+    mean_len = F.when(n > 0, tok_chars / n).otherwise(0.0)
+    return docs.filter((n >= min_tokens)
+                       & (uniq_ratio >= min_uniq_ratio)
+                       & (mean_len <= max_mean_tok_len))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred): argmax of per-language stopword hits, frozen
     priority en>de>fr>es on ties, 'und' when no list scores > 0."""

@@ -232,6 +232,18 @@ def test_ann_index_persisted_matches_ivf(spark, planted_vectors, tmp_path):
         "cluster IN" in plan or "PartitionFilters" in plan
 
 
+def test_quality_filter_thresholds(spark):
+    from irkit_spark.pipeline.textstats import quality_filter
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(30))),     # passes
+         (1, "short doc"),                              # too few tokens
+         (2, " ".join(["same"] * 40)),                  # repetitive
+         (3, " ".join(["a" * 30] * 25))],               # gibberish-long
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in quality_filter(docs).collect()}
+    assert kept == {0}
+
+
 def test_lang_id_on_real_stopwords(spark):
     from irkit_spark.pipeline.textstats import lang_id
     docs = spark.createDataFrame(
