@@ -541,12 +541,10 @@ WHERE len({_TOKS}) >= 20
         # stand-ins for the kernel's byte slicing
         "bpe_token_counts": r"""
 SELECT doc_id,
-  CAST(CASE WHEN trim(text) = '' THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-       AS BIGINT) AS n_ws,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
   CAST(len(list_filter(regexp_extract_all(lower(text),
     '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s]+|\s+'),
-    x -> trim(x) != '')) AS BIGINT) AS n_bpe
+    x -> NOT regexp_matches(x, '^\s+$'))) AS BIGINT) AS n_bpe
 FROM documents""",
         "sample_frames": """
 WITH m AS (SELECT doc_id, text, length(text) AS ln FROM documents),

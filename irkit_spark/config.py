@@ -40,6 +40,13 @@ DOCS_PER_SHARD = int(os.environ.get("IRKIT_DOCS_PER_SHARD", "100000"))
 # Must be >> max parallelism and << collection size at scale.
 ID_BUCKETS = int(os.environ.get("IRKIT_ID_BUCKETS", "64"))
 
+# (url -> doc_id) mapping broadcast gate: below this many docs the
+# build broadcasts the narrow mapping for the id-attach join; above it
+# (corpus-sized mapping, 10^9+ rows) the join shuffles on url — a
+# broadcast there would exceed Spark's 8GB/512M-row broadcast limits.
+ID_BROADCAST_MAX = int(os.environ.get("IRKIT_ID_BROADCAST_MAX",
+                                      "5000000"))
+
 # Query-time doc-length gate: at or below this many docs the Index
 # broadcasts per-shard doc-length arrays once (int32; ~4MB per 10^6
 # docs) and the per-shard query kernel runs over postings alone — no

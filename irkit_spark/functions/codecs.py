@@ -26,18 +26,33 @@ _VB_THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
 def _vb_nbytes(v: np.ndarray) -> np.ndarray:
-    """Bytes needed per value (1..10) without float log (exact for u64)."""
+    """Bytes needed per value (1..10) without float log (exact for u64).
+    Threshold passes stop at the array max: posting gaps and tfs are
+    overwhelmingly 1-2 bytes, so this is 1-2 passes, not 9 (the kernel
+    is memory-bandwidth-bound; every avoided pass is wall time)."""
     n = np.ones(v.shape, dtype=np.int64)
+    if v.size == 0:
+        return n
+    mx = v.max()
     for t in _VB_THRESHOLDS:
+        if mx < t:
+            break
         n += (v >= t).astype(np.int64)
     return n
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
+def varbyte_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """LEB128 wire bytes. `nbytes` (from _vb_nbytes / np.diff of
+    varbyte_byte_offsets) may be passed to avoid recomputing sizes when
+    the caller already built the offsets table."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = _vb_nbytes(v)
+    if nbytes is None:
+        nbytes = _vb_nbytes(v)
+    if nbytes[-1] == 1 and nbytes.max() == 1:
+        # all values < 128: the wire IS the values, one cast
+        return v.astype(np.uint8).tobytes()
     total = int(nbytes.sum())
     # value index of each output byte + position-within-value
     idx = np.repeat(np.arange(v.size, dtype=np.int64), nbytes)

@@ -277,8 +277,12 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         # split the region at a group boundary near the middle and
         # recurse (group spans stay intact, so output rows stay unique
         # per (term_id, partition_id))
-        off_d = varbyte_byte_offsets(gaps)
-        off_t = varbyte_byte_offsets(tf)
+        from irkit_spark.functions.codecs import _vb_nbytes
+        nb_d, nb_t = _vb_nbytes(gaps), _vb_nbytes(tf)
+        off_d = np.zeros(n + 1, dtype=np.int64)
+        off_t = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nb_d, out=off_d[1:])
+        np.cumsum(nb_t, out=off_t[1:])
         if int(off_d[-1]) > bin_limit or int(off_t[-1]) > bin_limit:
             if gstarts.size < 2:
                 raise ValueError(
@@ -291,8 +295,8 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
                 yield from encode_region(t[lo:hi], s[lo:hi], d[lo:hi],
                                          tf_in[lo:hi], dl[lo:hi])
             return
-        wire_d = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
-        wire_t = np.frombuffer(varbyte_encode(tf), dtype=np.uint8)
+        wire_d = np.frombuffer(varbyte_encode(gaps, nb_d), dtype=np.uint8)
+        wire_t = np.frombuffer(varbyte_encode(tf, nb_t), dtype=np.uint8)
         bmax = np.maximum.reduceat(tf_norm, bstarts)
         nblocks = bstarts.size
         bin_off_d = off_d[np.append(bstarts, n)].astype(np.int32)
@@ -373,7 +377,26 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         del chunks
         t, s, d, tf, dl = cols(tbl)
         del tbl
-        order = np.lexsort((d, s, t))
+        # shard = doc_id // DPS is monotonic in doc_id, so sorting by
+        # (term, doc) IS sorting by (term, shard, doc) — the shard key
+        # is never materialized into the sort. On this box the sort is
+        # memory-bandwidth-bound, so fewer key passes = real wall time:
+        # when (t, d) packs into one int64 (true whenever
+        # bits(t_max) + bits(d_max) <= 63; at 10^12 docs x 10^8 vocab
+        # it does not, and we fall back to the 2-key lexsort) one
+        # radix-friendly argsort replaces the lexsort cascade.
+        t_max = int(t.max()) if t.size else 0
+        d_max = int(d.max()) if d.size else 0
+        d_bits = max(1, d_max).bit_length()
+        if t_max.bit_length() + d_bits <= 63:
+            # keys are unique ((term, doc) appears once: tf is already
+            # aggregated), so unstable introsort is safe — and ~2x
+            # faster than the stable mergesort for int64
+            key = (t.astype(np.int64) << d_bits) | d
+            order = np.argsort(key)
+            del key
+        else:
+            order = np.lexsort((d, t))
         yield from encode_region(t[order], s[order], d[order], tf[order],
                                  dl[order])
 
@@ -483,8 +506,15 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                             it, "url", "text", from_html=text_from_html),
                         schema="url string, text string")
                     .persist())
-            mapping, _ = dense_id_mapping(src0, "url", "doc_id", n_buckets)
-            src = src0.join(F.broadcast(mapping), "url")
+            mapping, n_ids = dense_id_mapping(src0, "url", "doc_id",
+                                              n_buckets)
+            # broadcast only while the (url, doc_id) mapping fits the
+            # driver/executors (same gate as assign_dense_ids); at
+            # 10^9-10^12 docs the mapping is corpus-sized and the join
+            # must shuffle on url instead
+            right = (F.broadcast(mapping)
+                     if n_ids <= config.ID_BROADCAST_MAX else mapping)
+            src = src0.join(right, "url")
         batch_terms = (src0 if doc_id_col is None else src) \
             .select("text").mapInPandas(
             lambda it: distinct_terms_iter(it, "text",

@@ -81,24 +81,46 @@ class Index:
                         else config.DL_BROADCAST_MAX)
         self._dl_bc = None          # lazy, built on first search
 
+    # (spark-app id, index path) -> broadcast of per-shard dl arrays:
+    # callers routinely construct a fresh Index per query, so the cache
+    # must outlive the instance or the collect is re-paid every query
+    _dl_bc_cache: dict[tuple[str, str], object] = {}
+
     def doc_len_broadcast(self):
         """Per-shard doc-length arrays as one broadcast (gated on
         n_docs): lets the shard kernel run over postings alone, with no
         docs-table shuffle per query. None above the cap — queries then
-        cogroup against the (touched shards of the) docs table."""
+        cogroup against the (touched shards of the) docs table.
+        Collected via Arrow (toPandas) + numpy bulk assignment, not
+        per-row Python; cached per (app, path)."""
         if self.n_docs > self._dl_cap:
             return None
         if self._dl_bc is None:
-            rows = self.docs.select("partition_id", "doc_id",
-                                    "doc_len").collect()
-            dps = self.docs_per_shard
-            arrs: dict[int, np.ndarray] = {}
-            for r in rows:
-                s = int(r["partition_id"])
-                if s not in arrs:
-                    arrs[s] = np.zeros(dps, dtype=np.int32)
-                arrs[s][int(r["doc_id"]) - s * dps] = int(r["doc_len"])
-            self._dl_bc = self.spark.sparkContext.broadcast(arrs)
+            # key carries the docs commit mtime: a rebuild into the
+            # same path invalidates instead of serving stale lengths
+            try:
+                ver = os.path.getmtime(
+                    os.path.join(self.path, "docs", "_SUCCESS"))
+            except OSError:
+                ver = 0.0
+            key = (self.spark.sparkContext.applicationId, self.path, ver)
+            bc = Index._dl_bc_cache.get(key)
+            if bc is None:
+                pdf = self.docs.select("partition_id", "doc_id",
+                                       "doc_len").toPandas()
+                dps = self.docs_per_shard
+                sh = pdf["partition_id"].to_numpy()
+                pos = pdf["doc_id"].to_numpy() - sh.astype(np.int64) * dps
+                dl = pdf["doc_len"].to_numpy().astype(np.int32)
+                arrs: dict[int, np.ndarray] = {}
+                for s in np.unique(sh):
+                    m = sh == s
+                    a = np.zeros(dps, dtype=np.int32)
+                    a[pos[m]] = dl[m]
+                    arrs[int(s)] = a
+                bc = self.spark.sparkContext.broadcast(arrs)
+                Index._dl_bc_cache[key] = bc
+            self._dl_bc = bc
         return self._dl_bc
 
     # §3.3 lookups ([pub:tools/irk-lookup — low])

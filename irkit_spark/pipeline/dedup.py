@@ -264,13 +264,19 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
 
 # ------------------------------------------------- near-dup apply (CC)
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50,
+                         on_nonconverged: str = "raise") -> DataFrame:
     """(doc_id, component): connected components of an undirected pair
     graph via min-label propagation — each round every node adopts the
-    smallest label in its closed neighborhood; converges in
-    O(log(diameter)) rounds (dup clusters are tiny, so 2-3 in
-    practice). Each round is two hash joins + a groupBy — no driver
-    data, scales with the edge list."""
+    smallest label in its closed neighborhood. Convergence takes
+    O(diameter) rounds (dup clusters are tiny, so 2-3 in practice; a
+    pathological 10^3-hop chain needs large-star/small-star instead).
+    Each round is two hash joins + a groupBy — no driver data, scales
+    with the edge list.
+
+    If the loop exhausts max_iter while labels are still changing the
+    result would be silently split components, so it raises by default
+    (on_nonconverged="warn" downgrades to a logged warning)."""
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
@@ -278,6 +284,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("component", F.col("doc_id"))).persist()
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (edges.join(labels,
                               edges["dst"] == labels["doc_id"])
@@ -296,6 +303,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        msg = (f"connected_components did not converge within "
+               f"{max_iter} rounds ({changed} labels still changing); "
+               f"components would be silently split")
+        if on_nonconverged == "raise":
+            labels.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning)
     return labels
 
 
@@ -312,7 +328,9 @@ def dedup_near_keep_first(docs: DataFrame, n: int = 3,
         comp.groupBy("component").agg(F.min("doc_id").alias("keep")),
         "component")
         .filter(F.col("doc_id") != F.col("keep"))
-        .select("doc_id"))
+        .select("doc_id")).persist()
+    losers.count()     # materialize so the labels frame can be freed
+    comp.unpersist()
     return docs.join(losers, "doc_id", "left_anti")
 
 

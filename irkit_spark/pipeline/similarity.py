@@ -98,10 +98,27 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 16,
                      sample: int = 4096, iters: int = 10,
                      vec_col: str = "embedding") -> np.ndarray:
     """Seeded driver-side k-means on a bounded sample — the IVF coarse
-    quantizer. At 10^9+ vectors the sample stays bounded (limit) and
-    assignment below stays distributed; only centroids live on the
-    driver."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    quantizer. At 10^9+ vectors the sample stays bounded and assignment
+    below stays distributed; only centroids live on the driver.
+
+    The sample is drawn ACROSS partitions (seeded hash of vec_id /
+    deterministic per-partition Bernoulli), never `.limit()` — a limit
+    short-circuits to the first partitions, so at corpus scale the
+    centroids would be trained on whatever corner of the data sorts
+    first."""
+    total = emb.count()
+    if total > sample:
+        # Bernoulli-sample ~1.5x the target across ALL partitions, then
+        # trim to `sample` with a seeded driver-side choice (a .limit()
+        # here would re-introduce the first-partitions bias)
+        frac = min(1.0, 1.5 * sample / total)
+        rows = emb.select(vec_col).sample(fraction=frac, seed=42).collect()
+        if len(rows) > sample:
+            sel = np.random.default_rng(42).choice(
+                len(rows), size=sample, replace=False)
+            rows = [rows[i] for i in sel]
+    else:
+        rows = emb.select(vec_col).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(42)

@@ -49,11 +49,15 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_ws, n_bpe): whitespace-split count + BPE-ish
     pre-tokenizer match count (whitespace runs excluded) — the two
     token-budget estimators a training pipeline actually uses."""
-    trimmed = F.trim(F.col("text"))
-    n_ws = (F.when(trimmed == "", F.lit(0))
-            .otherwise(F.size(F.split(trimmed, r"\s+"))))
+    # count \S+ runs directly: the trim()+split form undercounts pure-
+    # space docs to 1 and miscounts docs padded with \t/\n (trim strips
+    # ASCII spaces only)
+    n_ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
     m = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)
-    n_bpe = F.size(F.filter(m, lambda x: F.trim(x) != F.lit("")))
+    # a whitespace test, not trim(): trim strips ASCII space only, so a
+    # pure newline/tab run matched by \s+ would survive a trim filter
+    # and be miscounted as a BPE token
+    n_bpe = F.size(F.filter(m, lambda x: ~x.rlike(r"^\s+$")))
     return docs.select("doc_id",
                        n_ws.cast("long").alias("n_ws"),
                        n_bpe.cast("long").alias("n_bpe"))
