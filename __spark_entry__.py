@@ -222,6 +222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return dd.simhash_pairs(_docs(spark, sf), 6)
 
+    def q_simhash_blocked(spark, sf):
+        # scale path: Manku block-permutation candidate keys (~25-bit
+        # key space, C(10,4) tables) — exact same pair set as q_simhash
+        # (pytest: test_simhash_blocked_matches_chunked)
+        return dd.simhash_pairs_blocked(_docs(spark, sf), 6)
+
     def q_lsh_ann(spark, sf):
         emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
         return sim.lsh_topk(emb, _query_vec(spark, sf), 10)
@@ -302,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_keep_first": q_dedup_near,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
+        "simhash_pairs_blocked": q_simhash_blocked,
         "lsh_ann_top10": q_lsh_ann,
         "ivf_ann_top10": q_ivf_ann,
         "lsh_cosine_pairs": q_lsh_cosine_pairs,

@@ -66,6 +66,18 @@ BROADCAST_VOCAB_MAX = int(os.environ.get("IRKIT_BROADCAST_VOCAB_MAX",
 
 SHUFFLE_PARTITIONS = int(os.environ.get("IRKIT_SHUFFLE_PARTITIONS", "32"))
 
+# Blob-shuffle sizing (operators/build.py stage 2/3). Pack-time bucket
+# count = n_parts x ENC_BUCKET_OVER: the encode kernel expands one
+# bucket at a time, so peak numpy expansion is ~1/OVER of a partition,
+# and the encode partition count can later be raised up to the bucket
+# count without repacking. ENC_PART_BYTES bounds a partition's PACKED
+# bytes (20B/posting): n_parts_enc is derived from the written tok
+# size so an undersized spark.sql.shuffle.partitions cannot OOM the
+# encode at 100x the data.
+ENC_BUCKET_OVER = int(os.environ.get("IRKIT_ENC_BUCKET_OVER", "8"))
+ENC_PART_BYTES = int(os.environ.get("IRKIT_ENC_PART_BYTES",
+                                    str(512 * 1024 * 1024)))
+
 
 def get_spark(app: str = "irkit_spark", cores: str | int = "*",
               shuffle_partitions: int | None = None):
@@ -99,5 +111,10 @@ def get_spark(app: str = "irkit_spark", cores: str | int = "*",
                 os.environ.get("IRKIT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # opt-in event log for per-job/per-stage profiling (tools/)
+        .config("spark.eventLog.enabled",
+                "true" if os.environ.get("IRKIT_EVENTLOG") else "false")
+        .config("spark.eventLog.dir",
+                os.environ.get("IRKIT_EVENTLOG", "/tmp/spark-events"))
         .getOrCreate()
     )

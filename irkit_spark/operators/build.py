@@ -218,10 +218,134 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
     return run
 
 
+# packed token-blob layout (the build's big exchange moves these
+# instead of raw rows): one binary cell per (bucket, shard, source
+# Arrow batch) holding n = len(blob)//20 token rows as four contiguous
+# column blocks — doc_id int64[n] | term_id int32[n] | tf int32[n] |
+# dl int32[n]. 20 bytes/posting, memcpy-packed: the JVM shuffles a few
+# thousand binary cells per build instead of ser/deserializing 10^12
+# Tungsten rows (measured: row shuffle + row->Arrow conversion cost 2x
+# the encode kernel itself in JVM CPU).
+TOK_BLOB_SCHEMA = "bucket int, shard int, blob binary"
+_BLOB_ROW_BYTES = 20
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bucket_of(term_id: np.ndarray, shard: np.ndarray,
+               n_buckets: int) -> np.ndarray:
+    """Deterministic bucket of the (term_id, shard) shuffle key — the
+    'salted repartition-by-term' key of BASELINE.json:6, salt = doc
+    shard, so one bucket never holds more than one doc-shard's slice of
+    a head term (explicit skew bound)."""
+    with np.errstate(over="ignore"):
+        h = (term_id.astype(np.uint64) * _MIX_A
+             + shard.astype(np.uint64) * _MIX_B)
+        h ^= h >> np.uint64(29)
+        h *= _MIX_A
+        h ^= h >> np.uint64(32)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _pack_blob_frames(d: np.ndarray, t: np.ndarray, tf: np.ndarray,
+                      dl: np.ndarray, n_buckets: int,
+                      docs_per_shard: int):
+    """Group one batch's token rows by (bucket, shard) and pack each
+    group into one binary blob. Returns (buckets, shards, blobs) lists."""
+    s = (d // docs_per_shard).astype(np.int32)
+    bk = _bucket_of(t, s, n_buckets)
+    order = np.lexsort((s, bk))
+    d, t, tf, dl, s, bk = (d[order], t[order], tf[order], dl[order],
+                           s[order], bk[order])
+    gflag = np.empty(d.size, dtype=bool)
+    gflag[0] = True
+    gflag[1:] = (bk[1:] != bk[:-1]) | (s[1:] != s[:-1])
+    starts = np.flatnonzero(gflag)
+    ends = np.append(starts[1:], d.size)
+    buckets, shards, blobs = [], [], []
+    for lo, hi in zip(starts, ends):
+        buckets.append(int(bk[lo]))
+        shards.append(int(s[lo]))
+        blobs.append(d[lo:hi].astype(np.int64).tobytes()
+                     + t[lo:hi].astype(np.int32).tobytes()
+                     + tf[lo:hi].astype(np.int32).tobytes()
+                     + dl[lo:hi].astype(np.int32).tobytes())
+    return buckets, shards, blobs
+
+
+def _unpack_blob(blob) -> tuple:
+    """blob -> (doc_id i64, term_id i32, tf i32, dl i32) column views."""
+    b = memoryview(blob)
+    n = len(b) // _BLOB_ROW_BYTES
+    d = np.frombuffer(b, np.int64, n)
+    t = np.frombuffer(b, np.int32, n, offset=8 * n)
+    tf = np.frombuffer(b, np.int32, n, offset=12 * n)
+    dl = np.frombuffer(b, np.int32, n, offset=16 * n)
+    return d, t, tf, dl
+
+
+def _pack_tok_pandas(pdfs, n_buckets: int, docs_per_shard: int):
+    """pandas batches of (doc_id, term_id, tf, dl) -> packed blob rows."""
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        buckets, shards, blobs = _pack_blob_frames(
+            pdf["doc_id"].to_numpy().astype(np.int64),
+            pdf["term_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["dl"].to_numpy(), n_buckets, docs_per_shard)
+        yield pd.DataFrame({"bucket": pd.Series(buckets, dtype="int32"),
+                            "shard": pd.Series(shards, dtype="int32"),
+                            "blob": pd.Series(blobs, dtype="object")})
+
+
+def _pack_kernel_arrow(n_buckets: int, docs_per_shard: int):
+    """mapInArrow: (doc_id, term_id, tf, dl) rows -> packed blob rows
+    (the huge-vocab path packs after its term-id shuffle join)."""
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            get = lambda c: rb.column(names.index(c)).to_numpy(
+                zero_copy_only=False)
+            buckets, shards, blobs = _pack_blob_frames(
+                get("doc_id").astype(np.int64), get("term_id"),
+                get("tf"), get("dl"), n_buckets, docs_per_shard)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(buckets, pa.int32()),
+                 pa.array(shards, pa.int32()),
+                 pa.array(blobs, pa.binary())],
+                names=["bucket", "shard", "blob"])
+
+    return run
+
+
+def _unpack_rows_kernel():
+    """mapInArrow: packed blob rows -> (doc_id, term_id, tf, dl) rows
+    (generic-codec path; varbyte never unpacks to Spark rows)."""
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            blobs = rb.column(rb.schema.names.index("blob"))
+            for i in range(rb.num_rows):
+                d, t, tf, dl = _unpack_blob(blobs[i].as_py())
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(d, pa.int64()), pa.array(t, pa.int32()),
+                     pa.array(tf, pa.int32()), pa.array(dl, pa.int32())],
+                    names=["doc_id", "term_id", "tf", "dl"])
+
+    return run
+
+
 def _encode_kernel_arrow(avgdl: float, block_size: int,
                          docs_per_shard: int, quantize: bool = False,
                          sort_in_kernel: bool = True,
-                         max_bin_offset: int | None = None):
+                         max_bin_offset: int | None = None,
+                         blob_input: bool = False):
     """mapInArrow encoder (varbyte fast path): the blocks column is
     assembled as a pyarrow List<Struct> directly from numpy buffers —
     no per-block Python dicts, no pandas round-trip. Per 30M postings
@@ -329,15 +453,15 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
              pa.array(cf_g.astype(np.int64), pa.int64()),
              blocks_col], schema=out_schema)
 
-    def cols(rb_or_tbl):
+    def cols(rb_or_tbl, want_shard: bool = True):
         # shard is DERIVED from doc_id here rather than shuffled as a
         # column: 4 fewer bytes per token row through the big exchange
         names = rb_or_tbl.schema.names
         get = lambda c: rb_or_tbl.column(names.index(c)).to_numpy(
             zero_copy_only=False)
         d = get("doc_id").astype(np.int64)
-        return (get("term_id"), (d // docs_per_shard).astype(np.int32),
-                d, get("tf").astype(np.uint64),
+        s = (d // docs_per_shard).astype(np.int32) if want_shard else None
+        return (get("term_id"), s, d, get("tf").astype(np.uint64),
                 get("dl").astype(np.float64))
 
     def run_presorted(batches):
@@ -362,6 +486,49 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         if carry is not None and carry[0].size:
             yield from encode_region(*carry)
 
+    def sort_and_encode(t, d, tf, dl):
+        """Shared tail of the in-kernel-sort paths: order by (term,
+        doc) — shard = doc // DPS is monotonic in doc, so this IS the
+        (term, shard, doc) order — then encode."""
+        t_max = int(t.max()) if t.size else 0
+        d_max = int(d.max()) if d.size else 0
+        d_bits = max(1, d_max).bit_length()
+        if t_max.bit_length() + d_bits <= 63:
+            # keys are unique ((term, doc) appears once: tf is already
+            # aggregated), so unstable introsort is safe — and ~2x
+            # faster than the stable mergesort for int64
+            key = (t.astype(np.int64) << d_bits) | d
+            order = np.argsort(key)
+            del key
+        else:
+            order = np.lexsort((d, t))
+        d = d[order]
+        s = (d // docs_per_shard).astype(np.int32)
+        yield from encode_region(t[order], s, d, tf[order], dl[order])
+
+    def run_blobs(batches):
+        """Packed-blob input (TOK_BLOB_SCHEMA): accumulate raw blobs
+        per bucket (20B/posting — the partition is resident only in
+        packed form), then expand + sort + encode ONE bucket at a time,
+        so peak numpy expansion is a bucket, not the partition."""
+        per_bucket: dict[int, list] = {}
+        for rb in batches:
+            names = rb.schema.names
+            bks = rb.column(names.index("bucket")).to_numpy()
+            blobs = rb.column(names.index("blob"))
+            for i in range(rb.num_rows):
+                per_bucket.setdefault(int(bks[i]), []).append(
+                    blobs[i].as_py())
+        for bucket in sorted(per_bucket):
+            parts = [_unpack_blob(b) for b in per_bucket[bucket]]
+            t = np.concatenate([p[1] for p in parts])
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[2] for p in parts]).astype(np.uint64)
+            dl = np.concatenate([p[3] for p in parts]).astype(np.float64)
+            per_bucket[bucket] = None
+            del parts
+            yield from sort_and_encode(t, d, tf, dl)
+
     def run_sorting(batches):
         """Input only repartitioned: the within-partition
         sort(term, shard, docID) executes HERE as one np.lexsort —
@@ -375,31 +542,18 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
             return
         tbl = pa.Table.from_batches(chunks)
         del chunks
-        t, s, d, tf, dl = cols(tbl)
+        t, _, d, tf, dl = cols(tbl, want_shard=False)
         del tbl
-        # shard = doc_id // DPS is monotonic in doc_id, so sorting by
-        # (term, doc) IS sorting by (term, shard, doc) — the shard key
-        # is never materialized into the sort. On this box the sort is
-        # memory-bandwidth-bound, so fewer key passes = real wall time:
         # when (t, d) packs into one int64 (true whenever
         # bits(t_max) + bits(d_max) <= 63; at 10^12 docs x 10^8 vocab
-        # it does not, and we fall back to the 2-key lexsort) one
-        # radix-friendly argsort replaces the lexsort cascade.
-        t_max = int(t.max()) if t.size else 0
-        d_max = int(d.max()) if d.size else 0
-        d_bits = max(1, d_max).bit_length()
-        if t_max.bit_length() + d_bits <= 63:
-            # keys are unique ((term, doc) appears once: tf is already
-            # aggregated), so unstable introsort is safe — and ~2x
-            # faster than the stable mergesort for int64
-            key = (t.astype(np.int64) << d_bits) | d
-            order = np.argsort(key)
-            del key
-        else:
-            order = np.lexsort((d, t))
-        yield from encode_region(t[order], s[order], d[order], tf[order],
-                                 dl[order])
+        # it does not, and sort_and_encode falls back to the 2-key
+        # lexsort) one radix-friendly argsort replaces the lexsort
+        # cascade — the sort is memory-bandwidth-bound, so fewer key
+        # passes = real wall time.
+        yield from sort_and_encode(t, d, tf, dl)
 
+    if blob_input:
+        return run_blobs
     return run_sorting if sort_in_kernel else run_presorted
 
 
@@ -416,8 +570,15 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 quantize: bool = False,
                 shared_lexicon: DataFrame | None = None,
                 global_stats: tuple[int, float] | None = None,
-                broadcast_vocab_max: int | None = None) -> dict:
-    """Build (or resume) the index; returns build metrics dict."""
+                broadcast_vocab_max: int | None = None,
+                table_format: str | None = None) -> dict:
+    """Build (or resume) the index; returns build metrics dict.
+
+    table_format ('parquet' default, or 'iceberg'; falls back to
+    $IRKIT_TABLE_FORMAT) governs every index artifact
+    (tok/docs/postings/terms/stats/lineage) via sources/catalog:
+    under 'iceberg', out_dir is a catalog namespace and writes go
+    through writeTo()/overwritePartitions()."""
     t0 = time.monotonic()
     phases: dict[str, float] = {}
     _last = [t0]
@@ -427,16 +588,28 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         phases[name] = round(now - _last[0], 3)
         _last[0] = now
 
+    from irkit_spark.sources.catalog import (artifact_exists,
+                                             artifact_format,
+                                             read_artifact, write_artifact)
+    fmt = artifact_format(table_format)
+    if fmt == "iceberg":
+        from irkit_spark.sources.catalog import iceberg_available
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "table_format=iceberg but no Iceberg extension is "
+                "configured on this session — failing before any build "
+                "work (add the iceberg-spark runtime jar + catalog)")
     docs_per_shard = docs_per_shard or config.DOCS_PER_SHARD
     n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    os.makedirs(out_dir, exist_ok=True)
+    if fmt != "iceberg":
+        os.makedirs(out_dir, exist_ok=True)
     p = lambda name: os.path.join(out_dir, name)
 
     # ---- resume bookkeeping -------------------------------------------
     done_shards: set[int] = set()
     prev_attempts: dict[int, int] = {}
-    if resume and os.path.exists(os.path.join(p("lineage"), "_SUCCESS")):
-        lin = spark.read.parquet(p("lineage")).collect()
+    if resume and artifact_exists(spark, out_dir, "lineage", fmt):
+        lin = read_artifact(spark, out_dir, "lineage", fmt=fmt).collect()
         for r in lin:
             prev_attempts[r["partition_id"]] = r["attempt"]
             if r["status"] == "done":
@@ -459,24 +632,25 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     # a range-partitioned sorted-rank assignment and pass B joins on the
     # term string instead (same sorted-rank id space either way, so the
     # two paths produce byte-identical indexes — tested).
-    tok_path = p("tok")
-    docs_path = p("docs")
-    reuse_tok = (resume and os.path.exists(os.path.join(tok_path, "_SUCCESS"))
-                 and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
-                 and os.path.exists(os.path.join(p("terms"), "_SUCCESS")))
+    reuse_tok = (resume and artifact_exists(spark, out_dir, "tok", fmt)
+                 and artifact_exists(spark, out_dir, "docs", fmt)
+                 and artifact_exists(spark, out_dir, "terms", fmt))
     src = None
     bc = None
     join_ids = False
     vocab_cap = (broadcast_vocab_max if broadcast_vocab_max is not None
                  else config.BROADCAST_VOCAB_MAX)
     if reuse_tok:
-        tok = spark.read.parquet(tok_path)
-        docs = spark.read.parquet(docs_path)
+        tok = read_artifact(spark, out_dir, "tok", TOK_BLOB_SCHEMA, fmt)
+        docs = read_artifact(spark, out_dir, "docs", DOCS_TABLE_SCHEMA,
+                             fmt)
         # no driver collect (the vocab may be huge); stage 4 writes the
         # re-derived terms table to a temp dir and swaps it in, so this
         # frame never reads a path that is being overwritten
         join_ids = True
-        lex_df = spark.read.parquet(p("terms")).select("term_id", "term")
+        lex_df = read_artifact(spark, out_dir, "terms",
+                               TERMS_TABLE_SCHEMA, fmt) \
+            .select("term_id", "term")
     else:
         # canonicalize = frozen extract (when html) + frozen regex
         # tokenizer, FUSED in one Python pass; both passes below then
@@ -555,15 +729,28 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     _mark("lexicon")
 
     # ---- stage 2: tokenize pass B + docs table ------------------------
+    # pass B emits PACKED token blobs (TOK_BLOB_SCHEMA): rows are
+    # grouped by the (term_id, shard) shuffle bucket inside the kernel
+    # and memcpy-packed 20B/posting, so the tok checkpoint AND the big
+    # exchange carry a few thousand binary cells instead of 10^12
+    # Tungsten rows (the row ser/deser + row->Arrow conversion measured
+    # 2x the encode kernel in JVM CPU and was the shuffle-phase scaling
+    # wall). Bucket count = n_parts x IRKIT_ENC_BUCKET_OVER so the
+    # encode partition count can be raised after the fact (spill
+    # safety) without repacking.
+    n_buckets_enc = n_parts * config.ENC_BUCKET_OVER
     if not reuse_tok:
         if bc is not None:
             tok = src.select("doc_id", "text").mapInPandas(
-                lambda it: tokenize_ids_iter(it, bc, "doc_id", "text",
-                                             pre_tokenized=True),
-                schema="doc_id long, term_id int, tf int, dl int")
+                lambda it: _pack_tok_pandas(
+                    tokenize_ids_iter(it, bc, "doc_id", "text",
+                                      pre_tokenized=True),
+                    n_buckets_enc, docs_per_shard),
+                schema=TOK_BLOB_SCHEMA)
         else:
-            # huge-vocab path: pass B emits term strings and the id
-            # assignment is a shuffle join against the lexicon
+            # huge-vocab path: pass B emits term strings, the id
+            # assignment is a shuffle join against the lexicon, and a
+            # second Arrow pass packs the joined rows
             tok = (src.select("doc_id", "text").mapInPandas(
                        lambda it: tokenize_count_iter(
                            it, "doc_id", "text", pre_tokenized=True),
@@ -572,17 +759,17 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                    .select("doc_id",
                            F.col("term_id").cast("int").alias("term_id"),
                            F.col("tf").cast("int").alias("tf"),
-                           F.col("dl").cast("int").alias("dl")))
-        # no shard column: it is derivable from doc_id everywhere it is
-        # needed (filter expression, exchange expression, inside the
-        # encode kernel) — 4 fewer bytes per token row written, read,
-        # and shuffled. Plain write (one file per task): dir-
-        # partitioning by shard here would fan out tasks x shards tiny
-        # files; pass-B output is chunk-ordered in doc_id, so parquet
-        # row-group min/max stats prune the resume filter anyway.
-        tok.write.mode("overwrite").parquet(tok_path)
+                           F.col("dl").cast("int").alias("dl"))
+                   .mapInArrow(
+                       _pack_kernel_arrow(n_buckets_enc, docs_per_shard),
+                       schema=TOK_BLOB_SCHEMA))
+        # Plain write (one file per task): dir-partitioning by shard
+        # here would fan out tasks x shards tiny files; pass-B output
+        # is chunk-ordered in doc_id, so parquet row-group min/max
+        # stats on the shard column prune the resume filter anyway.
+        write_artifact(tok, out_dir, "tok", fmt=fmt)
         _mark("tokenize_write")
-        tok = spark.read.schema(TOK_TABLE_SCHEMA).parquet(tok_path)
+        tok = read_artifact(spark, out_dir, "tok", TOK_BLOB_SCHEMA, fmt)
         # doc lengths straight off the persisted canonical text (token
         # count = split count; '' -> 0): a 2 x n_docs narrow join, NOT
         # a second scan + groupBy of the 10^12-row token table. This is
@@ -604,11 +791,11 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             "partition_id", (F.col("doc_id") / docs_per_shard).cast("int"))
         # dir-partitioned by shard so query-time doc-length reads prune;
         # repartition first -> one file per shard dir, not one per task
-        docs.repartition("partition_id") \
-            .write.mode("overwrite").partitionBy("partition_id") \
-            .parquet(docs_path)
+        write_artifact(docs.repartition("partition_id"), out_dir, "docs",
+                       partition_by="partition_id", fmt=fmt)
         _mark("docs_write")
-        docs = spark.read.schema(DOCS_TABLE_SCHEMA).parquet(docs_path)
+        docs = read_artifact(spark, out_dir, "docs", DOCS_TABLE_SCHEMA,
+                             fmt)
         (src if doc_id_col is not None else src0).unpersist()
 
     glob = docs.agg(F.count("*").alias("n"),
@@ -629,45 +816,62 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
 
     # ---- stage 3: THE shuffle + encode --------------------------------
     pending = [s for s in range(n_shards) if s not in done_shards]
-    shard_expr = (F.col("doc_id") / docs_per_shard).cast("int")
-    tok_p = tok if not done_shards else tok.filter(shard_expr.isin(pending))
-    enc_in = (tok_p.select("doc_id", "term_id", "tf", "dl")
-              .repartition(n_parts, F.col("term_id"), shard_expr))
-    sort_in_kernel = codec == "varbyte"
-    if not sort_in_kernel:
-        # spill-safe Tungsten path (also the generic-codec path); the
-        # varbyte kernel executes the same within-partition sort as one
-        # np.lexsort instead (~3x cheaper for these narrow int rows).
-        # (term_id, doc_id) == (term_id, shard, doc_id): shard is
-        # monotonic in doc_id
-        enc_in = enc_in.sortWithinPartitions("term_id", "doc_id")
+    tok_p = tok if not done_shards \
+        else tok.filter(F.col("shard").isin(pending))
+    # spill safety: the encode partition count is derived from the
+    # ACTUAL packed token bytes (20B/posting), so a partition's packed
+    # form is bounded by ENC_PART_BYTES regardless of how the caller
+    # sized spark.sql.shuffle.partitions; the expansion to numpy is
+    # per-bucket (1/ENC_BUCKET_OVER of a partition). Capped at the
+    # pack-time bucket count (a bucket cannot split).
+    n_parts_enc = n_parts
+    if fmt != "iceberg" and os.path.isdir(p("tok")):
+        packed = sum(os.path.getsize(os.path.join(r, f))
+                     for r, _, fs in os.walk(p("tok")) for f in fs
+                     if f.endswith(".parquet"))
+        # snappy parquet of int blobs decompresses ~2x
+        n_parts_enc = min(n_buckets_enc,
+                          max(n_parts,
+                              (2 * packed) // config.ENC_PART_BYTES + 1))
     if codec == "varbyte":
+        # the blob exchange: repartition a few thousand binary cells on
+        # the pack-time bucket of (term_id, shard) — semantically the
+        # salted repartition-by-term of BASELINE.json:6 — and unpack /
+        # sort / encode per bucket inside the kernel
+        enc_in = tok_p.repartition(int(n_parts_enc), "bucket")
         postings_new = enc_in.mapInArrow(
             _encode_kernel_arrow(avgdl, block_size, docs_per_shard,
-                                 quantize, sort_in_kernel),
+                                 quantize, blob_input=True),
             schema=POSTINGS_SCHEMA)
     else:
+        # generic-codec path: unpack blobs to rows, Tungsten-sort
+        # within partitions (spill-safe), stream-encode presorted
+        rows = tok_p.mapInArrow(_unpack_rows_kernel(),
+                                schema=TOK_TABLE_SCHEMA)
+        shard_expr = (F.col("doc_id") / docs_per_shard).cast("int")
+        enc_in = (rows.repartition(int(n_parts_enc), F.col("term_id"),
+                                   shard_expr)
+                  .sortWithinPartitions("term_id", "doc_id"))
         postings_new = enc_in.mapInPandas(
             _encode_kernel(avgdl, codec, block_size, docs_per_shard,
                            quantize),
             schema=POSTINGS_SCHEMA)
 
-    post_path = p("postings")
     if pending:
-        # dynamic = keep done shard dirs on resume; static = clean rebuild
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic" if done_shards else "static")
         # encoded rows are tiny vs raw postings: one cheap extra shuffle
         # puts each shard in a single file (query-time partition pruning
         # then reads exactly the touched shard files)
         # sort by term_id within each shard file: parquet row-group
         # min/max stats then prune query-term filters inside the scan
-        postings_new.repartition("partition_id") \
-            .sortWithinPartitions("term_id") \
-            .write.mode("overwrite") \
-            .partitionBy("partition_id").parquet(post_path)
+        # dynamic = keep done shard partitions on resume
+        write_artifact(postings_new.repartition("partition_id")
+                       .sortWithinPartitions("term_id"),
+                       out_dir, "postings",
+                       partition_by="partition_id", fmt=fmt,
+                       dynamic=bool(done_shards))
     _mark("shuffle_encode_write")
-    postings = spark.read.schema(POSTINGS_SCHEMA).parquet(post_path)
+    postings = read_artifact(spark, out_dir, "postings", POSTINGS_SCHEMA,
+                             fmt)
 
     # ---- stage 4: terms df/cf/max_score + final small tables ----------
     # df/cf/max_norm all come from ONE scan of the tiny encoded postings
@@ -693,17 +897,18 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                                                           F.lit(0.0)))
                                .cast("float"))
                    .select("term_id", "term", "df", "cf", "max_score"))
-    if reuse_tok:
+    if reuse_tok and fmt != "iceberg":
         # swap via a temp dir: lex_df reads the live terms path (local/
         # HDFS rename is atomic enough here; object stores would use a
-        # versioned path + pointer instead)
+        # versioned path + pointer; Iceberg's createOrReplace IS the
+        # atomic swap, so it takes the plain branch)
         import shutil
         tmp_terms = p("terms_tmp")
         terms_final.write.mode("overwrite").parquet(tmp_terms)
         shutil.rmtree(p("terms"))
         os.replace(tmp_terms, p("terms"))
     else:
-        terms_final.write.mode("overwrite").parquet(p("terms"))
+        write_artifact(terms_final, out_dir, "terms", fmt=fmt)
     lex_df.unpersist()
     _mark("terms_write")
 
@@ -727,11 +932,11 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
          + (1 if int(r["partition_id"]) in pending or not prev_attempts
             else 0))
         for r in shard_m]
-    spark.createDataFrame(
+    lineage_df = spark.createDataFrame(
         lineage_rows,
         "partition_id int, status string, postings_cnt long, bytes long, "
-        "skew_ratio double, wall_ms long, attempt int") \
-        .write.mode("overwrite").parquet(p("lineage"))
+        "skew_ratio double, wall_ms long, attempt int")
+    write_artifact(lineage_df, out_dir, "lineage", fmt=fmt)
 
     # bound_slack: WAND upper-bound multiplier, 1.0 for a one-shot build.
     # Incremental merges of batches built under drifting avgdl set it to
@@ -740,13 +945,13 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     stats_row = [(n_docs, float(avgdl), int(coll_len), int(total_postings),
                   codec, int(block_size), int(docs_per_shard), int(n_shards),
                   wall_ms, 1.0, bool(quantize))]
-    spark.createDataFrame(
+    stats_df = spark.createDataFrame(
         stats_row,
         "n_docs long, avg_doc_len double, coll_len long, total_postings long, "
         "codec string, block_size int, docs_per_shard int, n_shards int, "
         "wall_ms long, bound_slack double, quantized boolean") \
-        .withColumn("built_at", F.current_timestamp()) \
-        .write.mode("overwrite").parquet(p("stats"))
+        .withColumn("built_at", F.current_timestamp())
+    write_artifact(stats_df, out_dir, "stats", fmt=fmt)
 
     return {"n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards,
             "total_postings": int(total_postings), "wall_ms": wall_ms,

@@ -96,12 +96,25 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
 
 
 def merge_indexes(spark: SparkSession, in_dirs: list[str],
-                  out_dir: str) -> dict:
+                  out_dir: str, table_format: str | None = None) -> dict:
+    """table_format (parquet default / 'iceberg', $IRKIT_TABLE_FORMAT)
+    governs the merged artifacts exactly like build_index's knob; under
+    iceberg, in_dirs/out_dir are catalog namespaces."""
+    from irkit_spark.sources.catalog import (artifact_format,
+                                             read_artifact, write_artifact)
+    fmt = artifact_format(table_format)
+    if fmt == "iceberg":
+        from irkit_spark.sources.catalog import iceberg_available
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "table_format=iceberg but no Iceberg extension is "
+                "configured on this session")
     t0 = time.monotonic()
-    os.makedirs(out_dir, exist_ok=True)
+    if fmt != "iceberg":
+        os.makedirs(out_dir, exist_ok=True)
     p = lambda name: os.path.join(out_dir, name)
 
-    stats = [spark.read.parquet(os.path.join(d, "stats")).collect()[0]
+    stats = [read_artifact(spark, d, "stats", fmt=fmt).collect()[0]
              for d in in_dirs]
     codec = stats[0]["codec"]
     block_size = int(stats[0]["block_size"])
@@ -115,11 +128,11 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
 
     docs = None
     for d in in_dirs:
-        b = spark.read.parquet(os.path.join(d, "docs"))
+        b = read_artifact(spark, d, "docs", fmt=fmt)
         docs = b if docs is None else docs.unionByName(b)
-    docs.write.mode("overwrite").partitionBy("partition_id") \
-        .parquet(p("docs"))
-    docs = spark.read.parquet(p("docs"))
+    write_artifact(docs, out_dir, "docs", partition_by="partition_id",
+                   fmt=fmt)
+    docs = read_artifact(spark, out_dir, "docs", fmt=fmt)
     g = docs.agg(F.count("*").alias("n"), F.sum("doc_len").alias("l"),
                  F.max("doc_id").alias("mx")).collect()[0]
     n_docs, coll_len = int(g["n"]), int(g["l"] or 0)
@@ -128,7 +141,7 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
 
     post = None
     for d in in_dirs:
-        b = spark.read.parquet(os.path.join(d, "postings"))
+        b = read_artifact(spark, d, "postings", fmt=fmt)
         post = b if post is None else post.unionByName(b)
     kern = _merge_kernel(avgdl, codec, block_size, docs_per_shard,
                          quantized)
@@ -136,16 +149,16 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
               .cogroup(docs.select("partition_id", "doc_id", "doc_len")
                        .groupBy("partition_id"))
               .applyInPandas(lambda lt, rt: kern(lt, rt), POSTINGS_SCHEMA))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    merged.repartition("partition_id").sortWithinPartitions("term_id") \
-        .write.mode("overwrite").partitionBy("partition_id") \
-        .parquet(p("postings"))
-    postings = spark.read.parquet(p("postings"))
+    write_artifact(merged.repartition("partition_id")
+                   .sortWithinPartitions("term_id"),
+                   out_dir, "postings", partition_by="partition_id",
+                   fmt=fmt)
+    postings = read_artifact(spark, out_dir, "postings", fmt=fmt)
 
     # terms: df/cf sums across batches (disjoint docs), fresh max_score
     terms = None
     for d in in_dirs:
-        b = spark.read.parquet(os.path.join(d, "terms"))
+        b = read_artifact(spark, d, "terms", fmt=fmt)
         terms = b if terms is None else terms.unionByName(b)
     tsum = (terms.groupBy("term_id", "term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
@@ -163,7 +176,7 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
                                (F.col("idf") * F.coalesce(
                                    "max_norm", F.lit(0.0))).cast("float"))
                    .select("term_id", "term", "df", "cf", "max_score"))
-    terms_final.write.mode("overwrite").parquet(p("terms"))
+    write_artifact(terms_final, out_dir, "terms", fmt=fmt)
 
     wall_ms = int((time.monotonic() - t0) * 1000)
     total_postings = postings.agg(F.sum("n_docs")).collect()[0][0] or 0
@@ -176,13 +189,13 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
                .collect())
     cnts = sorted(r["postings_cnt"] for r in shard_m) or [0]
     med = cnts[len(cnts) // 2] or 1
-    spark.createDataFrame(
+    lineage_df = spark.createDataFrame(
         [(int(r["partition_id"]), "done", int(r["postings_cnt"]),
           int(r["bytes"]), float(r["postings_cnt"] / med), wall_ms, 1)
          for r in shard_m],
         "partition_id int, status string, postings_cnt long, bytes long, "
-        "skew_ratio double, wall_ms long, attempt int") \
-        .write.mode("overwrite").parquet(p("lineage"))
+        "skew_ratio double, wall_ms long, attempt int")
+    write_artifact(lineage_df, out_dir, "lineage", fmt=fmt)
     # WAND soundness under incremental avgdl drift: batch indexes store
     # per-block max tf_norm computed with THEIR avgdl; tf_norm grows at
     # most by avgdl_final/avgdl_batch when avgdl grows, so this slack
@@ -193,7 +206,7 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     min_batch_avgdl = min(float(s["avg_doc_len"]) for s in stats)
     slack = max(max(batch_slacks),
                 max(1.0, avgdl / min_batch_avgdl if min_batch_avgdl else 1.0))
-    spark.createDataFrame(
+    stats_df = spark.createDataFrame(
         [(n_docs, float(avgdl), coll_len, int(total_postings), codec,
           block_size, docs_per_shard, n_shards, wall_ms, slack,
           quantized)],
@@ -201,7 +214,7 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
         "total_postings long, codec string, block_size int, "
         "docs_per_shard int, n_shards int, wall_ms long, "
         "bound_slack double, quantized boolean") \
-        .withColumn("built_at", F.current_timestamp()) \
-        .write.mode("overwrite").parquet(p("stats"))
+        .withColumn("built_at", F.current_timestamp())
+    write_artifact(stats_df, out_dir, "stats", fmt=fmt)
     return {"n_docs": n_docs, "total_postings": int(total_postings),
             "wall_ms": wall_ms, "n_shards": n_shards}

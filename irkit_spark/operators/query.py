@@ -54,19 +54,22 @@ class Index:
     """Loaded index handle (SURVEY.md §1.3 catalog of Spark tables)."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 dl_broadcast_max: int | None = None):
+                 dl_broadcast_max: int | None = None,
+                 table_format: str | None = None):
         self.spark = spark
         self.path = path
         from irkit_spark.operators.build import (DOCS_TABLE_SCHEMA,
                                                  POSTINGS_SCHEMA,
                                                  TERMS_TABLE_SCHEMA)
-        self.postings = spark.read.schema(POSTINGS_SCHEMA) \
-            .parquet(os.path.join(path, "postings"))
-        self.terms = spark.read.schema(TERMS_TABLE_SCHEMA) \
-            .parquet(os.path.join(path, "terms"))
-        self.docs = spark.read.schema(DOCS_TABLE_SCHEMA) \
-            .parquet(os.path.join(path, "docs"))
-        st = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        from irkit_spark.sources.catalog import read_artifact
+        self.postings = read_artifact(spark, path, "postings",
+                                      POSTINGS_SCHEMA, table_format)
+        self.terms = read_artifact(spark, path, "terms",
+                                   TERMS_TABLE_SCHEMA, table_format)
+        self.docs = read_artifact(spark, path, "docs",
+                                  DOCS_TABLE_SCHEMA, table_format)
+        st = read_artifact(spark, path, "stats",
+                           fmt=table_format).collect()[0]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avg_doc_len"])
         self.coll_len = int(st["coll_len"])

@@ -401,11 +401,77 @@ def simhash64(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
     u = F.col("simhash").cast("long")
     widths = _chunk_widths(n_chunks)
     offs = np.concatenate([[0], np.cumsum(widths)])
+    def chunk(i):
+        c = F.shiftrightunsigned(u, int(offs[i]))
+        if widths[i] < 64:      # a (1<<64)-1 mask overflows a JVM long
+            c = c.bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long"))
+        return c
+
     return out.select(
         "doc_id", "simhash",
-        *[F.shiftrightunsigned(u, int(offs[i]))
-          .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long")).cast("int")
+        *[chunk(i).cast("int" if widths[i] <= 31 else "long")
           .alias(f"chunk{i}") for i in range(n_chunks)])
+
+
+def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 6,
+                          n_blocks: int = 10) -> DataFrame:
+    """(doc_a, doc_b, hamming): scale path for simhash near-dup pairs —
+    Manku-style block-permutation keying (the public simhash paper's
+    table scheme) instead of single-chunk pigeonhole buckets.
+
+    Split the 64 bits into m = n_blocks blocks. A pair within hamming
+    k differs in at most k blocks, so it matches on at least m-k
+    unchanged blocks; for EVERY (m-k)-subset of blocks we build one
+    candidate table keyed on that subset's concatenation. Completeness:
+    the pair's damaged-block set (size <= k) is disjoint from at least
+    one key subset, so the pair collides in that table.
+
+    vs the chunk scheme (simhash_pairs): same exact output, but the
+    candidate key is (m-k)/m * 64 bits wide instead of 64/(k+1) bits —
+    at k=6, m=10 that is ~25 bits (~3e7 buckets) instead of 9-10 bits
+    (<=1024 buckets), so per-bucket candidate joins stay tiny at 10^9
+    docs. Cost: C(m, m-k) tables (210 at k=6, m=10) — a linear row
+    explosion, never a quadratic bucket join. Verification is the same
+    exact bit_count(xor) <= k."""
+    from itertools import combinations
+    k, m = max_hamming, n_blocks
+    if m <= k:
+        raise ValueError(
+            f"n_blocks={m} must exceed max_hamming={k} for the "
+            f"block-permutation scheme to have a nonempty key")
+    widths = _chunk_widths(m)
+    offs = [0]
+    for w in widths:
+        offs.append(offs[-1] + w)
+    sh = simhash64(docs, n_chunks=1).select("doc_id", "simhash")
+    u = F.col("simhash").cast("long")
+
+    def block(i):
+        return (F.shiftrightunsigned(u, offs[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long")))
+
+    keys = []
+    for combo in combinations(range(m), m - k):
+        key, shift = F.lit(0).cast("long"), 0
+        for i in combo:
+            key = key.bitwiseOR(F.shiftleft(block(i), shift))
+            shift += widths[i]
+        keys.append(key)
+    longf = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*keys)).alias("tbl", "kv"))
+    l = longf.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("ha"), "tbl", "kv")
+    r = longf.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("hb"), "tbl", "kv")
+    cands = (l.join(r, ["tbl", "kv"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "ha", "hb")
+             .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cands.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6,

@@ -35,6 +35,72 @@ def load_pages(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.table(source)
 
 
+def artifact_format(fmt: str | None = None) -> str:
+    """Resolve the index-artifact table format knob (BASELINE.json:15
+    names an Iceberg table as the north-star substrate; parquet dirs
+    are the sandbox default — no Iceberg runtime jars ship here)."""
+    return fmt or os.environ.get("IRKIT_TABLE_FORMAT", "parquet")
+
+
+def write_artifact(df: DataFrame, base: str, name: str,
+                   partition_by: str | None = None,
+                   fmt: str | None = None,
+                   dynamic: bool = False) -> None:
+    """Write one index artifact (tok/docs/postings/terms/stats/lineage)
+    under the format knob.
+
+    parquet: a dir under `base`; `dynamic=True` keeps the other
+    partition dirs (resume rewrites only pending shards).
+    iceberg: `base` is a catalog namespace; `dynamic=True` maps to
+    `overwritePartitions()` (Iceberg's dynamic overwrite), else
+    `createOrReplace()`. Requires the Iceberg extension on the session
+    (gated by iceberg_available; the sandbox has no jars, so this
+    branch is exercised by gating/unit tests only)."""
+    fmt = artifact_format(fmt)
+    if fmt == "iceberg":
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                "IRKIT_TABLE_FORMAT=iceberg but no Iceberg extension is "
+                "configured on this session (add the iceberg-spark "
+                "runtime jar and a catalog; schemas are unchanged)")
+        w = df.writeTo(f"{base}.{name}").using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+            w = w.partitionedBy(F.col(partition_by))
+        if dynamic:
+            w.overwritePartitions()
+        else:
+            w.createOrReplace()
+        return
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                   "dynamic" if dynamic else "static")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(os.path.join(base, name))
+
+
+def read_artifact(spark: SparkSession, base: str, name: str,
+                  schema: str | None = None,
+                  fmt: str | None = None) -> DataFrame:
+    """Read one index artifact under the format knob. The explicit
+    schema (parquet path) keeps empty builds loadable and skips footer
+    inference; Iceberg tables carry their own schema."""
+    if artifact_format(fmt) == "iceberg":
+        return spark.read.table(f"{base}.{name}")
+    r = spark.read.schema(schema) if schema else spark.read
+    return r.parquet(os.path.join(base, name))
+
+
+def artifact_exists(spark: SparkSession, base: str, name: str,
+                    fmt: str | None = None) -> bool:
+    """Commit-aware existence check for one artifact (resume gate)."""
+    if artifact_format(fmt) == "iceberg":
+        return spark.catalog.tableExists(f"{base}.{name}")
+    return os.path.exists(os.path.join(base, name, "_SUCCESS"))
+
+
 def write_table(df: DataFrame, base: str, name: str,
                 partition_by: str | None = None,
                 fmt: str | None = None) -> None:

@@ -92,6 +92,57 @@ def test_simhash_complete_vs_bruteforce(spark, dup_docs):
         simhash_pairs(dup_docs, 6, n_chunks=4)
 
 
+def test_simhash_blocked_matches_chunked(spark, dup_docs):
+    """The block-permutation scale path returns EXACTLY the chunk
+    path's pairs (both are complete + exactly verified), while its
+    candidate keys live in a >=2^24 space instead of <=1024 buckets."""
+    from irkit_spark.pipeline.dedup import (simhash_pairs,
+                                            simhash_pairs_blocked)
+    chunked = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in simhash_pairs(dup_docs, 6).collect()}
+    blocked = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in simhash_pairs_blocked(dup_docs, 6).collect()}
+    assert blocked == chunked and len(blocked) > 0
+    with pytest.raises(ValueError, match="key"):
+        simhash_pairs_blocked(dup_docs, 6, n_blocks=6)
+
+
+def test_simhash_blocked_bucket_cardinality(spark):
+    """Scale property: on hash-diverse docs the blocked candidate keys
+    spread — the largest (table, key) bucket stays O(near-dup cluster),
+    never the corpus, and the key space is wide (>= 24 bits at the
+    k=6, m=10 default)."""
+    from itertools import combinations
+
+    from irkit_spark.pipeline.dedup import _chunk_widths, simhash64
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 9973 + j * 131 + i * i * 7) % 99991:05d}"
+                      for j in range(60)))
+         for i in range(300)], "doc_id long, text string")
+    k, m = 6, 10
+    widths = _chunk_widths(m)
+    key_bits = sorted(widths)[: m - k]
+    assert sum(sorted(widths, reverse=True)[: m - k]) >= 24
+    hs = [r["simhash"] & ((1 << 64) - 1)
+          for r in simhash64(docs, 1).select("simhash").collect()]
+    offs = [0]
+    for w in widths:
+        offs.append(offs[-1] + w)
+    from collections import Counter
+    buckets = Counter()
+    for h in hs:
+        blocks = [(h >> offs[i]) & ((1 << widths[i]) - 1)
+                  for i in range(m)]
+        for tbl, combo in enumerate(combinations(range(m), m - k)):
+            key, shift = 0, 0
+            for i in combo:
+                key |= blocks[i] << shift
+                shift += widths[i]
+            buckets[(tbl, key)] += 1
+    # hash-diverse corpus: no key bucket collects a meaningful slice
+    assert max(buckets.values()) <= 3, max(buckets.values())
+
+
 def test_connected_components_transitive(spark):
     """Chains and triangles collapse to the min-id component; isolated
     pairs stay separate."""
@@ -302,6 +353,37 @@ def test_catalog_format_knob(spark, dup_docs, tmp_path):
     assert not iceberg_available(spark)
     with pytest.raises(RuntimeError, match="iceberg"):
         write_table(dup_docs, "cat.db", "t2", fmt="iceberg")
+
+
+def test_artifact_format_knob_governs_build(spark, dup_docs, tmp_path,
+                                            monkeypatch):
+    """VERDICT r2 item 3: the table-format knob is plumbed through the
+    index-artifact writers. parquet (default) round-trips with explicit
+    schemas incl. dynamic partition overwrite; the iceberg branch gates
+    loudly on a session without the extension, both from the artifact
+    layer and from build_index itself."""
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.sources.catalog import (artifact_exists,
+                                             read_artifact, write_artifact)
+    base = str(tmp_path / "art")
+    import os as _os
+    _os.makedirs(base)
+    df = dup_docs.withColumn("pid", (F.col("doc_id") % 2).cast("int"))
+    write_artifact(df, base, "t", partition_by="pid")
+    assert artifact_exists(spark, base, "t")
+    got = read_artifact(spark, base, "t")
+    assert got.count() == df.count()
+    # dynamic overwrite touches only the written partition
+    write_artifact(df.filter("pid = 0"), base, "t", partition_by="pid",
+                   dynamic=True)
+    assert read_artifact(spark, base, "t").count() == df.count()
+    with pytest.raises(RuntimeError, match="iceberg"):
+        write_artifact(df, "cat.db", "t2", fmt="iceberg")
+    # the build rejects the iceberg knob on a jarless session up front
+    pages = dup_docs.selectExpr("cast(doc_id as string) as url", "text")
+    with pytest.raises(RuntimeError, match="iceberg"):
+        build_index(spark, pages, str(tmp_path / "idx"),
+                    docs_per_shard=100, table_format="iceberg")
 
 
 def test_frame_sampling_and_resize_plumbing(spark, dup_docs):
