@@ -148,6 +148,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _index_search(spark, sf, Q_BM25_A, 10, "wand",
                              quantize=True)
 
+    def q_index_wand_quantized_bound(spark, sf):
+        """Driver-visible quantization error bound (VERDICT r2 item 7):
+        for every doc in the exact OR quantized top-10, the 7-bit
+        surrogate must sit within sum_t(idf_t)/127 of the exact BM25
+        score (each term's tf_norm in [0,1] is floored to q/127, so
+        per-term error < idf/127). The entry RAISES on any violation;
+        its rows carry (doc_id, exact, quantized, abs_err, bound,
+        within_bound) so the driver also records the evidence."""
+        from irkit_spark.operators.query import Index
+        exact = _index_search(spark, sf, Q_BM25_A, 10, "wand") \
+            .withColumnRenamed("score", "exact_score")
+        quant = _index_search(spark, sf, Q_BM25_A, 10, "wand",
+                              quantize=True) \
+            .withColumnRenamed("score", "quant_score")
+        idx = Index(spark, _index_for(spark, sf))
+        qmeta = idx.lookup_query(Q_BM25_A)
+        bound = sum(m["idf"] for m in qmeta) / 127.0
+        out = (exact.join(quant, "doc_id", "full")
+               .fillna(0.0)
+               .withColumn("abs_err", F.round(
+                   F.abs(F.col("exact_score") - F.col("quant_score")), 6))
+               .withColumn("bound", F.round(F.lit(bound), 6))
+               .withColumn("within_bound",
+                           F.col("abs_err") <= F.col("bound")))
+        # full-outer rows where one side is missing (rank flips near the
+        # k boundary) carry a 0.0 placeholder — the bound check only
+        # applies to docs present in BOTH top-k lists
+        both = out.filter((F.col("exact_score") > 0)
+                          & (F.col("quant_score") > 0))
+        bad = both.filter(~F.col("within_bound")).count()
+        if bad:
+            raise AssertionError(
+                f"{bad} docs exceed the quantization error bound "
+                f"{bound:.6f}")
+        return both.orderBy("doc_id")
+
     def q_index_ql_top10(spark, sf):
         return _index_search(spark, sf, Q_BM25_A, 10, "daat", scorer="ql")
 
@@ -287,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wand_top100": q_index_wand_top100,
         "index_wand_top1000": q_index_wand_top1000,
         "index_wand_quantized_top10": q_index_wand_quantized,
+        "index_wand_quantized_bound": q_index_wand_quantized_bound,
         "index_ql_top10": q_index_ql_top10,
         "index_and_top10": q_index_and_top10,
         "dedup_exact": q_dedup_exact,

@@ -34,6 +34,18 @@ _TAG = re.compile(r"<[^>]*>")
 _WS = re.compile(r"\s+")
 
 
+def strip_markup(s: str) -> str:
+    """The frozen strip passes on an already-decoded string (comments,
+    script, style, tags -> ' '; entity unescape). No ws-collapse —
+    extract_text adds it; the fused canonicalize path subsumes it in
+    tokenization."""
+    s = _COMMENT.sub(" ", s)
+    s = _SCRIPT.sub(" ", s)
+    s = _STYLE.sub(" ", s)
+    s = _TAG.sub(" ", s)
+    return _html.unescape(s)
+
+
 def extract_text(html_bytes: bytes | None) -> str:
     """Frozen scalar extractor (golden tests, fixture generation)."""
     if html_bytes is None:
@@ -42,12 +54,7 @@ def extract_text(html_bytes: bytes | None) -> str:
         s = bytes(html_bytes).decode("utf-8", errors="strict")
     except UnicodeDecodeError:
         return ""
-    s = _COMMENT.sub(" ", s)
-    s = _SCRIPT.sub(" ", s)
-    s = _STYLE.sub(" ", s)
-    s = _TAG.sub(" ", s)
-    s = _html.unescape(s)
-    return _WS.sub(" ", s).strip()
+    return _WS.sub(" ", strip_markup(s)).strip()
 
 
 def extract_batch(html_series: pd.Series) -> pd.Series:

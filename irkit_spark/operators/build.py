@@ -13,14 +13,19 @@ persisted canonical output:
                 (driver-sorted broadcast dict <= cap [B:6]; range-
                 partitioned sorted-rank + shuffle join above — same
                 sorted-rank id space, byte-identical)        (T3)
-    -> tok:     mapInPandas -> (doc_id, term_id, tf, dl) integer-only
-                stream; shard derived from doc_id, never shuffled
-    -> tok checkpoint: parquet                               (resumability §4.4)
-    -> THE shuffle: repartition(n_parts, term_id, doc_id // DPS)
-                == the "salted repartition-by-term +
-                sortWithinPartitions(term, docID)" of BASELINE.json:6,
-                with salt = shard(doc_id); the within-partition sort
-                runs as np.lexsort inside the varbyte encode kernel
+    -> tok:     mapInPandas -> (doc_id, term_id, tf, dl) integer
+                stream, PACKED in-kernel into 20B/posting binary blobs
+                keyed by bucket(term_id, shard) (TOK_BLOB_SCHEMA)
+    -> tok checkpoint: parquet of blobs                      (resumability §4.4)
+    -> THE shuffle: repartition(n_parts_enc, bucket) — semantically the
+                "salted repartition-by-term +
+                sortWithinPartitions(term, docID)" of BASELINE.json:6
+                with salt = shard(doc_id), but transported as a few
+                thousand binary cells instead of 10^12 Tungsten rows
+                (row ser/deser + row->Arrow measured 2x the encode
+                kernel in JVM CPU); the within-partition sort runs as
+                one packed-key argsort inside the varbyte encode
+                kernel, one bucket at a time (bounded expansion)
     -> encode:  streaming-group kernel: delta-gap + varbyte/streamvbyte
                 blocks + per-block max tf_norm + per-group cf
                                                              (C1-C4/A5/A2)
@@ -794,13 +799,15 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         write_artifact(docs.repartition("partition_id"), out_dir, "docs",
                        partition_by="partition_id", fmt=fmt)
         _mark("docs_write")
-        docs = read_artifact(spark, out_dir, "docs", DOCS_TABLE_SCHEMA,
-                             fmt)
-        (src if doc_id_col is not None else src0).unpersist()
-
+        # the collection stats agg runs off the SAME frame (its lineage
+        # reads the cached canonical src), not a read-back of the just-
+        # written parquet — one fewer file listing + scan per build;
+        # src stays cached until after this agg
     glob = docs.agg(F.count("*").alias("n"),
                     F.sum("doc_len").alias("len"),
                     F.max("doc_id").alias("mx")).collect()[0]
+    if not reuse_tok:
+        (src if doc_id_col is not None else src0).unpersist()
     coll_len = int(glob["len"] or 0)
     if global_stats is not None:
         # batch build inside a larger collection (SURVEY.md U1): scoring
@@ -857,6 +864,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                            quantize),
             schema=POSTINGS_SCHEMA)
 
+    post_cached = None
     if pending:
         # encoded rows are tiny vs raw postings: one cheap extra shuffle
         # puts each shard in a single file (query-time partition pruning
@@ -864,14 +872,20 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # sort by term_id within each shard file: parquet row-group
         # min/max stats then prune query-term filters inside the scan
         # dynamic = keep done shard partitions on resume
-        write_artifact(postings_new.repartition("partition_id")
-                       .sortWithinPartitions("term_id"),
-                       out_dir, "postings",
+        post_out = postings_new.repartition("partition_id") \
+            .sortWithinPartitions("term_id")
+        if not done_shards:
+            # fresh build: the written table == this frame, so cache it
+            # and serve stage 4/5 (df/cf/max_score, lineage) from the
+            # cache instead of re-listing + re-reading the just-written
+            # shard dirs (two fewer read-back jobs per build)
+            post_cached = post_out.persist()
+        write_artifact(post_out, out_dir, "postings",
                        partition_by="partition_id", fmt=fmt,
                        dynamic=bool(done_shards))
     _mark("shuffle_encode_write")
-    postings = read_artifact(spark, out_dir, "postings", POSTINGS_SCHEMA,
-                             fmt)
+    postings = post_cached if post_cached is not None else read_artifact(
+        spark, out_dir, "postings", POSTINGS_SCHEMA, fmt)
 
     # ---- stage 4: terms df/cf/max_score + final small tables ----------
     # df/cf/max_norm all come from ONE scan of the tiny encoded postings
@@ -922,6 +936,8 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                         lambda acc, blk: acc + F.length(blk["doc_bytes"])
                         + F.length(blk["tf_bytes"]))).alias("bytes"))
                .collect())
+    if post_cached is not None:
+        post_cached.unpersist()
     total_postings = sum(r["postings_cnt"] for r in shard_m)
     cnts = sorted(r["postings_cnt"] for r in shard_m) or [0]
     med = cnts[len(cnts) // 2] or 1

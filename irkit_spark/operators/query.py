@@ -126,6 +126,24 @@ class Index:
             self._dl_bc = bc
         return self._dl_bc
 
+    def persist(self):
+        """Pin the postings/terms tables in executor memory and
+        materialize the doc-length broadcast: a served index pays the
+        parquet scan once, and every later query runs against cached
+        blocks (the mmap-resident index analog — SURVEY.md S6). Returns
+        self for chaining."""
+        self.postings = self.postings.persist()
+        self.terms = self.terms.persist()
+        self.postings.count()
+        self.terms.count()
+        self.doc_len_broadcast()
+        return self
+
+    def unpersist(self):
+        self.postings.unpersist()
+        self.terms.unpersist()
+        return self
+
     # §3.3 lookups ([pub:tools/irk-lookup — low])
     def term_stats(self, term: str):
         rows = self.terms.filter(F.col("term") == term).collect()

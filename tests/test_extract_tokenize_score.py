@@ -82,3 +82,51 @@ def test_idf_positive_and_monotone():
     v = idf(dfs, n)
     assert (v > 0).all()
     assert (np.diff(v) < 0).all()
+
+
+def test_canonicalize_iter_matches_scalar():
+    """The fused canonicalize kernel must be byte-identical to the
+    scalar form (extract_text -> lower -> findall -> join) on every
+    input class: plain ASCII, entities, unterminated blocks, non-ASCII
+    text, python-only case foldings (Kelvin sign), unicode whitespace
+    inside closing tags, invalid UTF-8, None."""
+    import pandas as pd
+
+    from irkit_spark.functions.extract import extract_text
+    from irkit_spark.functions.tokenize import _TOKEN, canonicalize_iter
+
+    def canonicalize_series(series, from_html):
+        out = []
+        pdf = pd.DataFrame({"doc_id": range(len(series)), "text": series})
+        for r in canonicalize_iter(iter([pdf]), "doc_id", "text",
+                                   from_html=from_html):
+            out.extend(r["text"].tolist())
+        return out
+    cases = [
+        b"<html><body>Hello World 123</body></html>",
+        b"<p>a&amp;b &lt;script&gt; c&#65;d &nbsp;e</p>",
+        b"<script>var x = 1 < 2;</script>text<style>p{}</style>",
+        b"<SCRIPT a=b>drop</ScRiPt >keep<!-- gone -->tail",
+        b"<script>unterminated to eof",
+        b"<!-- unterminated comment",
+        "café <b>naïve</b> straße".encode(),
+        "kelvin K sign &#8490; entity".encode(),
+        "</script > funny close <script>x</script >y".encode(),
+        "<scripté>unicode word-char after script tag</script>".encode(),
+        b"\xff\xfe invalid utf8",
+        None,
+        b"",
+        b"  only   spaces \t\n ",
+        b"MiXeD CaSe 42 Tokens-and_more",
+        "tab\x1cseparated\x1ffile".encode(),
+    ]
+    want = [" ".join(_TOKEN.findall(extract_text(b).lower()))
+            for b in cases]
+    got = canonicalize_series(pd.Series(cases, dtype="object"), True)
+    assert got == want
+    # text-mode (from_html=False) parity incl. non-string rows
+    tcases = ["Plain Text 1", "kKelvin", None, "", "a&amp;b"]
+    want_t = [" ".join(_TOKEN.findall(t.lower()))
+              if isinstance(t, str) else "" for t in tcases]
+    got_t = canonicalize_series(pd.Series(tcases, dtype="object"), False)
+    assert got_t == want_t

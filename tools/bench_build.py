@@ -37,6 +37,18 @@ def main():
         pages.write.mode("overwrite").parquet(gen_dir)
     pages = spark.read.parquet(gen_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
+    # untimed python-worker warmup: import numpy/pandas in every worker
+    # once (a steady-state executor fleet is warm; without this the
+    # first timed stage carries one ~2s cold-import straggler per
+    # worker, which distorts small-N/large-N comparisons differently)
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas as _pd
+        for b in batches:
+            yield _pd.DataFrame({"id": b["id"]})
+
+    spark.range(cores * 4, numPartitions=cores * 4) \
+        .mapInPandas(_warm, "id long").count()
     # shard size derives from n_docs (not cores) so the index content is
     # identical across parallelism levels (BASELINE.json:6)
     dps = max(1000, n_docs // 64)

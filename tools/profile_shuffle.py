@@ -1,10 +1,9 @@
 """Decompose the build's shuffle_encode_write phase at a given core
-count: which sub-step stops scaling (scan, shuffle, Python channel,
-encode kernel, final write)?
+count (blob-shuffle era): scan of the packed tok artifact, the blob
+exchange, the unpack+sort+encode kernel, and the final write.
 
 Usage: taskset -c 0-{N-1} python tools/profile_shuffle.py N [tok_dir]
-Prints one JSON line with per-variant wall seconds. Reuses the bench's
-tok checkpoint (30M token rows at BENCH_DOCS=500k).
+Prints one JSON line with per-variant wall seconds.
 """
 
 from __future__ import annotations
@@ -20,12 +19,13 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 def main():
     cores = int(sys.argv[1])
-    tok_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/irkit_bench/idx32/tok"
+    tok_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/irkit_bench/idx8/tok"
     from pyspark.sql import functions as F
 
     from irkit_spark import config
     from irkit_spark.config import get_spark
-    from irkit_spark.operators.build import (TOK_TABLE_SCHEMA,
+    from irkit_spark.operators.build import (POSTINGS_SCHEMA,
+                                             TOK_BLOB_SCHEMA,
                                              _encode_kernel_arrow)
 
     spark = get_spark(f"profile-{cores}", cores,
@@ -40,35 +40,16 @@ def main():
         fn()
         out[name] = round(time.monotonic() - t0, 3)
 
-    tok = spark.read.schema(TOK_TABLE_SCHEMA).parquet(tok_dir)
-    shard_expr = (F.col("doc_id") / dps).cast("int")
-
-    def rep():
-        return (tok.select("doc_id", "term_id", "tf", "dl")
-                .repartition(n_parts, F.col("term_id"), shard_expr))
-
-    import pyarrow as pa
-
-    def passthrough(batches):
-        n = 0
-        for rb in batches:
-            n += rb.num_rows
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([n], pa.int64())], names=["n"])
-
-    # warm up JVM + python workers once (untimed)
-    tok.limit(1000).mapInArrow(passthrough, "n long").collect()
+    tok = spark.read.schema(TOK_BLOB_SCHEMA).parquet(tok_dir)
+    rep = lambda: tok.repartition(n_parts, "bucket")
+    kern = _encode_kernel_arrow(180.0, config.BLOCK_SIZE, dps, False,
+                                blob_input=True)
+    tok.limit(10).count()    # warm JVM
 
     timed("scan_only", lambda: tok.agg(
-        F.sum(F.col("doc_id") + F.col("term_id") + F.col("tf")
-              + F.col("dl"))).collect())
+        F.sum(F.length("blob"))).collect())
     timed("scan_shuffle", lambda: rep().agg(
-        F.sum(F.col("doc_id") + F.col("term_id") + F.col("tf")
-              + F.col("dl"))).collect())
-    timed("scan_shuffle_arrow", lambda: rep().mapInArrow(
-        passthrough, "n long").agg(F.sum("n")).collect())
-    kern = _encode_kernel_arrow(180.0, config.BLOCK_SIZE, dps, False, True)
-    from irkit_spark.operators.build import POSTINGS_SCHEMA
+        F.sum(F.length("blob"))).collect())
     timed("scan_shuffle_encode", lambda: rep().mapInArrow(
         kern, POSTINGS_SCHEMA).count())
     out_dir = f"/tmp/irkit_profile/post_{cores}"
