@@ -278,6 +278,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 0.45 because the synthetic embeddings top out at cos ~0.51
         return sim.lsh_cosine_pairs(_emb(spark, sf), 0.45)
 
+    def q_dedup_embedding(spark, sf):
+        # applied embedding-cosine near-dup dedup: banded-LSH pairs ->
+        # connected components -> keep min vec_id. Rows-only (CC is
+        # iterative); transitivity + planted-dup pytest pins behavior.
+        # 0.45: see q_lsh_cosine_pairs
+        return sim.dedup_embedding_keep_first(_emb(spark, sf), 0.45) \
+            .select("vec_id").orderBy("vec_id")
+
     def q_ann_index(spark, sf):
         # persisted ANN index: partition-pruned cluster scan
         out = os.path.join(tempfile.gettempdir(),
@@ -349,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_top10": q_lsh_ann,
         "ivf_ann_top10": q_ivf_ann,
         "lsh_cosine_pairs": q_lsh_cosine_pairs,
+        "dedup_embedding_keep_first": q_dedup_embedding,
         "ann_index_top10": q_ann_index,
         "media_features": q_media_features,
     }

@@ -111,8 +111,8 @@ def main():
     sys.path.insert(0, HERE)
     from tools.profile_kernel import bandwidth_curve, kernel_ceiling
     tok_dir = os.path.join(base, f"idx{N4_CORES}", "tok")
-    ceiling = {"real_kernel": kernel_ceiling(tok_dir, (1, 2, 4, 8)),
-               "memcopy": bandwidth_curve((1, 2, 4, 8))}
+    ceiling = {"real_kernel": kernel_ceiling(tok_dir, (1, 2, 4, 8, 32)),
+               "memcopy": bandwidth_curve((1, 2, 4, 8, 32))}
 
     # ---- 2. query latency on the widest-parallelism index -------------
     from irkit_spark.config import get_spark

@@ -557,6 +557,29 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
     flat = qpost.mapInPandas(decode_partials,
                              "doc_id long, term_id int, tf long")
     k1, b = config.BM25_K1, config.BM25_B
+
+    def with_doc_len(df: DataFrame) -> DataFrame:
+        """Attach doc_len: through the gated per-shard broadcast when
+        it fits (no docs-table shuffle join per query — same gate the
+        DAAT/WAND kernels use), else the cogrouped join."""
+        dl_bc = index.doc_len_broadcast()
+        if dl_bc is None:
+            return df.join(index.docs.select("doc_id", "doc_len"),
+                           "doc_id")
+
+        @F.pandas_udf("int")
+        def _dl(doc_id: pd.Series) -> pd.Series:
+            arrs = dl_bc.value
+            d = doc_id.to_numpy()
+            out = np.zeros(d.size, dtype=np.int32)
+            for s in np.unique(d // dps):
+                m = (d // dps) == s
+                a = arrs.get(int(s))
+                if a is not None:
+                    out[m] = a[d[m] - int(s) * dps]
+            return pd.Series(out)
+
+        return df.withColumn("doc_len", _dl(F.col("doc_id")))
     if scorer == "ql":
         mu = config.QL_MU
         nq = len(qmeta)
@@ -568,9 +591,8 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
         partials = (flat.join(F.broadcast(p_df), "term_id")
                     .withColumn("partial",
                                 F.log1p(F.col("tf") / (mu * F.col("p")))))
-        return (partials.groupBy("doc_id")
-                .agg(F.sum("partial").alias("s"))
-                .join(index.docs.select("doc_id", "doc_len"), "doc_id")
+        return (with_doc_len(partials.groupBy("doc_id")
+                             .agg(F.sum("partial").alias("s")))
                 .withColumn("score",
                             F.col("s") + ql_k
                             - nq * F.log(F.col("doc_len") + mu))
@@ -584,8 +606,7 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
                   .withColumn("partial",
                               F.col("idf") * F.col("tf") / 127.0))
     else:
-        scored = (flat
-                  .join(index.docs.select("doc_id", "doc_len"), "doc_id")
+        scored = (with_doc_len(flat)
                   .join(F.broadcast(idf_df), "term_id")
                   .withColumn("partial",
                               F.col("idf") * F.col("tf")

@@ -325,3 +325,29 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.3,
                                        round_dp))
             .filter(F.col("cos") > threshold)
             .select("vec_a", "vec_b", "cos"))
+
+
+def dedup_embedding_keep_first(emb: DataFrame, threshold: float = 0.95,
+                               band_bits: int = 4,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """The APPLIED form of embedding-cosine near-dup dedup: banded-LSH
+    cosine pairs above `threshold` -> connected components -> keep each
+    component's canonical (min id) member; rows in no near-dup pair
+    survive untouched. End-to-end 100 TB shape: bucketed candidates,
+    exact re-score of candidates only, label propagation as joins, one
+    left-anti join — the embedding analog of
+    dedup.dedup_near_keep_first (MinHash) over text."""
+    from irkit_spark.pipeline.dedup import connected_components
+    pairs = lsh_cosine_pairs(emb, threshold, band_bits, id_col, vec_col) \
+        .select(F.col("vec_a").alias("doc_a"),
+                F.col("vec_b").alias("doc_b"))
+    comp = connected_components(pairs)
+    losers = (comp.join(
+        comp.groupBy("component").agg(F.min("doc_id").alias("keep")),
+        "component")
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select(F.col("doc_id").alias(id_col))).persist()
+    losers.count()
+    comp.unpersist()
+    return emb.join(losers, id_col, "left_anti")

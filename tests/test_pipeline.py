@@ -255,6 +255,36 @@ def test_lsh_cosine_pairs_recall(spark, planted_vectors):
         assert exact[kk] == v                 # same exact cosine
 
 
+def test_dedup_embedding_keep_first(spark, planted_vectors):
+    """Applied embedding-cosine dedup: the planted near-identical
+    cluster collapses to its min-id member; unrelated vectors survive;
+    survivors == ids minus (cluster minus canonical)."""
+    from irkit_spark.pipeline.similarity import (
+        cosine_pairs, dedup_embedding_keep_first)
+    emb, _ = planted_vectors
+    pairs = cosine_pairs(emb, 0.8).collect()
+    clustered = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    assert len(clustered) >= 2
+    # union-find over exact pairs -> expected survivors
+    parent = {i: i for i in clustered}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["vec_a"]), find(r["vec_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    losers = {i for i in clustered if find(i) != i}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    got = {r["vec_id"] for r in
+           dedup_embedding_keep_first(emb, 0.8).select("vec_id").collect()}
+    assert got == all_ids - losers
+
+
 def test_ann_index_persisted_matches_ivf(spark, planted_vectors, tmp_path):
     """The persisted ANN index (partition-pruned cluster scan) returns
     the same top-k as the in-flight IVF path with the same centroids."""

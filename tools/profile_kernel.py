@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _PART_DIR = "/tmp/irkit_profile/kparts"
-_N_SLICES = 8
+_N_SLICES = 32
 
 
 def _prep(tok_dir: str) -> None:
@@ -57,9 +57,9 @@ def _work(part: int) -> float:
 
 
 def kernel_ceiling(tok_dir: str,
-                   worker_counts: tuple = (1, 2, 4, 8)) -> dict:
-    """Wall seconds for the full 8-slice encode at each pinned worker
-    count + derived N->4N efficiencies."""
+                   worker_counts: tuple = (1, 2, 4, 8, 32)) -> dict:
+    """Wall seconds for the full _N_SLICES-slice encode at each pinned
+    worker count + derived N->4N efficiencies."""
     _prep(tok_dir)
     saved = os.sched_getaffinity(0)
     out: dict = {}
@@ -72,7 +72,7 @@ def kernel_ceiling(tok_dir: str,
                 out[f"wall_{n}w"] = round(time.monotonic() - t0, 3)
     finally:
         os.sched_setaffinity(0, saved)
-    for lo, hi in ((1, 4), (2, 8)):
+    for lo, hi in ((1, 4), (2, 8), (8, 32)):
         if f"wall_{lo}w" in out and f"wall_{hi}w" in out:
             out[f"eff_{lo}_to_{hi}"] = round(
                 out[f"wall_{lo}w"] / out[f"wall_{hi}w"] / (hi // lo), 3)
