@@ -646,6 +646,15 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     vocab_cap = (broadcast_vocab_max if broadcast_vocab_max is not None
                  else config.BROADCAST_VOCAB_MAX)
     if reuse_tok:
+        if fmt != "iceberg":
+            # layout guard: a tok checkpoint from the pre-blob row
+            # layout would read as all-null blobs under the explicit
+            # schema — fail loudly instead
+            actual = spark.read.parquet(p("tok")).columns
+            if "blob" not in actual:
+                raise RuntimeError(
+                    "tok checkpoint at %r uses the old row layout %s — "
+                    "rebuild without resume" % (p("tok"), actual))
         tok = read_artifact(spark, out_dir, "tok", TOK_BLOB_SCHEMA, fmt)
         docs = read_artifact(spark, out_dir, "docs", DOCS_TABLE_SCHEMA,
                              fmt)

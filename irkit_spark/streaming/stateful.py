@@ -1,0 +1,61 @@
+"""Custom stateful streaming operator: cross-batch exact dedup via
+applyInPandasWithState.
+
+A training-data ingest stream must drop documents whose content already
+arrived in ANY earlier micro-batch — an inherently stateful operator
+(the set of seen content hashes IS the state), which no stateless
+map/filter or per-batch dropDuplicates can express. Spark's
+dropDuplicates-on-stream keeps unbounded state too but cannot be
+customized (e.g. keep-first payload, per-key canonicalization);
+applyInPandasWithState is the Spark-native escape hatch for exactly
+this shape (SURVEY.md §2.10 names streaming as a survey extra; the
+brief's pipeline section names this API).
+
+Scale design: the stream is grouped by a hash PREFIX (`prefix_len` hex
+chars -> 16^prefix_len state groups), so each group's seen-set is
+~corpus/16^p hashes and state shards across executors with the groups.
+At 10^12 docs pick prefix_len ~5-6 (16^6 = 1.7e7 groups); state lives
+in the state store (RocksDB provider at scale), one group's set is
+loaded per trigger. Exact streaming dedup fundamentally must remember
+every hash; the knob only bounds the PER-GROUP working set.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+               "text string, lang string, h string")
+_STATE_SCHEMA = "seen array<string>"
+
+
+def _dedup_group(key, pdfs, state: GroupState):
+    """Emit only rows whose content hash is unseen; fold new hashes
+    into the group state. Within one trigger, first occurrence (in
+    arrival order) wins — matching dedup_keep_first's keep-first
+    semantics per micro-batch stream order."""
+    seen = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        fresh_rows = []
+        for i, h in enumerate(pdf["h"]):
+            if h not in seen:
+                seen.add(h)
+                fresh_rows.append(i)
+        if fresh_rows:
+            yield pdf.iloc[fresh_rows].drop(columns=["hk"])
+    state.update((list(seen),))
+
+
+def streaming_dedup(pages: DataFrame, prefix_len: int = 2) -> DataFrame:
+    """pages readStream -> stream of first-seen pages (exact content
+    dedup across ALL micro-batches). `h` = md5(text) rides along so
+    sinks can audit; group key = h[:prefix_len]."""
+    keyed = (pages.withColumn("h", F.md5(F.coalesce("text", F.lit(""))))
+             .withColumn("hk", F.substring("h", 1, prefix_len)))
+    return (keyed.groupBy("hk")
+            .applyInPandasWithState(
+                _dedup_group, _OUT_SCHEMA, _STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

@@ -123,3 +123,23 @@ def test_resume_rebuilds_only_failed_shards(spark, pages_small,
             spark.read.parquet(out + "/lineage").collect()}
     assert lin2[2]["attempt"] == 2
     assert all(r["status"] == "done" for r in lin2.values())
+
+
+def test_resume_rejects_old_tok_layout(spark, pages_small,
+                                       tmp_path_factory):
+    """A tok checkpoint from the pre-blob row layout must fail loudly
+    on resume (the explicit blob schema would otherwise read all-null
+    blobs), not corrupt or crash cryptically."""
+    import shutil
+
+    import pytest as _pytest
+    out = str(tmp_path_factory.mktemp("oldtok") / "idx")
+    build_index(spark, pages_small, out, docs_per_shard=300,
+                text_from_html=True)
+    shutil.rmtree(out + "/tok")
+    spark.createDataFrame(
+        [(0, 1, 1, 5)], "doc_id long, term_id int, tf int, dl int") \
+        .write.mode("overwrite").parquet(out + "/tok")
+    with _pytest.raises(RuntimeError, match="row layout"):
+        build_index(spark, pages_small, out, docs_per_shard=300,
+                    text_from_html=True, resume=True)

@@ -71,3 +71,41 @@ def test_incremental_ingest_and_late_arrivals(spark, stream_dirs):
     daat2 = [(r["doc_id"], round(r["score"], 6))
              for r in search(idx2, q, 10, "daat").collect()]
     assert got2 == daat2
+
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState cross-batch exact dedup: duplicates
+    arriving in LATER micro-batches are dropped (state remembers every
+    hash); within the whole run each distinct text surfaces exactly
+    once; non-duplicates all survive."""
+    from irkit_spark.sources.pages import PAGES_SCHEMA, pages_pandas
+    from irkit_spark.streaming.stateful import streaming_dedup
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    pdf = pages_pandas(120)
+    # batch 0: docs 0..79; batch 1: docs 40..119 (40..79 are exact
+    # cross-batch duplicates by construction — same url/text rows)
+    spark.createDataFrame(pdf.iloc[0:80]).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{inp}/b0")
+    spark.createDataFrame(pdf.iloc[40:120]).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{inp}/b1")
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inp}/b*"))
+    out = streaming_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select url, h from dedup_sink").collect()
+    urls = [r["url"] for r in got]
+    # distinct texts in the union == distinct texts emitted
+    want_hashes = {h for h in
+                   spark.createDataFrame(pdf).select(
+                       F.md5(F.coalesce("text", F.lit(""))).alias("h"))
+                   .distinct().toPandas()["h"]}
+    assert {r["h"] for r in got} == want_hashes
+    assert len(got) == len(want_hashes)       # each exactly once
+    assert len(urls) == len(set(urls))
