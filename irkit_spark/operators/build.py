@@ -808,15 +808,17 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         write_artifact(docs.repartition("partition_id"), out_dir, "docs",
                        partition_by="partition_id", fmt=fmt)
         _mark("docs_write")
-        # the collection stats agg runs off the SAME frame (its lineage
-        # reads the cached canonical src), not a read-back of the just-
-        # written parquet — one fewer file listing + scan per build;
-        # src stays cached until after this agg
+        # the stats agg below reads the WRITTEN parquet, not this
+        # frame: the frame's lineage re-splits every cached text for
+        # doc_len (measured super-linear at 2M docs), while the
+        # read-back is a trivially parallel scan of narrow columns
+        docs = read_artifact(spark, out_dir, "docs", DOCS_TABLE_SCHEMA,
+                             fmt)
+        (src if doc_id_col is not None else src0).unpersist()
+
     glob = docs.agg(F.count("*").alias("n"),
                     F.sum("doc_len").alias("len"),
                     F.max("doc_id").alias("mx")).collect()[0]
-    if not reuse_tok:
-        (src if doc_id_col is not None else src0).unpersist()
     coll_len = int(glob["len"] or 0)
     if global_stats is not None:
         # batch build inside a larger collection (SURVEY.md U1): scoring
