@@ -44,14 +44,16 @@ def cmd_build(args):
                     key_col=args.key_col,
                     doc_id_col=args.doc_id_col,
                     resume=args.resume,
-                    quantize=args.quantize)
+                    quantize=args.quantize,
+                    table_format=args.table_format)
     print(json.dumps(m))
 
 
 def cmd_merge(args):
     from irkit_spark.operators.merge import merge_indexes
     spark = _session("irkit-merge")
-    print(json.dumps(merge_indexes(spark, args.inputs, args.out)))
+    print(json.dumps(merge_indexes(spark, args.inputs, args.out,
+                                   table_format=args.table_format)))
 
 
 def cmd_query(args):
@@ -97,12 +99,18 @@ def main(argv=None):
     b.add_argument("--key-col", default="url")
     b.add_argument("--doc-id-col", default=None)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--table-format", default=None,
+                   choices=["parquet", "iceberg"],
+                   help="index-artifact format knob (default: "
+                        "$IRKIT_TABLE_FORMAT or parquet)")
     b.add_argument("--quantize", action="store_true",
                    help="store 7-bit impact scores instead of tfs")
     b.set_defaults(fn=cmd_build)
 
     m = sub.add_parser("merge", help="merge batch indexes")
     m.add_argument("--out", required=True)
+    m.add_argument("--table-format", default=None,
+                   choices=["parquet", "iceberg"])
     m.add_argument("inputs", nargs="+")
     m.set_defaults(fn=cmd_merge)
 

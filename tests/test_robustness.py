@@ -128,3 +128,59 @@ def test_resume_with_all_shards_done_rewrites_terms(spark, pages_small,
     assert search(Index(spark, out), "term00001", 5, "wand").count() == 5
 
 
+
+
+def test_blob_pack_unpack_roundtrip_property():
+    """The blob shuffle's pack/unpack is lossless and group-correct on
+    random token batches: every (bucket, shard) cell unpacks to exactly
+    the rows that hash there, in doc order within the cell's sort, and
+    the union over cells is the input multiset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from irkit_spark.operators.build import (_bucket_of,
+                                             _pack_blob_frames,
+                                             _unpack_blob)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(1, 400), st.integers(1, 64),
+           st.integers(0, 2**31 - 1))
+    def run(n, n_buckets, seed):
+        rng = np.random.default_rng(seed)
+        d = rng.integers(0, 10_000, n).astype(np.int64)
+        t = rng.integers(0, 5_000, n).astype(np.int32)
+        tf = rng.integers(1, 300, n).astype(np.int32)
+        dl = rng.integers(1, 5_000, n).astype(np.int32)
+        dps = int(rng.integers(1, 2_000))
+        bks, shs, blobs = _pack_blob_frames(d, t, tf, dl, n_buckets, dps)
+        got = []
+        for bk, sh, blob in zip(bks, shs, blobs):
+            dd, tt, tft, dlt = _unpack_blob(blob)
+            # cell invariants: every row's shard/bucket matches the key
+            assert (dd // dps == sh).all()
+            ss = (dd // dps).astype(np.int32)
+            assert (_bucket_of(tt, ss, n_buckets) == bk).all()
+            got.append(np.stack([dd,
+                                 tt.astype(np.int64),
+                                 tft.astype(np.int64),
+                                 dlt.astype(np.int64)], axis=1))
+        allrows = np.concatenate(got)
+        want = np.stack([d, t.astype(np.int64), tf.astype(np.int64),
+                         dl.astype(np.int64)], axis=1)
+        key = lambda a: a[np.lexsort((a[:, 3], a[:, 2], a[:, 1], a[:, 0]))]
+        assert (key(allrows) == key(want)).all()
+
+    run()
+
+
+def test_bucket_of_deterministic_and_balanced():
+    """_bucket_of is pure (same inputs -> same buckets across calls /
+    processes) and spreads (term, shard) keys near-uniformly."""
+    from irkit_spark.operators.build import _bucket_of
+    t = np.repeat(np.arange(2000, dtype=np.int32), 4)
+    s = np.tile(np.arange(4, dtype=np.int32), 2000)
+    a = _bucket_of(t, s, 64)
+    b = _bucket_of(t.copy(), s.copy(), 64)
+    assert (a == b).all()
+    counts = np.bincount(a, minlength=64)
+    assert counts.max() <= 2.0 * counts.mean()
