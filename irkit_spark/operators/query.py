@@ -101,12 +101,7 @@ class Index:
         if self._dl_bc is None:
             # key carries the docs commit mtime: a rebuild into the
             # same path invalidates instead of serving stale lengths
-            try:
-                ver = os.path.getmtime(
-                    os.path.join(self.path, "docs", "_SUCCESS"))
-            except OSError:
-                ver = 0.0
-            key = (self.spark.sparkContext.applicationId, self.path, ver)
+            key = self._artifact_key("docs")
             bc = Index._dl_bc_cache.get(key)
             if bc is None:
                 pdf = self.docs.select("partition_id", "doc_id",
@@ -153,11 +148,51 @@ class Index:
         rows = self.docs.filter(F.col("url") == url).collect()
         return rows[0].asDict() if rows else None
 
+    # (app id, path, ver) -> {term: (term_id, df, cf)} for vocab-gated
+    # driver-side lookups: a served index otherwise pays one Spark job
+    # per query just to resolve its terms
+    _terms_cache: dict[tuple, dict] = {}
+
+    def _terms_dict(self):
+        """Driver terms dict when the vocab fits BROADCAST_VOCAB_MAX
+        (the same gate the build's broadcast dictionary uses); None at
+        web-scale vocabs, where lookups stay a pruned filter job."""
+        key = self._artifact_key("terms")
+        if key in Index._terms_cache:
+            return Index._terms_cache[key]
+        n = self.terms.count()
+        d = None
+        if n <= config.BROADCAST_VOCAB_MAX:
+            d = {r["term"]: (int(r["term_id"]), int(r["df"]),
+                             int(r["cf"]))
+                 for r in self.terms.select("term", "term_id", "df",
+                                            "cf").collect()}
+        Index._terms_cache[key] = d
+        return d
+
+    def _artifact_key(self, name: str) -> tuple:
+        try:
+            ver = os.path.getmtime(
+                os.path.join(self.path, name, "_SUCCESS"))
+        except OSError:
+            ver = 0.0
+        return (self.spark.sparkContext.applicationId, self.path, name,
+                ver)
+
     def lookup_query(self, query: str) -> list[dict]:
-        """Query string -> [{term_id, idf, df, cf}] (OOV dropped, Q6/P3)."""
+        """Query string -> [{term_id, idf, df, cf}] (OOV dropped, Q6/P3).
+        Zero Spark jobs when the vocab-gated driver dict is warm."""
         toks = sorted(set(tokenize(query)))
         if not toks:
             return []
+        td = self._terms_dict()
+        if td is not None:
+            hits = [(t, *td[t]) for t in toks if t in td]
+            return [{"term_id": tid, "df": df, "cf": cf,
+                     "idf": float(idf_fn(np.array([df]),
+                                         self.n_docs)[0])}
+                    for _, tid, df, cf in
+                    sorted(hits, key=lambda h: h[1])]
         rows = (self.terms.filter(F.col("term").isin(toks))
                 .select("term_id", "term", "df", "cf").collect())
         return [{"term_id": int(r["term_id"]),
