@@ -56,7 +56,8 @@ def tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray
 def canonicalize_iter(batches: Iterator[pd.DataFrame],
                       id_col: str = "doc_id",
                       text_col: str = "text",
-                      from_html: bool = False) -> Iterator[pd.DataFrame]:
+                      from_html: bool = False,
+                      emit_terms: bool = False) -> Iterator[pd.DataFrame]:
     """(doc_id, text|html) -> (doc_id, text=space-joined frozen tokens).
 
     Runs the frozen extractor (optionally) and the frozen regex
@@ -72,16 +73,43 @@ def canonicalize_iter(batches: Iterator[pd.DataFrame],
     CPython's C regex on ~1KB docs; list<->Arrow conversions ate the
     rest) and a bytes.translate token pass only 1.2x — not worth the
     ASCII-gating complexity the frozen unicode semantics would force
-    (python lower()/\b/\s have no exact RE2 spelling)."""
+    (python lower()/\b/\s have no exact RE2 spelling).
+
+    emit_terms=True additionally yields each batch's DISTINCT terms as
+    sentinel rows (id_col NULL, text = term) — the token lists are
+    already in hand here, so the build's pass A (a second full
+    split+factorize scan of the cached canonical corpus) collapses
+    into a filter. NULL-keyed input rows were never indexable (the id
+    join / int cast drops them), so the sentinel is unambiguous."""
     from irkit_spark.functions.extract import extract_text
     for pdf in batches:
         if from_html:
             texts = (extract_text(h) for h in pdf[text_col])
         else:
             texts = (t if isinstance(t, str) else "" for t in pdf[text_col])
-        canon = [" ".join(_TOKEN.findall(t.lower())) for t in texts]
+        if not emit_terms:
+            canon = [" ".join(_TOKEN.findall(t.lower())) for t in texts]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "text": pd.Series(canon, dtype="object")})
+            continue
+        tok_lists = [_TOKEN.findall(t.lower()) for t in texts]
+        canon = [" ".join(ts) for ts in tok_lists]
         yield pd.DataFrame({id_col: pdf[id_col],
                             "text": pd.Series(canon, dtype="object")})
+        total = sum(map(len, tok_lists))
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for ts in tok_lists:
+                n = len(ts)
+                if n:
+                    flat[pos:pos + n] = ts
+                    pos += n
+            _, uniq = pd.factorize(flat)
+            yield pd.DataFrame({
+                id_col: pd.Series([None] * len(uniq), dtype="object"),
+                "text": pd.Series(np.asarray(uniq, dtype=object),
+                                  dtype="object")})
 
 
 def _flat_tokens(texts, pre_tokenized: bool = False

@@ -64,7 +64,6 @@ from pyspark.sql import functions as F
 from irkit_spark import config
 from irkit_spark.functions.codecs import encode_blocks
 from irkit_spark.functions.tokenize import (canonicalize_iter,
-                                            distinct_terms_iter,
                                             tokenize_count_iter,
                                             tokenize_ids_iter)
 from irkit_spark.plans.dense_ids import dense_id_mapping, sorted_rank_mapping
@@ -673,27 +672,39 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # extraction surface; the fused kernel calls the same frozen
         # extract_text — byte-identity is tested against the golden
         # column either way.)
+        # emit_terms: the canonicalize kernel ALSO yields each batch's
+        # distinct terms as NULL-keyed sentinel rows, so pass A (the
+        # old second split+factorize scan of the cached corpus) is a
+        # filter over the same persisted frame. NULL-keyed input rows
+        # were never indexable (the id join / cast drops them).
         in_col = "html" if text_from_html else "text"
         if doc_id_col is not None:
             ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
-            src = (ids.select("doc_id", F.col(in_col).alias("text"))
-                   .mapInPandas(
-                       lambda it: canonicalize_iter(
-                           it, "doc_id", "text", from_html=text_from_html),
-                       schema="doc_id long, text string")
-                   .persist())
+            src_all = (ids.select("doc_id", F.col(in_col).alias("text"))
+                       .mapInPandas(
+                           lambda it: canonicalize_iter(
+                               it, "doc_id", "text",
+                               from_html=text_from_html,
+                               emit_terms=True),
+                           schema="doc_id long, text string")
+                       .persist())
+            src = src_all.filter(F.col("doc_id").isNotNull())
         else:
             # canonicalize FIRST, keyed by url: the raw table is scanned
             # exactly once (doc-id bucket counts, the lexicon pass and
             # the docs table all read the persisted canonical output,
             # not the raw html)
-            src0 = (pages.select(F.col(key_col).cast("string").alias("url"),
-                                 F.col(in_col).alias("text"))
-                    .mapInPandas(
-                        lambda it: canonicalize_iter(
-                            it, "url", "text", from_html=text_from_html),
-                        schema="url string, text string")
-                    .persist())
+            src_all = (pages.select(F.col(key_col).cast("string")
+                                    .alias("url"),
+                                    F.col(in_col).alias("text"))
+                       .mapInPandas(
+                           lambda it: canonicalize_iter(
+                               it, "url", "text",
+                               from_html=text_from_html,
+                               emit_terms=True),
+                           schema="url string, text string")
+                       .persist())
+            src0 = src_all.filter(F.col("url").isNotNull())
             mapping, n_ids = dense_id_mapping(src0, "url", "doc_id",
                                               n_buckets)
             # broadcast only while the (url, doc_id) mapping fits the
@@ -703,11 +714,9 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             right = (F.broadcast(mapping)
                      if n_ids <= config.ID_BROADCAST_MAX else mapping)
             src = src0.join(right, "url")
-        batch_terms = (src0 if doc_id_col is None else src) \
-            .select("text").mapInPandas(
-            lambda it: distinct_terms_iter(it, "text",
-                                           pre_tokenized=True),
-            schema="term string")
+        key0 = "doc_id" if doc_id_col is not None else "url"
+        batch_terms = (src_all.filter(F.col(key0).isNull())
+                       .select(F.col("text").alias("term")))
         if shared_lexicon is not None:
             # incremental batch build: ids come from the shared, growing
             # lexicon; the batch vocab is bounded, so the dict broadcast
@@ -814,7 +823,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # read-back is a trivially parallel scan of narrow columns
         docs = read_artifact(spark, out_dir, "docs", DOCS_TABLE_SCHEMA,
                              fmt)
-        (src if doc_id_col is not None else src0).unpersist()
+        src_all.unpersist()
 
     glob = docs.agg(F.count("*").alias("n"),
                     F.sum("doc_len").alias("len"),
