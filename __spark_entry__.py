@@ -142,9 +142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _index_search(spark, sf, Q_OR, 1000, "wand")
 
     def q_index_wand_quantized(spark, sf):
-        # 7-bit impact quantization: scores are the quantized surrogate
-        # (not exact BM25), so this is a rows-only entry; pytest
-        # (tests/test_quantized.py) bounds its error vs the exact index
+        # 7-bit impact quantization: the surrogate score
+        # idf * floor(127*tf_norm)/127 is SQL-expressible, so this is
+        # fully oracled (_bm25_quant_sql); pytest (tests/
+        # test_quantized.py) additionally bounds its error vs exact
         return _index_search(spark, sf, Q_BM25_A, 10, "wand",
                              quantize=True)
 
@@ -404,6 +405,74 @@ SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _bm25_quant_sql(query: str, k: int) -> str:
+    """7-bit impact-quantized BM25 (operators/build.py quantize=True):
+    score = sum_t idf_t * floor(127 * tf_norm) / 127. The floor is
+    written in the kernel's exact op order ((tf/denom) * 127) so the
+    double arithmetic reproduces numpy bit-for-bit."""
+    terms = sorted(set(query.lower().split()))
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(terms)}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * floor((tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl.dl / st.avgdl))) * 127.0)
+             / 127.0) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _quant_bound_sql(query: str, k: int) -> str:
+    """Oracle for index_wand_quantized_bound: inner-join of the exact
+    and quantized top-k (the Spark entry's full-outer + both>0 filter
+    is an inner join for positive scores) with the per-query error
+    bound sum_t(idf_t)/127."""
+    terms = sorted(set(query.lower().split()))
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(terms)}),
+e AS (SELECT doc_id, round(s, 6) AS exact_score FROM (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1) x ORDER BY exact_score DESC, doc_id LIMIT {k}),
+qq AS (SELECT doc_id, round(s, 6) AS quant_score FROM (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * floor((tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl.dl / st.avgdl))) * 127.0)
+             / 127.0) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1) x ORDER BY quant_score DESC, doc_id LIMIT {k}),
+b AS (SELECT sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5)))
+             / 127.0 AS bound
+      FROM ts JOIN q USING (term) CROSS JOIN st)
+SELECT e.doc_id, exact_score, quant_score,
+       round(abs(exact_score - quant_score), 6) AS abs_err,
+       round(b.bound, 6) AS bound,
+       round(abs(exact_score - quant_score), 6) <= round(b.bound, 6)
+           AS within_bound
+FROM e JOIN qq ON e.doc_id = qq.doc_id CROSS JOIN b
+ORDER BY e.doc_id"""
+
+
 def _ql_sql(query: str, k: int) -> str:
     terms = sorted(set(query.lower().split()))
     return f"""
@@ -501,6 +570,8 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_wand_top1000": _bm25_sql(Q_OR, 1000),
         "index_ql_top10": _ql_sql(Q_BM25_A, 10),
         "index_and_top10": _bm25_sql(Q_AND, 10, conjunctive=True),
+        "index_wand_quantized_top10": _bm25_quant_sql(Q_BM25_A, 10),
+        "index_wand_quantized_bound": _quant_bound_sql(Q_BM25_A, 10),
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS n_copies
 FROM documents GROUP BY 1""",

@@ -675,11 +675,20 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         # emit_terms: the canonicalize kernel ALSO yields each batch's
         # distinct terms as NULL-keyed sentinel rows, so pass A (the
         # old second split+factorize scan of the cached corpus) is a
-        # filter over the same persisted frame. NULL-keyed input rows
-        # were never indexable (the id join / cast drops them).
+        # filter over the same persisted frame. NULL-keyed INPUT rows
+        # are filtered out BEFORE canonicalize (they were never
+        # indexable — the id join / int cast drops them anyway), so a
+        # NULL key downstream unambiguously means "sentinel": without
+        # the pre-filter, a doc whose id fails the long cast would
+        # masquerade as a sentinel and inject its whole space-joined
+        # text into the lexicon as one junk term (ADVICE r3).
         in_col = "html" if text_from_html else "text"
         if doc_id_col is not None:
-            ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+            # try_cast: under ANSI mode a malformed id must become NULL
+            # (and be dropped here), not abort the whole build
+            ids = (pages.withColumn("doc_id",
+                                    F.col(doc_id_col).try_cast("long"))
+                   .filter(F.col("doc_id").isNotNull()))
             src_all = (ids.select("doc_id", F.col(in_col).alias("text"))
                        .mapInPandas(
                            lambda it: canonicalize_iter(
@@ -694,9 +703,9 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             # exactly once (doc-id bucket counts, the lexicon pass and
             # the docs table all read the persisted canonical output,
             # not the raw html)
-            src_all = (pages.select(F.col(key_col).cast("string")
-                                    .alias("url"),
-                                    F.col(in_col).alias("text"))
+            src_all = (pages.filter(F.col(key_col).isNotNull())
+                       .select(F.col(key_col).cast("string").alias("url"),
+                               F.col(in_col).alias("text"))
                        .mapInPandas(
                            lambda it: canonicalize_iter(
                                it, "url", "text",

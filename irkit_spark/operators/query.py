@@ -84,10 +84,13 @@ class Index:
                         else config.DL_BROADCAST_MAX)
         self._dl_bc = None          # lazy, built on first search
 
-    # (spark-app id, index path) -> broadcast of per-shard dl arrays:
-    # callers routinely construct a fresh Index per query, so the cache
-    # must outlive the instance or the collect is re-paid every query
-    _dl_bc_cache: dict[tuple[str, str], object] = {}
+    # (spark-app id, index path, artifact) -> (version, broadcast of
+    # per-shard dl arrays): callers routinely construct a fresh Index
+    # per query, so the cache must outlive the instance or the collect
+    # is re-paid every query. A rebuild into the same path bumps the
+    # version: the superseded broadcast is destroyed and replaced (not
+    # leaked), so the cache holds at most one entry per artifact.
+    _dl_bc_cache: dict[tuple, tuple[float, object]] = {}
 
     def doc_len_broadcast(self):
         """Per-shard doc-length arrays as one broadcast (gated on
@@ -95,29 +98,36 @@ class Index:
         docs-table shuffle per query. None above the cap — queries then
         cogroup against the (touched shards of the) docs table.
         Collected via Arrow (toPandas) + numpy bulk assignment, not
-        per-row Python; cached per (app, path)."""
+        per-row Python; cached per (app, path) while a commit-version
+        signal exists (local _SUCCESS mtime; an Iceberg snapshot id
+        would slot in here) — with no signal the broadcast is built
+        per-Index and never cached, so a long-lived session can never
+        serve stale doc lengths after a rebuild (ADVICE r3)."""
         if self.n_docs > self._dl_cap:
             return None
         if self._dl_bc is None:
-            # key carries the docs commit mtime: a rebuild into the
-            # same path invalidates instead of serving stale lengths
-            key = self._artifact_key("docs")
-            bc = Index._dl_bc_cache.get(key)
-            if bc is None:
-                pdf = self.docs.select("partition_id", "doc_id",
-                                       "doc_len").toPandas()
-                dps = self.docs_per_shard
-                sh = pdf["partition_id"].to_numpy()
-                pos = pdf["doc_id"].to_numpy() - sh.astype(np.int64) * dps
-                dl = pdf["doc_len"].to_numpy().astype(np.int32)
-                arrs: dict[int, np.ndarray] = {}
-                for s in np.unique(sh):
-                    m = sh == s
-                    a = np.zeros(dps, dtype=np.int32)
-                    a[pos[m]] = dl[m]
-                    arrs[int(s)] = a
-                bc = self.spark.sparkContext.broadcast(arrs)
-                Index._dl_bc_cache[key] = bc
+            key, ver = self._artifact_key("docs")
+            hit = Index._dl_bc_cache.get(key) if ver is not None else None
+            if hit is not None and hit[0] == ver:
+                self._dl_bc = hit[1]
+                return self._dl_bc
+            pdf = self.docs.select("partition_id", "doc_id",
+                                   "doc_len").toPandas()
+            dps = self.docs_per_shard
+            sh = pdf["partition_id"].to_numpy()
+            pos = pdf["doc_id"].to_numpy() - sh.astype(np.int64) * dps
+            dl = pdf["doc_len"].to_numpy().astype(np.int32)
+            arrs: dict[int, np.ndarray] = {}
+            for s in np.unique(sh):
+                m = sh == s
+                a = np.zeros(dps, dtype=np.int32)
+                a[pos[m]] = dl[m]
+                arrs[int(s)] = a
+            bc = self.spark.sparkContext.broadcast(arrs)
+            if ver is not None:
+                if hit is not None:
+                    hit[1].destroy()    # superseded by the new version
+                Index._dl_bc_cache[key] = (ver, bc)
             self._dl_bc = bc
         return self._dl_bc
 
@@ -148,18 +158,23 @@ class Index:
         rows = self.docs.filter(F.col("url") == url).collect()
         return rows[0].asDict() if rows else None
 
-    # (app id, path, ver) -> {term: (term_id, df, cf)} for vocab-gated
-    # driver-side lookups: a served index otherwise pays one Spark job
-    # per query just to resolve its terms
-    _terms_cache: dict[tuple, dict] = {}
+    # (app id, path, artifact) -> (version, {term: (term_id, df, cf)})
+    # for vocab-gated driver-side lookups: a served index otherwise pays
+    # one Spark job per query just to resolve its terms. Version-keyed
+    # like _dl_bc_cache: one entry per artifact, replaced on rebuild.
+    _terms_cache: dict[tuple, tuple[float, dict | None]] = {}
 
     def _terms_dict(self):
         """Driver terms dict when the vocab fits BROADCAST_VOCAB_MAX
         (the same gate the build's broadcast dictionary uses); None at
-        web-scale vocabs, where lookups stay a pruned filter job."""
-        key = self._artifact_key("terms")
-        if key in Index._terms_cache:
-            return Index._terms_cache[key]
+        web-scale vocabs, where lookups stay a pruned filter job. Not
+        cached when the artifact has no commit-version signal (non-local
+        paths / Iceberg namespaces — see _artifact_key)."""
+        key, ver = self._artifact_key("terms")
+        if ver is not None:
+            hit = Index._terms_cache.get(key)
+            if hit is not None and hit[0] == ver:
+                return hit[1]
         n = self.terms.count()
         d = None
         if n <= config.BROADCAST_VOCAB_MAX:
@@ -167,16 +182,22 @@ class Index:
                              int(r["cf"]))
                  for r in self.terms.select("term", "term_id", "df",
                                             "cf").collect()}
-        Index._terms_cache[key] = d
+        if ver is not None:
+            Index._terms_cache[key] = (ver, d)
         return d
 
-    def _artifact_key(self, name: str) -> tuple:
+    def _artifact_key(self, name: str) -> tuple[tuple, float | None]:
+        """((app, path, artifact), version) — version is the local
+        _SUCCESS commit mtime, or None when no version signal exists
+        (non-local filesystems, Iceberg namespaces — there a snapshot
+        id from table metadata would be the version; with None the
+        caches are bypassed rather than risking stale serving)."""
         try:
             ver = os.path.getmtime(
                 os.path.join(self.path, name, "_SUCCESS"))
         except OSError:
-            ver = 0.0
-        return (self.spark.sparkContext.applicationId, self.path, name,
+            ver = None
+        return ((self.spark.sparkContext.applicationId, self.path, name),
                 ver)
 
     def lookup_query(self, query: str) -> list[dict]:
@@ -293,8 +314,13 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         base = shard * docs_per_shard
         if dl_bc is not None:
             got = dl_bc.value.get(shard)
-            dl_arr = (got.astype(np.float64) if got is not None
-                      else np.zeros(docs_per_shard, dtype=np.float64))
+            if got is None:
+                # shard absent from the docs table (corrupt or
+                # hand-merged index): the cogroup path gets an empty
+                # docs side and returns empty — match it instead of
+                # scoring with dl=0 (ADVICE r3)
+                return empty_out
+            dl_arr = got.astype(np.float64)
         else:
             if docs_pdf is None or docs_pdf.empty:
                 return empty_out
@@ -604,9 +630,15 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
 
         @F.pandas_udf("int")
         def _dl(doc_id: pd.Series) -> pd.Series:
+            # -1 marks docs whose shard is absent from the broadcast;
+            # the filter below drops them, matching the join path's
+            # inner-join semantics instead of scoring with dl=0
+            # (ADVICE r3). A doc present in the arrays but with dl=0
+            # cannot carry postings (dl >= tf >= 1), so dl<=0 always
+            # means "not in the docs table".
             arrs = dl_bc.value
             d = doc_id.to_numpy()
-            out = np.zeros(d.size, dtype=np.int32)
+            out = np.full(d.size, -1, dtype=np.int32)
             for s in np.unique(d // dps):
                 m = (d // dps) == s
                 a = arrs.get(int(s))
@@ -614,7 +646,8 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
                     out[m] = a[d[m] - int(s) * dps]
             return pd.Series(out)
 
-        return df.withColumn("doc_len", _dl(F.col("doc_id")))
+        return (df.withColumn("doc_len", _dl(F.col("doc_id")))
+                .filter(F.col("doc_len") > 0))
     if scorer == "ql":
         mu = config.QL_MU
         nq = len(qmeta)

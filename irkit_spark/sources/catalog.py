@@ -72,10 +72,12 @@ def write_artifact(df: DataFrame, base: str, name: str,
         else:
             w.createOrReplace()
         return
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                   "dynamic" if dynamic else "static")
-    writer = df.write.mode("overwrite")
+    # per-write option, NOT spark.conf.set: a session-global mutation
+    # would leak into unrelated writes on the same shared session
+    # (ADVICE r3) — DataFrameWriter.option scopes it to this write only
+    writer = (df.write.mode("overwrite")
+              .option("partitionOverwriteMode",
+                      "dynamic" if dynamic else "static"))
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(os.path.join(base, name))

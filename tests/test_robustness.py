@@ -184,3 +184,38 @@ def test_bucket_of_deterministic_and_balanced():
     assert (a == b).all()
     counts = np.bincount(a, minlength=64)
     assert counts.max() <= 2.0 * counts.mean()
+
+
+def test_null_keyed_rows_never_pollute_lexicon(spark, tmp_path):
+    """A row whose doc_id fails the long cast (or whose url is NULL)
+    must be dropped BEFORE canonicalize — not mistaken for a
+    distinct-terms sentinel, which would inject its whole space-joined
+    text into the lexicon as one junk multi-word term (ADVICE r3)."""
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index
+
+    rows = [("0", "alpha beta"), ("1", "beta gamma"),
+            ("not-a-number", "junk words that must not become a term"),
+            (None, "more junk text")]
+    pages = spark.createDataFrame(rows, "doc_id string, text string")
+    out = str(tmp_path / "nullkey_idx")
+    m = build_index(spark, pages, out, docs_per_shard=10,
+                    doc_id_col="doc_id", key_col="doc_id", n_parts=2)
+    idx = Index(spark, out)
+    terms = {r["term"] for r in idx.terms.collect()}
+    assert terms == {"alpha", "beta", "gamma"}
+    assert m["n_docs"] == 2
+    # term_id order (sorted rank) is clean too: no junk shifted ranks
+    by_id = sorted((r["term_id"], r["term"]) for r in idx.terms.collect())
+    assert [t for _, t in by_id] == ["alpha", "beta", "gamma"]
+
+    # url-keyed path: NULL url rows dropped before canonicalize
+    rows2 = [("u0", "alpha beta"), (None, "junk junk junk"),
+             ("u1", "beta gamma")]
+    pages2 = spark.createDataFrame(rows2, "url string, text string")
+    out2 = str(tmp_path / "nullkey_idx2")
+    m2 = build_index(spark, pages2, out2, docs_per_shard=10, n_parts=2)
+    idx2 = Index(spark, out2)
+    assert {r["term"] for r in idx2.terms.collect()} == \
+        {"alpha", "beta", "gamma"}
+    assert m2["n_docs"] == 2
