@@ -68,10 +68,14 @@ def _index_for(spark: SparkSession, sf_dir: str,
 
 
 def _index_search(spark, sf_dir, query, k, mode,
-                  scorer="bm25", quantize: bool = False) -> DataFrame:
+                  scorer="bm25", quantize: bool = False,
+                  local: bool | None = False) -> DataFrame:
+    # local=False pins the distributed path: the correctness gate
+    # should keep verifying the cluster-shape engine; the driver-side
+    # serving kernel gets its own oracled entry (index_wand_local_*)
     from irkit_spark.operators.query import Index, search
     idx = Index(spark, _index_for(spark, sf_dir, quantize))
-    out = search(idx, query, k=k, mode=mode, scorer=scorer)
+    out = search(idx, query, k=k, mode=mode, scorer=scorer, local=local)
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -184,6 +188,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"{bad} docs exceed the quantization error bound "
                 f"{bound:.6f}")
         return both.orderBy("doc_id")
+
+    def q_index_wand_local_top10(spark, sf):
+        # driver-side serving kernel (operators/query._search_local):
+        # same numpy WAND kernel, posting blocks from the driver cache,
+        # zero Spark jobs once warm — oracled against the same BM25 SQL
+        # as the distributed path (they are bit-identical; also pinned
+        # by tests/test_query_identity.py::test_local_path_identity)
+        return _index_search(spark, sf, Q_BM25_A, 10, "wand", local=True)
 
     def q_index_ql_top10(spark, sf):
         return _index_search(spark, sf, Q_BM25_A, 10, "daat", scorer="ql")
@@ -331,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wand_top10": q_index_wand,
         "index_wand_top100": q_index_wand_top100,
         "index_wand_top1000": q_index_wand_top1000,
+        "index_wand_local_top10": q_index_wand_local_top10,
         "index_wand_quantized_top10": q_index_wand_quantized,
         "index_wand_quantized_bound": q_index_wand_quantized_bound,
         "index_ql_top10": q_index_ql_top10,
@@ -570,6 +583,7 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_wand_top1000": _bm25_sql(Q_OR, 1000),
         "index_ql_top10": _ql_sql(Q_BM25_A, 10),
         "index_and_top10": _bm25_sql(Q_AND, 10, conjunctive=True),
+        "index_wand_local_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_quantized_top10": _bm25_quant_sql(Q_BM25_A, 10),
         "index_wand_quantized_bound": _quant_bound_sql(Q_BM25_A, 10),
         "dedup_exact": """

@@ -129,8 +129,19 @@ def main():
             ("taat_k10", "term00000 term00003 term00123", 10, "taat")]
     for name, q, k, mode in qset:
         t0 = time.monotonic()
-        search(idx, q, k, mode).collect()
+        search(idx, q, k, mode, local=False).collect()
         queries[name] = round(time.monotonic() - t0, 3)
+    # driver-side serving kernel (search local=True): first call pays
+    # the one pruned collect per term; the warm number is the true
+    # per-query serving latency (zero Spark jobs — the irk-query
+    # single-node analog)
+    qloc = "term00000 term00003 term00123"
+    t0 = time.monotonic()
+    search(idx, qloc, 10, "wand", local=True).collect()
+    queries["wand_k10_local_cold"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    search(idx, qloc, 10, "wand", local=True).collect()
+    queries["wand_k10_local_warm"] = round(time.monotonic() - t0, 3)
     # warm-path: postings/terms pinned in memory (Index.persist) — the
     # served-index shape; isolates the Spark job floor from IO
     idx.persist()

@@ -66,6 +66,17 @@ BROADCAST_VOCAB_MAX = int(os.environ.get("IRKIT_BROADCAST_VOCAB_MAX",
 
 SHUFFLE_PARTITIONS = int(os.environ.get("IRKIT_SHUFFLE_PARTITIONS", "32"))
 
+# Driver-side query kernel gate (operators/query.py): when the pruned
+# postings of a query's terms total at most this many postings
+# (sum of df over query terms; ~2.2 wire bytes each -> a few MB), the
+# blocks are collected ONCE per term into a driver cache and the numpy
+# WAND/DAAT kernel runs in-process — per-query-ms serving latency, the
+# irk-query single-node analog (SURVEY.md §3.2), skipping Spark job
+# scheduling entirely. Above the cap (head terms at 10^9+ docs) the
+# query stays a distributed pruned scan + per-shard kernel.
+LOCAL_QUERY_MAX_POSTINGS = int(os.environ.get(
+    "IRKIT_LOCAL_QUERY_MAX", "4000000"))
+
 # Blob-shuffle sizing (operators/build.py stage 2/3). Pack-time bucket
 # count = n_parts x ENC_BUCKET_OVER: the encode kernel expands one
 # bucket at a time, so peak numpy expansion is ~1/OVER of a partition,

@@ -83,6 +83,8 @@ class Index:
         self._dl_cap = (dl_broadcast_max if dl_broadcast_max is not None
                         else config.DL_BROADCAST_MAX)
         self._dl_bc = None          # lazy, built on first search
+        self._post_local = None     # per-instance cache when unversioned
+        self._dec_cache = None      # per-shard decoded blocks (serving)
 
     # (spark-app id, index path, artifact) -> (version, broadcast of
     # per-shard dl arrays): callers routinely construct a fresh Index
@@ -185,6 +187,54 @@ class Index:
         if ver is not None:
             Index._terms_cache[key] = (ver, d)
         return d
+
+    # (app id, path, artifact) -> (version, {term_id: [(shard, blocks),
+    # ...], ...}) — the driver-side postings cache behind the local
+    # query kernel (search(..., local=...)): each term's pruned,
+    # compressed posting blocks are collected ONCE per process, then
+    # every later query over cached terms runs the numpy kernel
+    # in-process with zero Spark jobs. Bounded by _POST_CACHE_MAX
+    # postings (blocks stay varbyte-compressed, ~2.2B/posting).
+    _post_cache: dict[tuple, tuple[float, dict]] = {}
+    _POST_CACHE_MAX = 8 * config.LOCAL_QUERY_MAX_POSTINGS
+
+    def _local_postings(self, qmeta: list[dict]) -> dict[int, list]:
+        """{term_id: [(shard, blocks), ...]} for the query's terms,
+        collecting only terms not already in the driver cache (one
+        pruned filter+collect job; partition/row-group pruning applies
+        exactly as in the distributed path)."""
+        key, ver = self._artifact_key("postings")
+        if ver is not None:
+            hit = Index._post_cache.get(key)
+            if hit is None or hit[0] != ver:
+                hit = (ver, {"__n": 0})
+                Index._post_cache[key] = hit
+            cache = hit[1]
+        else:
+            if self._post_local is None:
+                self._post_local = {"__n": 0}
+            cache = self._post_local
+        missing = [m["term_id"] for m in qmeta if m["term_id"] not in cache]
+        if missing:
+            rows = (self.postings
+                    .filter(F.col("term_id").isin(missing))
+                    .select("term_id", "partition_id", "blocks").collect())
+            for tid in missing:
+                cache[tid] = []
+            for r in rows:
+                cache[int(r["term_id"])].append(
+                    (int(r["partition_id"]), r["blocks"]))
+                cache["__n"] += sum(int(b["n"]) for b in r["blocks"])
+            if cache["__n"] > Index._POST_CACHE_MAX:
+                # simple bound: drop everything but this query's terms
+                keep = {m["term_id"] for m in qmeta}
+                for k2 in [k for k in cache
+                           if k != "__n" and k not in keep]:
+                    del cache[k2]
+                cache["__n"] = sum(
+                    sum(int(b["n"]) for _, blks in v for b in blks)
+                    for k3, v in cache.items() if k3 != "__n")
+        return {m["term_id"]: cache[m["term_id"]] for m in qmeta}
 
     def _artifact_key(self, name: str) -> tuple[tuple, float | None]:
         """((app, path, artifact), version) — version is the local
@@ -305,7 +355,17 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                              "score": score[order]})
 
     def run(post_pdf: pd.DataFrame,
-            docs_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
+            docs_pdf: pd.DataFrame | None = None,
+            theta0: float = -np.inf,
+            decoded_cache: dict | None = None) -> pd.DataFrame:
+        """theta0: carried-in WAND threshold (driver-side sequential
+        serving): the k-th best EXACT score accumulated over shards
+        already processed. Lossless — a block pruned by ub < theta0
+        holds only docs scoring < theta0, which cannot displace any of
+        the k docs that produced it; a doc scoring exactly theta0 has
+        ub >= theta0 and survives (keep is >=). When set, the per-shard
+        seed phase is skipped entirely (the carried threshold already
+        prunes harder than a local seed would)."""
         empty_out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                   "score": pd.Series([], dtype="float64")})
         if post_pdf.empty:
@@ -331,7 +391,11 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         for _, r in post_pdf.iterrows():
             term_rows.setdefault(int(r["term_id"]), []).extend(
                 list(r["blocks"]))
-        cache: dict = {}
+        # decoded_cache (driver serving): a per-shard dict that outlives
+        # this call, so repeated queries over the same terms skip the
+        # varbyte decode entirely; keys are (term_id, block_ix), unique
+        # across queries
+        cache: dict = decoded_cache if decoded_cache is not None else {}
 
         if mode == "and":
             # conjunctive intersection (J1): small-adaptive — decode the
@@ -454,24 +518,30 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                                      np.int64)
 
         # phase 1: seed theta from the smallest term's docs (decoded
-        # through the shared block cache so exact_scores reuses them)
-        seed_tid = min(term_rows,
-                       key=lambda t: sum(b["n"] for b in term_rows[t]))
-        seed_parts = []
-        for b_ix, blk in enumerate(term_rows[seed_tid]):
-            n = int(blk["n"])
-            gaps = dec(bytes(blk["doc_bytes"]), n)
-            d = delta_decode(gaps, int(blk["first_doc"])).astype(np.int64)
-            t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
-            cache[(seed_tid, b_ix)] = (d, t)
-            seed_parts.append(d)
-        seed_docs = np.unique(np.concatenate(seed_parts))
-        seed_scores = exact_scores(term_rows, seed_docs, dl_arr, base, cache)
-        if seed_docs.size >= k:
-            theta = np.partition(seed_scores, seed_docs.size - k)[
-                seed_docs.size - k]
+        # through the shared block cache so exact_scores reuses them);
+        # skipped when a carried threshold arrives (see theta0 above)
+        if theta0 > -np.inf:
+            theta = theta0
+            seed_docs = np.empty(0, dtype=np.int64)
         else:
-            theta = -np.inf
+            seed_tid = min(term_rows,
+                           key=lambda t: sum(b["n"] for b in term_rows[t]))
+            seed_parts = []
+            for b_ix, blk in enumerate(term_rows[seed_tid]):
+                n = int(blk["n"])
+                gaps = dec(bytes(blk["doc_bytes"]), n)
+                d = delta_decode(gaps, int(blk["first_doc"])).astype(np.int64)
+                t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
+                cache[(seed_tid, b_ix)] = (d, t)
+                seed_parts.append(d)
+            seed_docs = np.unique(np.concatenate(seed_parts))
+            seed_scores = exact_scores(term_rows, seed_docs, dl_arr, base,
+                                       cache)
+            if seed_docs.size >= k:
+                theta = np.partition(seed_scores, seed_docs.size - k)[
+                    seed_docs.size - k]
+            else:
+                theta = -np.inf
 
         # phase 2: surviving blocks. A block of term t covering doc
         # range [f, l] bounds every doc in it by
@@ -542,10 +612,74 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
     return run
 
 
+def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
+                  scorer: str) -> DataFrame:
+    """Driver-side execution of the SAME per-shard kernel: posting
+    blocks from the driver cache (_local_postings), doc lengths from
+    the (driver-visible) broadcast value, global top-k merged with the
+    identical (-score, doc_id) order — bit-identical to the distributed
+    path by construction (tested), with zero Spark jobs once warm."""
+    dl_bc = index.doc_len_broadcast()
+    by_tid = index._local_postings(qmeta)
+    kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
+                         index.docs_per_shard, mode, scorer,
+                         index.coll_len, index.bound_slack,
+                         index.quantized, dl_bc=dl_bc)
+    per_shard: dict[int, dict[str, list]] = {}
+    for tid, lst in by_tid.items():
+        for shard, blocks in lst:
+            g = per_shard.setdefault(shard, {"partition_id": [],
+                                             "term_id": [], "blocks": []})
+            g["partition_id"].append(shard)
+            g["term_id"].append(tid)
+            g["blocks"].append(blocks)
+    # sequential shard sweep with a carried WAND threshold: after k
+    # results exist, theta = the running k-th best EXACT score, so
+    # later shards prune nearly every block (lossless — see run()'s
+    # theta0 note). This is what makes warm serving per-query-ms even
+    # when one term's df is ~corpus-sized.
+    parts: list[pd.DataFrame] = []
+    theta = -np.inf
+    all_scores = np.empty(0, dtype=np.float64)
+    if index._dec_cache is None:
+        index._dec_cache = {}
+    for shard, g in sorted(per_shard.items()):
+        dc = index._dec_cache.setdefault(shard, {})
+        if mode == "wand":
+            p = kern(pd.DataFrame(g), theta0=theta, decoded_cache=dc)
+        else:
+            p = kern(pd.DataFrame(g), decoded_cache=dc)
+        if len(p):
+            parts.append(p)
+            if mode == "wand":
+                all_scores = np.concatenate(
+                    [all_scores, p["score"].to_numpy()])
+                if all_scores.size >= k:
+                    theta = np.partition(
+                        all_scores, all_scores.size - k)[
+                        all_scores.size - k]
+    if not parts:
+        return index.spark.createDataFrame([], TOPK_SCHEMA)
+    allp = pd.concat(parts, ignore_index=True)
+    doc = allp["doc_id"].to_numpy()
+    sc = allp["score"].to_numpy()
+    order = np.lexsort((doc, -sc))[:k]
+    out = pd.DataFrame({"doc_id": doc[order], "score": sc[order]})
+    return index.spark.createDataFrame(out, TOPK_SCHEMA)
+
+
 def search(index: Index, query: str, k: int = 10,
-           mode: str = "wand", scorer: str = "bm25") -> DataFrame:
+           mode: str = "wand", scorer: str = "bm25",
+           local: bool | None = None) -> DataFrame:
     """Top-k (doc_id, score); mode in {taat, daat, wand} (Q3/Q4/Q5),
-    scorer in {bm25, ql} (Q1/Q2; WAND pruning bounds are BM25-only)."""
+    scorer in {bm25, ql} (Q1/Q2; WAND pruning bounds are BM25-only).
+
+    local: None (default) auto-routes small queries through the
+    driver-side kernel (see config.LOCAL_QUERY_MAX_POSTINGS — per-query
+    milliseconds once the term blocks are cached, the irk-query
+    single-node serving analog); False forces the distributed path;
+    True requires the local path (raises when the query exceeds the
+    gate). TAAT always runs distributed (it is the SQL-shaped path)."""
     if mode not in ("taat", "daat", "wand", "and"):
         raise ValueError(f"unknown mode {mode!r}: taat|daat|wand|and")
     if scorer not in ("bm25", "ql"):
@@ -562,6 +696,21 @@ def search(index: Index, query: str, k: int = 10,
     empty = spark.createDataFrame([], TOPK_SCHEMA)
     if not qmeta:
         return empty
+
+    if mode != "taat" and local is not False:
+        fits = (sum(m["df"] for m in qmeta)
+                <= config.LOCAL_QUERY_MAX_POSTINGS
+                and index.n_docs <= index._dl_cap)
+        if local and not fits:
+            raise ValueError(
+                "local=True but the query exceeds the driver-kernel "
+                "gate (sum df > LOCAL_QUERY_MAX_POSTINGS or doc "
+                "lengths above the broadcast cap)")
+        if fits:
+            return _search_local(index, qmeta, k, mode, scorer)
+    elif local:
+        raise ValueError("local=True is not available for mode='taat'")
+
     tids = [m["term_id"] for m in qmeta]
     qpost = index.postings.filter(F.col("term_id").isin(tids))
 

@@ -241,3 +241,50 @@ def test_text_taat_oracle_path(spark, index_small, pages_small):
     b = [(r["doc_id"], round(r["score"], 6))
          for r in search(idx, q, 10, "wand").collect()]
     assert a == b
+
+
+@pytest.mark.parametrize("mode", ["wand", "daat", "and"])
+def test_local_path_identity(spark, index_small, mode):
+    """The driver-side serving kernel (search local=True) is
+    bit-identical to the distributed per-shard path: same numpy
+    kernel, same (-score, doc_id) merge order (VERDICT r3 item 4)."""
+    idx, _ = index_small
+    for q, k in [("term00000 term00003 term00123", 10),
+                 ("term00001 term00010", 25),
+                 ("term00002 term00005 term00050", 100)]:
+        dist = search(idx, q, k=k, mode=mode, local=False).collect()
+        loc = search(idx, q, k=k, mode=mode, local=True).collect()
+        assert [(r["doc_id"], r["score"]) for r in dist] == \
+            [(r["doc_id"], r["score"]) for r in loc], (mode, q)
+
+
+def test_local_path_gate_errors(spark, index_small, monkeypatch):
+    idx, _ = index_small
+    from irkit_spark import config
+    monkeypatch.setattr(config, "LOCAL_QUERY_MAX_POSTINGS", 0)
+    with pytest.raises(ValueError, match="driver-kernel gate"):
+        search(idx, "term00000", 10, "wand", local=True)
+    # auto mode silently falls back to the distributed path
+    assert search(idx, "term00000", 10, "wand").count() > 0
+    with pytest.raises(ValueError, match="taat"):
+        search(idx, "term00000", 10, "taat", local=True)
+
+
+def test_local_path_warm_runs_no_jobs(spark, index_small):
+    """Once the term blocks are cached, a local query schedules ZERO
+    Spark jobs (per-query-ms serving — the irk-query analog)."""
+    idx, _ = index_small
+    q = "term00000 term00007 term00222"
+    search(idx, q, 10, "wand", local=True).collect()   # warm the cache
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    from irkit_spark.operators import query as qmod
+    qmeta = idx.lookup_query(q)
+    out = qmod._search_local(idx, qmeta, 10, "wand", "bm25")
+    # _search_local itself runs driver-side; only the createDataFrame
+    # materialization would schedule a job on .collect(), which is
+    # outside the serving kernel. Assert the kernel scheduled nothing.
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+    assert out.count() == 10
