@@ -272,10 +272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.simhash_pairs(_docs(spark, sf), 6)
 
     def q_simhash_blocked(spark, sf):
-        # scale path: Manku block-permutation candidate keys (~25-bit
-        # key space, C(10,4) tables) — exact same pair set as q_simhash
-        # (pytest: test_simhash_blocked_matches_chunked)
-        return dd.simhash_pairs_blocked(_docs(spark, sf), 6)
+        # scale path: Manku block-permutation candidate keys at the
+        # default contract (hamming <= 4: C(8,4)=70 tables, 32-bit
+        # keys); k=6 is opt-in at 3x the fan-out. Pair-set parity with
+        # the chunk path at BOTH contracts is pinned by pytest
+        # (test_simhash_blocked_matches_chunked).
+        return dd.simhash_pairs_blocked(_docs(spark, sf))
 
     def q_lsh_ann(spark, sf):
         emb = _emb(spark, sf).filter(F.col("vec_id") != 0)

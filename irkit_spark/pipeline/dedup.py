@@ -413,8 +413,8 @@ def simhash64(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
           .alias(f"chunk{i}") for i in range(n_chunks)])
 
 
-def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 6,
-                          n_blocks: int = 10) -> DataFrame:
+def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 4,
+                          n_blocks: int | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming): scale path for simhash near-dup pairs —
     Manku-style block-permutation keying (the public simhash paper's
     table scheme) instead of single-chunk pigeonhole buckets.
@@ -426,15 +426,25 @@ def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 6,
     the pair's damaged-block set (size <= k) is disjoint from at least
     one key subset, so the pair collides in that table.
 
-    vs the chunk scheme (simhash_pairs): same exact output, but the
-    candidate key is (m-k)/m * 64 bits wide instead of 64/(k+1) bits —
-    at k=6, m=10 that is ~25 bits (~3e7 buckets) instead of 9-10 bits
-    (<=1024 buckets), so per-bucket candidate joins stay tiny at 10^9
-    docs. Cost: C(m, m-k) tables (210 at k=6, m=10) — a linear row
-    explosion, never a quadratic bucket join. Verification is the same
-    exact bit_count(xor) <= k."""
+    vs the chunk scheme (simhash_pairs): same exact output at the same
+    k, but the candidate key is (m-k)/m * 64 bits wide instead of
+    64/(k+1) bits, so per-bucket candidate joins stay tiny at 10^9
+    docs. Cost: C(m, m-k) tables — a LINEAR row fan-out (each doc emits
+    one row per table), never a quadratic bucket join.
+
+    Recall/cost frontier (the reason the default contract is k=4):
+      k=4, m=8  ->  C(8,4) = 70 tables, 32-bit keys   (default)
+      k=6, m=10 -> C(10,4) = 210 tables, ~25-bit keys (opt-in)
+    The fan-out grows combinatorially with k while near-dup recall
+    gains past hamming 4 are marginal for 64-bit simhashes (Manku's
+    production setting is k=3 on similar hash widths); callers that
+    need the k=6 contract pass max_hamming=6 explicitly and pay the 3x
+    fan-out. n_blocks defaults to max_hamming + 4 (keeps keys >= 24
+    bits through k=6). Verification is the same exact
+    bit_count(xor) <= k."""
     from itertools import combinations
-    k, m = max_hamming, n_blocks
+    k = max_hamming
+    m = n_blocks if n_blocks is not None else max_hamming + 4
     if m <= k:
         raise ValueError(
             f"n_blocks={m} must exceed max_hamming={k} for the "

@@ -57,9 +57,19 @@ def _save_counters(out_dir: str, c: dict):
     os.replace(tmp, pth)
 
 
-def _grow_lexicon(spark, out_dir: str, batch_terms, counters: dict):
+def _grow_lexicon(spark, out_dir: str, batch_terms, counters: dict,
+                  window_max: int = 100_000):
     """Append unseen terms with new dense ids; existing ids never move
-    (so already-built batch indexes stay valid)."""
+    (so already-built batch indexes stay valid).
+
+    Id assignment is gated on the NEW-term count: small deltas (the
+    steady state — most batches add few terms) use one global sorted
+    window; above `window_max` (e.g. the FIRST micro-batch of a
+    web-scale stream, which carries the whole vocabulary) ids come
+    from plans/dense_ids.sorted_rank_mapping — range-partitioned
+    sorted rank, no single-task window (VERDICT r3 item 8). Both
+    assign rank-in-sorted-order + next_term_id, so the id space is
+    identical either way."""
     lex_path = os.path.join(_state_dir(out_dir), "lexicon")
     from pyspark.sql import Window
     if os.path.exists(os.path.join(lex_path, "_SUCCESS")):
@@ -68,15 +78,30 @@ def _grow_lexicon(spark, out_dir: str, batch_terms, counters: dict):
     else:
         lex = None
         new = batch_terms
-    w = Window.orderBy("term")   # new terms per batch: small, one task
-    new_ids = new.select("term").distinct().withColumn(
-        "term_id",
-        (F.row_number().over(w) - 1 + counters["next_term_id"])
-        .cast("int"))
-    n_new = new_ids.count()
+    new_d = new.select("term").distinct().persist()
+    n_new = new_d.count()
+    if n_new > window_max:
+        from irkit_spark.plans.dense_ids import sorted_rank_mapping
+        new_ids = (sorted_rank_mapping(new_d, "term", "__rank")
+                   .withColumn(
+                       "term_id",
+                       (F.col("__rank") + counters["next_term_id"])
+                       .cast("int"))
+                   .select("term", "term_id"))
+    else:
+        w = Window.orderBy("term")
+        new_ids = new_d.withColumn(
+            "term_id",
+            (F.row_number().over(w) - 1 + counters["next_term_id"])
+            .cast("int"))
     updated = new_ids if lex is None else lex.unionByName(new_ids)
     tmp = lex_path + "_tmp"
-    updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # coalesce only small lexicons into one file; a huge first batch
+    # keeps its partitioned layout
+    if n_new <= window_max and (lex is None or lex.rdd.getNumPartitions() == 1):
+        updated = updated.coalesce(1)
+    updated.write.mode("overwrite").parquet(tmp)
+    new_d.unpersist()
     if os.path.exists(lex_path):
         import shutil
         shutil.rmtree(lex_path)

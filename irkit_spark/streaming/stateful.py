@@ -15,9 +15,21 @@ Scale design: the stream is grouped by a hash PREFIX (`prefix_len` hex
 chars -> 16^prefix_len state groups), so each group's seen-set is
 ~corpus/16^p hashes and state shards across executors with the groups.
 At 10^12 docs pick prefix_len ~5-6 (16^6 = 1.7e7 groups); state lives
-in the state store (RocksDB provider at scale), one group's set is
-loaded per trigger. Exact streaming dedup fundamentally must remember
-every hash; the knob only bounds the PER-GROUP working set.
+in the state store (RocksDB provider at scale:
+spark.sql.streaming.stateStore.providerClass =
+...RocksDBStateStoreProvider, with changelog checkpointing on — the
+HDFS-backed default materializes every group's state in executor heap).
+Exact streaming dedup fundamentally must remember every hash; the knob
+only bounds the PER-GROUP working set.
+
+State sizing (VERDICT r3 item 7): each seen hash is stored as the
+FIRST 8 BYTES of its md5 as binary (8 B/doc, vs 32 B/doc for the full
+hex string). Truncation soundness: a false drop needs two DIFFERENT
+texts sharing the same 64-bit md5 prefix inside one group; with
+prefix_len=6 sharding a 10^12-doc corpus into 1.7e7 groups of ~6e4
+hashes, the per-group collision probability is C(6e4,2)/2^64 ~ 1e-10
+(~2e-3 expected false drops corpus-wide). Groups beyond ~2^30 hashes
+would need prefix_len raised or the full 16-byte digest.
 """
 
 from __future__ import annotations
@@ -29,20 +41,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _OUT_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                "text string, lang string, h string")
-_STATE_SCHEMA = "seen array<string>"
+_STATE_SCHEMA = "seen array<binary>"
+_TRUNC_BYTES = 8
 
 
 def _dedup_group(key, pdfs, state: GroupState):
     """Emit only rows whose content hash is unseen; fold new hashes
-    into the group state. Within one trigger, first occurrence (in
-    arrival order) wins — matching dedup_keep_first's keep-first
-    semantics per micro-batch stream order."""
-    seen = set(state.get[0]) if state.exists else set()
+    into the group state (truncated binary — see module doc). Within
+    one trigger, first occurrence (in arrival order) wins — matching
+    dedup_keep_first's keep-first semantics per micro-batch stream
+    order."""
+    seen = (set(bytes(b) for b in state.get[0]) if state.exists
+            else set())
     for pdf in pdfs:
         fresh_rows = []
         for i, h in enumerate(pdf["h"]):
-            if h not in seen:
-                seen.add(h)
+            hb = bytes.fromhex(h[:2 * _TRUNC_BYTES])
+            if hb not in seen:
+                seen.add(hb)
                 fresh_rows.append(i)
         if fresh_rows:
             yield pdf.iloc[fresh_rows].drop(columns=["hk"])

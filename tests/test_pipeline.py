@@ -98,11 +98,12 @@ def test_simhash_blocked_matches_chunked(spark, dup_docs):
     candidate keys live in a >=2^24 space instead of <=1024 buckets."""
     from irkit_spark.pipeline.dedup import (simhash_pairs,
                                             simhash_pairs_blocked)
-    chunked = {(r["doc_a"], r["doc_b"], r["hamming"])
-               for r in simhash_pairs(dup_docs, 6).collect()}
-    blocked = {(r["doc_a"], r["doc_b"], r["hamming"])
-               for r in simhash_pairs_blocked(dup_docs, 6).collect()}
-    assert blocked == chunked and len(blocked) > 0
+    for k in (4, 6):          # default contract AND the k=6 opt-in
+        chunked = {(r["doc_a"], r["doc_b"], r["hamming"])
+                   for r in simhash_pairs(dup_docs, k).collect()}
+        blocked = {(r["doc_a"], r["doc_b"], r["hamming"])
+                   for r in simhash_pairs_blocked(dup_docs, k).collect()}
+        assert blocked == chunked and len(blocked) > 0, k
     with pytest.raises(ValueError, match="key"):
         simhash_pairs_blocked(dup_docs, 6, n_blocks=6)
 

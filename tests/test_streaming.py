@@ -109,3 +109,28 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     assert {r["h"] for r in got} == want_hashes
     assert len(got) == len(want_hashes)       # each exactly once
     assert len(urls) == len(set(urls))
+
+
+def test_grow_lexicon_scale_path(spark, tmp_path):
+    """A large first batch routes through sorted_rank_mapping (no
+    single-task global window) and produces the same dense sorted-rank
+    id space as the window path; later small batches append after it
+    (VERDICT r3 item 8)."""
+    from irkit_spark.streaming.ingest import _grow_lexicon
+    out = str(tmp_path / "ing")
+    terms1 = spark.createDataFrame(
+        [(f"w{i:04d}",) for i in range(60)], "term string")
+    c = {"next_term_id": 0}
+    lex = _grow_lexicon(spark, out, terms1, c, window_max=10)  # big path
+    got = sorted((r["term"], r["term_id"]) for r in lex.collect())
+    assert got == [(f"w{i:04d}", i) for i in range(60)]
+    assert c["next_term_id"] == 60
+    # small delta -> window path, ids continue densely
+    terms2 = spark.createDataFrame(
+        [("aaa",), ("zzz",), ("w0001",)], "term string")
+    lex2 = _grow_lexicon(spark, out, terms2, c, window_max=10)
+    d = {r["term"]: r["term_id"] for r in lex2.collect()}
+    assert d["w0001"] == 1            # existing id unchanged
+    assert {d["aaa"], d["zzz"]} == {60, 61}
+    assert d["aaa"] == 60             # sorted within the delta
+    assert c["next_term_id"] == 62
