@@ -80,7 +80,10 @@ def canonicalize_iter(batches: Iterator[pd.DataFrame],
     already in hand here, so the build's pass A (a second full
     split+factorize scan of the cached canonical corpus) collapses
     into a filter. NULL-keyed input rows were never indexable (the id
-    join / int cast drops them), so the sentinel is unambiguous."""
+    join / int cast drops them), so the sentinel is unambiguous. In
+    this mode every row also carries `dl` (the doc's token count —
+    free here, len(tok_list)), so the docs table downstream is a pure
+    projection: no corpus-wide re-split for doc lengths."""
     from irkit_spark.functions.extract import extract_text
     for pdf in batches:
         if from_html:
@@ -94,8 +97,12 @@ def canonicalize_iter(batches: Iterator[pd.DataFrame],
             continue
         tok_lists = [_TOKEN.findall(t.lower()) for t in texts]
         canon = [" ".join(ts) for ts in tok_lists]
-        yield pd.DataFrame({id_col: pdf[id_col],
-                            "text": pd.Series(canon, dtype="object")})
+        yield pd.DataFrame({
+            id_col: pdf[id_col],
+            "text": pd.Series(canon, dtype="object"),
+            "dl": pd.Series(np.fromiter(map(len, tok_lists),
+                                        dtype=np.int32,
+                                        count=len(tok_lists)))})
         total = sum(map(len, tok_lists))
         if total:
             flat = np.empty(total, dtype=object)
@@ -106,10 +113,12 @@ def canonicalize_iter(batches: Iterator[pd.DataFrame],
                     flat[pos:pos + n] = ts
                     pos += n
             _, uniq = pd.factorize(flat)
+            nu = len(uniq)
             yield pd.DataFrame({
-                id_col: pd.Series([None] * len(uniq), dtype="object"),
+                id_col: pd.Series([None] * nu, dtype="object"),
                 "text": pd.Series(np.asarray(uniq, dtype=object),
-                                  dtype="object")})
+                                  dtype="object"),
+                "dl": pd.Series(np.zeros(nu, dtype=np.int32))})
 
 
 def _flat_tokens(texts, pre_tokenized: bool = False

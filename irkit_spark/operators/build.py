@@ -78,9 +78,14 @@ MAX_BIN_OFFSET = (1 << 31) - 16
 # cf = sum of raw tf over the (term, shard) group, aggregated inside
 # the encode kernel: stage 4's df/cf then come from the tiny postings
 # table (sum(n_docs), sum(cf)) instead of a second full scan + shuffle
-# of the 10^12-row token table
+# of the 10^12-row token table. max_norm (= max block max_score of the
+# group) and wire_bytes (compressed payload size) are ALSO pre-
+# aggregated per row so the terms/lineage stats aggregations scan only
+# narrow numeric columns — never re-deserializing the blocks payload
+# (measured: that rescan was a non-scaling ~3s serial floor per build).
 POSTINGS_SCHEMA = (
     "term_id int, partition_id int, n_docs int, cf long, "
+    "max_norm float, wire_bytes long, "
     "blocks array<struct<first_doc: long, last_doc: long, n: int, "
     "max_score: float, doc_bytes: binary, tf_bytes: binary>>")
 
@@ -177,22 +182,33 @@ def _encode_kernel(avgdl: float, codec: str, block_size: int,
                     "partition_id": s[gstarts].astype("int32"),
                     "n_docs": (gends - gstarts).astype("int32"),
                     "cf": cf_g.astype("int64"),
+                    "max_norm": np.maximum.reduceat(bmax, gb_starts)
+                    .astype("float32"),
+                    "wire_bytes": ((off_d[gends] - off_d[gstarts])
+                                   + (off_t[gends] - off_t[gstarts]))
+                    .astype("int64"),
                     "blocks": [blocks_all[a:b]
                                for a, b in zip(gb_starts, gb_ends)],
                 })
             # generic per-group path (streamvbyte etc.)
             gends = np.append(gstarts[1:], n)
             rows = {"term_id": [], "partition_id": [], "n_docs": [],
-                    "cf": [], "blocks": []}
+                    "cf": [], "max_norm": [], "wire_bytes": [],
+                    "blocks": []}
             du = d.astype(np.uint64)
             for gi, (g0, g1) in enumerate(zip(gstarts, gends)):
+                blks = encode_blocks(du[g0:g1], tf[g0:g1],
+                                     tf_norm[g0:g1], block_size, codec)
                 rows["term_id"].append(int(t[g0]))
                 rows["partition_id"].append(int(s[g0]))
                 rows["n_docs"].append(int(g1 - g0))
                 rows["cf"].append(int(cf_g[gi]))
-                rows["blocks"].append(encode_blocks(
-                    du[g0:g1], tf[g0:g1], tf_norm[g0:g1], block_size,
-                    codec))
+                rows["max_norm"].append(
+                    max(b["max_score"] for b in blks))
+                rows["wire_bytes"].append(
+                    sum(len(b["doc_bytes"]) + len(b["tf_bytes"])
+                        for b in blks))
+                rows["blocks"].append(blks)
             return pd.DataFrame(rows)
 
         for pdf in batches:
@@ -277,6 +293,18 @@ def _pack_blob_frames(d: np.ndarray, t: np.ndarray, tf: np.ndarray,
     return buckets, shards, blobs
 
 
+def _binary_cells(arr) -> list:
+    """Zero-copy memoryviews of a pyarrow BinaryArray's cells (handles
+    sliced arrays via arr.offset). Replaces per-cell .as_py(), which
+    copied every blob into a fresh Python bytes object (~GBs per build
+    partition at scale). The views pin the Arrow buffer alive."""
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                        count=n + arr.offset + 1)[arr.offset:]
+    mv = memoryview(arr.buffers()[2])
+    return [mv[off[i]:off[i + 1]] for i in range(n)]
+
+
 def _unpack_blob(blob) -> tuple:
     """blob -> (doc_id i64, term_id i32, tf i32, dl i32) column views."""
     b = memoryview(blob)
@@ -334,9 +362,9 @@ def _unpack_rows_kernel():
 
     def run(batches):
         for rb in batches:
-            blobs = rb.column(rb.schema.names.index("blob"))
+            cells = _binary_cells(rb.column(rb.schema.names.index("blob")))
             for i in range(rb.num_rows):
-                d, t, tf, dl = _unpack_blob(blobs[i].as_py())
+                d, t, tf, dl = _unpack_blob(cells[i])
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(d, pa.int64()), pa.array(t, pa.int32()),
                      pa.array(tf, pa.int32()), pa.array(dl, pa.int32())],
@@ -373,6 +401,8 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         ("partition_id", pa.int32()),
         ("n_docs", pa.int32()),
         ("cf", pa.int64()),
+        ("max_norm", pa.float32()),
+        ("wire_bytes", pa.int64()),
         ("blocks", pa.list_(pa.struct([
             ("first_doc", pa.int64()), ("last_doc", pa.int64()),
             ("n", pa.int32()), ("max_score", pa.float32()),
@@ -450,11 +480,16 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         blocks_col = pa.ListArray.from_arrays(
             pa.array(list_offsets, pa.int32()), struct)
         gends = np.append(gstarts[1:], n)
+        max_norm_g = np.maximum.reduceat(bmax, gb_starts)
+        wire_g = ((off_d[gends] - off_d[gstarts])
+                  + (off_t[gends] - off_t[gstarts]))
         yield pa.RecordBatch.from_arrays(
             [pa.array(t[gstarts].astype(np.int32), pa.int32()),
              pa.array(s[gstarts].astype(np.int32), pa.int32()),
              pa.array((gends - gstarts).astype(np.int32), pa.int32()),
              pa.array(cf_g.astype(np.int64), pa.int64()),
+             pa.array(max_norm_g.astype(np.float32), pa.float32()),
+             pa.array(wire_g.astype(np.int64), pa.int64()),
              blocks_col], schema=out_schema)
 
     def cols(rb_or_tbl, want_shard: bool = True):
@@ -519,10 +554,9 @@ def _encode_kernel_arrow(avgdl: float, block_size: int,
         for rb in batches:
             names = rb.schema.names
             bks = rb.column(names.index("bucket")).to_numpy()
-            blobs = rb.column(names.index("blob"))
-            for i in range(rb.num_rows):
-                per_bucket.setdefault(int(bks[i]), []).append(
-                    blobs[i].as_py())
+            cells = _binary_cells(rb.column(names.index("blob")))
+            for i, cell in enumerate(cells):
+                per_bucket.setdefault(int(bks[i]), []).append(cell)
         for bucket in sorted(per_bucket):
             parts = [_unpack_blob(b) for b in per_bucket[bucket]]
             t = np.concatenate([p[1] for p in parts])
@@ -618,6 +652,16 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             prev_attempts[r["partition_id"]] = r["attempt"]
             if r["status"] == "done":
                 done_shards.add(r["partition_id"])
+        if (done_shards and fmt != "iceberg"
+                and artifact_exists(spark, out_dir, "postings", fmt)):
+            # layout guard: postings written before the per-row
+            # max_norm/wire_bytes columns would read as all-null under
+            # the explicit schema and corrupt the terms/lineage stats
+            actual = spark.read.parquet(p("postings")).columns
+            if "max_norm" not in actual:
+                raise RuntimeError(
+                    "postings at %r use the pre-max_norm layout %s — "
+                    "rebuild without resume" % (p("postings"), actual))
 
     # ---- stage 1: doc ids + lexicon pass (SURVEY.md T2/T3/A2) ---------
     # Two tokenization passes keep the 10^12-row stream INTEGER-ONLY:
@@ -695,7 +739,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                                it, "doc_id", "text",
                                from_html=text_from_html,
                                emit_terms=True),
-                           schema="doc_id long, text string")
+                           schema="doc_id long, text string, dl int")
                        .persist())
             src = src_all.filter(F.col("doc_id").isNotNull())
         else:
@@ -711,7 +755,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                                it, "url", "text",
                                from_html=text_from_html,
                                emit_terms=True),
-                           schema="url string, text string")
+                           schema="url string, text string, dl int")
                        .persist())
             src0 = src_all.filter(F.col("url").isNotNull())
             mapping, n_ids = dense_id_mapping(src0, "url", "doc_id",
@@ -802,16 +846,16 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         write_artifact(tok, out_dir, "tok", fmt=fmt)
         _mark("tokenize_write")
         tok = read_artifact(spark, out_dir, "tok", TOK_BLOB_SCHEMA, fmt)
-        # doc lengths straight off the persisted canonical text (token
-        # count = split count; '' -> 0): a 2 x n_docs narrow join, NOT
-        # a second scan + groupBy of the 10^12-row token table. This is
-        # also the true token length for docs whose terms are all OOV
-        # under a shared lexicon.
-        dl_col = (F.when(F.col("text") == "", F.lit(0))
-                  .otherwise(F.size(F.split("text", " ")))
-                  .cast("int").alias("doc_len"))
+        # doc lengths come straight from the canonicalize kernel's dl
+        # column (token count, computed while the token lists were in
+        # hand): the docs table is a narrow projection of the cached
+        # canonical frame — no corpus-wide re-split, no scan + groupBy
+        # of the 10^12-row token table. This is also the true token
+        # length for docs whose terms are all OOV under a shared
+        # lexicon.
+        dl_col = F.col("dl").cast("int").alias("doc_len")
         if doc_id_col is None:
-            # src carries (url, doc_id, text): the docs table is a
+            # src carries (url, doc_id, text, dl): the docs table is a
             # straight projection, no join at all
             docs = src.select("doc_id", "url", dl_col)
         else:
@@ -917,18 +961,17 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         spark, out_dir, "postings", POSTINGS_SCHEMA, fmt)
 
     # ---- stage 4: terms df/cf/max_score + final small tables ----------
-    # df/cf/max_norm all come from ONE scan of the tiny encoded postings
-    # table (A2): the encode kernel pre-aggregated cf per (term, shard),
-    # so the 10^12-row token table is never scanned a second time
+    # df/cf/max_norm all come from ONE narrow-column scan of the tiny
+    # encoded postings table (A2): the encode kernel pre-aggregated cf,
+    # max_norm and wire_bytes per (term, shard) row, so neither the
+    # 10^12-row token table NOR the compressed blocks payload is ever
+    # scanned again (the blocks rescan was a non-scaling serial floor)
     per_term = (postings
-                .select("term_id", "n_docs", "cf",
-                        F.array_max(F.transform(
-                            "blocks", lambda blk: blk["max_score"]))
-                        .alias("mx"))
+                .select("term_id", "n_docs", "cf", "max_norm")
                 .groupBy("term_id")
                 .agg(F.sum("n_docs").cast("long").alias("df"),
                      F.sum("cf").alias("cf"),
-                     F.max("mx").alias("max_norm")))
+                     F.max("max_norm").alias("max_norm")))
     lex_side = lex_df if join_ids else F.broadcast(lex_df)
     terms_final = (lex_side.join(per_term, "term_id", "left")
                    .fillna(0, ["df", "cf"])
@@ -960,10 +1003,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     # ---- stage 5: lineage + stats (per-shard metrics, §4.4) ------------
     shard_m = (postings.groupBy("partition_id")
                .agg(F.sum("n_docs").alias("postings_cnt"),
-                    F.sum(F.aggregate(
-                        "blocks", F.lit(0).cast("long"),
-                        lambda acc, blk: acc + F.length(blk["doc_bytes"])
-                        + F.length(blk["tf_bytes"]))).alias("bytes"))
+                    F.sum("wire_bytes").alias("bytes"))
                .collect())
     if post_cached is not None:
         post_cached.unpersist()

@@ -47,7 +47,7 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
 
     def run(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
         out = {"term_id": [], "partition_id": [], "n_docs": [],
-               "cf": [], "blocks": []}
+               "cf": [], "max_norm": [], "wire_bytes": [], "blocks": []}
         if post_pdf.empty:
             return pd.DataFrame(out)
         shard = int(post_pdf["partition_id"].iloc[0])
@@ -63,11 +63,15 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
                 out["partition_id"].append(shard)
                 out["n_docs"].append(int(r["n_docs"]))
                 out["cf"].append(int(r["cf"]))
+                out["max_norm"].append(float(r["max_norm"]))
+                out["wire_bytes"].append(int(r["wire_bytes"]))
                 out["blocks"].append(list(r["blocks"]))
                 continue
             ds, ts = [], []
-            for _, r in grp.iterrows():
-                d, t = _decode_row_blocks(list(r["blocks"]), codec)
+            # iterate the blocks column directly (no per-row Series
+            # construction — iterrows built one per source row)
+            for blocks in grp["blocks"].to_numpy():
+                d, t = _decode_row_blocks(list(blocks), codec)
                 ds.append(d.astype(np.int64))
                 ts.append(t.astype(np.int64))
             d = np.concatenate(ds)
@@ -81,15 +85,21 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
                 dl = dl_arr[d - base]
                 tf_norm = t.astype(np.float64) / (
                     t + k1 * (1.0 - b + b * dl / avgdl))
+            blks = encode_blocks(
+                d.astype(np.uint64), t.astype(np.uint64), tf_norm,
+                block_size, codec)
             out["term_id"].append(int(tid))
             out["partition_id"].append(shard)
             out["n_docs"].append(int(d.size))
             # cf from the input rows' aggregates, NOT the decoded
             # payload (which is the impact, not tf, when quantized)
             out["cf"].append(int(grp["cf"].sum()))
-            out["blocks"].append(encode_blocks(
-                d.astype(np.uint64), t.astype(np.uint64), tf_norm,
-                block_size, codec))
+            out["max_norm"].append(
+                max(b["max_score"] for b in blks))
+            out["wire_bytes"].append(
+                sum(len(b["doc_bytes"]) + len(b["tf_bytes"])
+                    for b in blks))
+            out["blocks"].append(blks)
         return pd.DataFrame(out)
 
     return run
@@ -142,6 +152,10 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     post = None
     for d in in_dirs:
         b = read_artifact(spark, d, "postings", fmt=fmt)
+        if "max_norm" not in b.columns:
+            raise ValueError(
+                f"batch index at {d!r} uses the pre-max_norm postings "
+                f"layout — rebuild it before merging")
         post = b if post is None else post.unionByName(b)
     kern = _merge_kernel(avgdl, codec, block_size, docs_per_shard,
                          quantized)
@@ -163,10 +177,7 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     tsum = (terms.groupBy("term_id", "term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
     per_term_max = (postings
-                    .select("term_id",
-                            F.array_max(F.transform(
-                                "blocks", lambda blk: blk["max_score"]))
-                            .alias("mx"))
+                    .select("term_id", F.col("max_norm").alias("mx"))
                     .groupBy("term_id").agg(F.max("mx").alias("max_norm")))
     terms_final = (tsum.join(per_term_max, "term_id", "left")
                    .withColumn("idf", F.log1p(
@@ -182,10 +193,7 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     total_postings = postings.agg(F.sum("n_docs")).collect()[0][0] or 0
     shard_m = (postings.groupBy("partition_id")
                .agg(F.sum("n_docs").alias("postings_cnt"),
-                    F.sum(F.aggregate(
-                        "blocks", F.lit(0).cast("long"),
-                        lambda acc, blk: acc + F.length(blk["doc_bytes"])
-                        + F.length(blk["tf_bytes"]))).alias("bytes"))
+                    F.sum("wire_bytes").alias("bytes"))
                .collect())
     cnts = sorted(r["postings_cnt"] for r in shard_m) or [0]
     med = cnts[len(cnts) // 2] or 1

@@ -15,7 +15,8 @@ def test_artifact_schemas(index_small):
     assert set(idx.terms.columns) == {"term_id", "term", "df", "cf",
                                       "max_score"}
     assert set(idx.postings.columns) == {"term_id", "partition_id",
-                                         "n_docs", "cf", "blocks"}
+                                         "n_docs", "cf", "max_norm",
+                                         "wire_bytes", "blocks"}
 
 
 def test_docids_dense_and_deterministic(index_small):
@@ -211,3 +212,16 @@ def test_sorted_rank_mapping_deterministic(spark, pages_small):
     assert a == b
     want = {u: i for i, u in enumerate(sorted(a))}
     assert a == want
+
+
+def test_postings_row_aggregates_consistent(index_small):
+    """max_norm / wire_bytes (pre-aggregated per row so stats scans
+    never touch the blocks payload) match the blocks they summarize."""
+    idx, _ = index_small
+    import math
+    for r in idx.postings.limit(200).collect():
+        mx = max(b["max_score"] for b in r["blocks"])
+        wb = sum(len(b["doc_bytes"]) + len(b["tf_bytes"])
+                 for b in r["blocks"])
+        assert math.isclose(r["max_norm"], mx, rel_tol=1e-6)
+        assert r["wire_bytes"] == wb

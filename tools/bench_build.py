@@ -52,6 +52,21 @@ def main():
     # shard size derives from n_docs (not cores) so the index content is
     # identical across parallelism levels (BASELINE.json:6)
     dps = max(1000, n_docs // 64)
+    # untimed JIT/codegen warm-up: one mini-build through the REAL
+    # pipeline (canonicalize -> ids -> pack -> shuffle -> encode ->
+    # write) compiles every hot JVM path before the timed run. The JIT
+    # cost is ~constant wall, so it distorts short timed runs (the 4N
+    # leg) proportionally more than long ones (the N leg) — warming
+    # both legs removes that asymmetry from the N->4N ratio
+    # (BENCH.md's 2M-doc experiment measured exactly this skew).
+    warm_docs = min(24_000, max(4_000, n_docs // 20))
+    warm_dir = os.path.join(os.path.dirname(out_dir),
+                            f"warmidx_{cores}")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(spark, pages.limit(warm_docs), warm_dir,
+                text_from_html=True,
+                docs_per_shard=max(1000, warm_docs // 8))
+    shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.monotonic()
     m = build_index(spark, pages, out_dir, text_from_html=True,
                     docs_per_shard=dps)
