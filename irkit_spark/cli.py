@@ -60,8 +60,9 @@ def cmd_query(args):
     from irkit_spark.operators.query import Index, search
     spark = _session("irkit-query")
     idx = Index(spark, args.index)
+    local = {"auto": None, "on": True, "off": False}[args.local]
     rows = search(idx, args.query, k=args.k, mode=args.mode,
-                  scorer=args.scorer).collect()
+                  scorer=args.scorer, local=local).collect()
     for rank, r in enumerate(rows, 1):
         # TREC-ish run output (SURVEY.md O3 [pub:tools/irk-query.cpp])
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
@@ -122,6 +123,11 @@ def main(argv=None):
                    choices=["taat", "daat", "wand", "and"])
     q.add_argument("--scorer", default="bm25", choices=["bm25", "ql"])
     q.add_argument("--qid", default="0")
+    q.add_argument("--local", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="driver-side serving kernel: auto gates on "
+                        "query size (irk-query analog), on forces it, "
+                        "off forces the distributed path")
     q.set_defaults(fn=cmd_query)
 
     lk = sub.add_parser("lookup", help="term/doc/stats lookups")

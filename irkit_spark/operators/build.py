@@ -789,11 +789,16 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 vocab.sort()
                 bc = spark.sparkContext.broadcast(
                     {t: i for i, t in enumerate(vocab)})
-                lex_df = spark.createDataFrame(
-                    pd.DataFrame({"term_id": np.arange(len(vocab),
-                                                       dtype=np.int32),
-                                  "term": pd.Series(vocab, dtype="object")}),
-                    "term_id int, term string")
+                # pyarrow Table input: the Arrow fast path (a pandas
+                # frame + DDL-string schema falls back to row-wise
+                # conversion — measured 1.8s vs 0.06s for a 39k vocab,
+                # pure driver serial time paid identically at every
+                # parallelism level)
+                import pyarrow as pa
+                lex_df = spark.createDataFrame(pa.table({
+                    "term_id": pa.array(np.arange(len(vocab),
+                                                  dtype=np.int32)),
+                    "term": pa.array(vocab, pa.string())}))
             else:
                 join_ids = True
                 lex_df = (sorted_rank_mapping(

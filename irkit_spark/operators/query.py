@@ -50,6 +50,16 @@ from irkit_spark.functions.tokenize import tokenize
 TOPK_SCHEMA = "doc_id long, score double"
 
 
+def _topk_struct():
+    """StructType twin of TOPK_SCHEMA: pandas input + a DDL-string
+    schema takes createDataFrame's row-wise fallback; the StructType
+    form keeps the Arrow fast path (driver-serving latency)."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    return StructType([StructField("doc_id", LongType()),
+                       StructField("score", DoubleType())])
+
+
 class Index:
     """Loaded index handle (SURVEY.md §1.3 catalog of Spark tables)."""
 
@@ -664,8 +674,9 @@ def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
     doc = allp["doc_id"].to_numpy()
     sc = allp["score"].to_numpy()
     order = np.lexsort((doc, -sc))[:k]
-    out = pd.DataFrame({"doc_id": doc[order], "score": sc[order]})
-    return index.spark.createDataFrame(out, TOPK_SCHEMA)
+    out = pd.DataFrame({"doc_id": doc[order].astype(np.int64),
+                        "score": sc[order]})
+    return index.spark.createDataFrame(out, _topk_struct())
 
 
 def search(index: Index, query: str, k: int = 10,

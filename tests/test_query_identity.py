@@ -256,6 +256,14 @@ def test_local_path_identity(spark, index_small, mode):
         loc = search(idx, q, k=k, mode=mode, local=True).collect()
         assert [(r["doc_id"], r["score"]) for r in dist] == \
             [(r["doc_id"], r["score"]) for r in loc], (mode, q)
+    if mode == "daat":      # QL scorer through the local kernel too
+        q = "term00001 term00010"
+        dist = search(idx, q, 10, "daat", scorer="ql",
+                      local=False).collect()
+        loc = search(idx, q, 10, "daat", scorer="ql",
+                     local=True).collect()
+        assert [(r["doc_id"], r["score"]) for r in dist] == \
+            [(r["doc_id"], r["score"]) for r in loc]
 
 
 def test_local_path_gate_errors(spark, index_small, monkeypatch):
