@@ -129,7 +129,10 @@ def main():
     from irkit_spark.operators.query import Index, search
     widest = max(best)
     idx = Index(spark, os.path.join(base, f"idx{widest}"))
-    search(idx, "term00042", 10, "wand").collect()   # untimed warmup
+    # untimed warmup of the DISTRIBUTED query machinery (local=False:
+    # the auto gate would route this tiny query through the driver
+    # kernel and leave the applyInPandas path cold for the timed runs)
+    search(idx, "term00042", 10, "wand", local=False).collect()
     qset = [("wand_k10", "term00000 term00003 term00123", 10, "wand"),
             ("wand_k100", "term00001 term00010", 100, "wand"),
             ("wand_k1000", "term00002 term00005 term00050", 1000, "wand"),

@@ -977,17 +977,47 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 .agg(F.sum("n_docs").cast("long").alias("df"),
                      F.sum("cf").alias("cf"),
                      F.max("max_norm").alias("max_norm")))
-    lex_side = lex_df if join_ids else F.broadcast(lex_df)
-    terms_final = (lex_side.join(per_term, "term_id", "left")
-                   .fillna(0, ["df", "cf"])
-                   .withColumn("idf", F.log1p(
-                       (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                       / (F.col("df") + 0.5)))
-                   .withColumn("max_score",
-                               (F.col("idf") * F.coalesce("max_norm",
-                                                          F.lit(0.0)))
-                               .cast("float"))
-                   .select("term_id", "term", "df", "cf", "max_score"))
+    if bc is not None:
+        # vocab-gated driver-side terms assembly: the vocabulary is
+        # already in driver memory (the broadcast dict), so collect the
+        # per-term aggregates ONCE (vocab-sized — the same gate) and do
+        # the join + idf/max_score arithmetic vectorized in numpy. One
+        # Arrow collect + one tiny write job replaces the agg +
+        # broadcast-join + write chain, which cost a ~2s serial floor
+        # per build at EVERY parallelism level. Above the gate
+        # (join_ids) the distributed join below remains the plan.
+        import pyarrow as pa
+        pt = per_term.toPandas()
+        items = bc.value
+        lex_pdf = pd.DataFrame(
+            {"term": pd.Series(list(items.keys()), dtype="object"),
+             "term_id": np.fromiter(items.values(), dtype=np.int64,
+                                    count=len(items))})
+        mg = lex_pdf.merge(pt, on="term_id", how="left")
+        dfv = mg["df"].fillna(0).to_numpy(dtype=np.float64)
+        idf = np.log1p((float(n_docs) - dfv + 0.5) / (dfv + 0.5))
+        mx = mg["max_norm"].fillna(0.0).to_numpy(dtype=np.float64)
+        terms_final = spark.createDataFrame(pa.table({
+            "term_id": pa.array(mg["term_id"].to_numpy()
+                                .astype(np.int32)),
+            "term": pa.array(mg["term"].tolist(), pa.string()),
+            "df": pa.array(dfv.astype(np.int64)),
+            "cf": pa.array(mg["cf"].fillna(0).to_numpy()
+                           .astype(np.int64)),
+            "max_score": pa.array((idf * mx).astype(np.float32)),
+        }))
+    else:
+        terms_final = (lex_df.join(per_term, "term_id", "left")
+                       .fillna(0, ["df", "cf"])
+                       .withColumn("idf", F.log1p(
+                           (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                           / (F.col("df") + 0.5)))
+                       .withColumn("max_score",
+                                   (F.col("idf")
+                                    * F.coalesce("max_norm", F.lit(0.0)))
+                                   .cast("float"))
+                       .select("term_id", "term", "df", "cf",
+                               "max_score"))
     if reuse_tok and fmt != "iceberg":
         # swap via a temp dir: lex_df reads the live terms path (local/
         # HDFS rename is atomic enough here; object stores would use a
