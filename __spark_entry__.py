@@ -197,6 +197,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tests/test_query_identity.py::test_local_path_identity)
         return _index_search(spark, sf, Q_BM25_A, 10, "wand", local=True)
 
+    def q_index_batch_wand_top10(spark, sf):
+        # batch/TREC-run shape: a whole query set in ONE distributed
+        # pass (all queries' terms prune one postings scan; each shard
+        # task scores every query; one k-per-query window). Oracled
+        # against the union of the per-query BM25 SQL.
+        from irkit_spark.operators.query import Index, batch_search
+        idx = Index(spark, _index_for(spark, sf))
+        out = batch_search(idx, {"qa": Q_BM25_A, "qb": Q_BM25_B,
+                                 "qo": Q_OR}, k=10, mode="wand")
+        return out.select("query_id", "doc_id",
+                          F.round("score", 6).alias("score"))
+
     def q_index_ql_top10(spark, sf):
         return _index_search(spark, sf, Q_BM25_A, 10, "daat", scorer="ql")
 
@@ -345,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wand_top10": q_index_wand,
         "index_wand_top100": q_index_wand_top100,
         "index_wand_top1000": q_index_wand_top1000,
+        "index_batch_wand_top10": q_index_batch_wand_top10,
         "index_wand_local_top10": q_index_wand_local_top10,
         "index_wand_quantized_top10": q_index_wand_quantized,
         "index_wand_quantized_bound": q_index_wand_quantized_bound,
@@ -585,6 +598,11 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_wand_top1000": _bm25_sql(Q_OR, 1000),
         "index_ql_top10": _ql_sql(Q_BM25_A, 10),
         "index_and_top10": _bm25_sql(Q_AND, 10, conjunctive=True),
+        "index_batch_wand_top10": "\nUNION ALL\n".join(
+            f"SELECT '{qid}' AS query_id, doc_id, score FROM "
+            f"({_bm25_sql(q, 10)}\n) b_{qid}"
+            for qid, q in (("qa", Q_BM25_A), ("qb", Q_BM25_B),
+                           ("qo", Q_OR))),
         "index_wand_local_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_quantized_top10": _bm25_quant_sql(Q_BM25_A, 10),
         "index_wand_quantized_bound": _quant_bound_sql(Q_BM25_A, 10),

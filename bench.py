@@ -153,6 +153,14 @@ def main():
     t0 = time.monotonic()
     search(idx, qloc, 10, "wand", local=True).collect()
     queries["wand_k10_local_warm"] = round(time.monotonic() - t0, 3)
+    # batch shape: 20 queries in ONE distributed pass (the TREC-run
+    # amortization — compare against 20x the single-query wall)
+    from irkit_spark.operators.query import batch_search
+    qset20 = {f"q{i}": f"term{i:05d} term{(i * 37 + 11) % 2000:05d}"
+              for i in range(20)}
+    t0 = time.monotonic()
+    batch_search(idx, qset20, 10, "wand").collect()
+    queries["batch_wand_20q"] = round(time.monotonic() - t0, 3)
     # warm-path: postings/terms pinned in memory (Index.persist) — the
     # served-index shape; isolates the Spark job floor from IO
     idx.persist()

@@ -296,3 +296,27 @@ def test_local_path_warm_runs_no_jobs(spark, index_small):
     after = tracker.getJobIdsForGroup(None)
     assert before == after
     assert out.count() == 10
+
+
+def test_batch_search_matches_per_query(spark, index_small):
+    """batch_search (one distributed pass for a query set) returns
+    exactly what per-query search returns, k rows per query, same
+    (-score, doc_id) order."""
+    from irkit_spark.operators.query import batch_search
+    idx, _ = index_small
+    qs = {"a": "term00000 term00003 term00123",
+          "b": "term00001 term00010",
+          "oov": "zzzznotaterm",
+          "c": "term00002 term00005 term00050"}
+    got = batch_search(idx, qs, k=10, mode="wand").collect()
+    by_qid: dict = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"]))
+    assert "oov" not in by_qid
+    for qid in ("a", "b", "c"):
+        want = [(r["doc_id"], r["score"]) for r in
+                search(idx, qs[qid], 10, "wand", local=False).collect()]
+        assert by_qid[qid] == want, qid
+    with pytest.raises(ValueError, match="daat"):
+        batch_search(idx, qs, mode="taat")
