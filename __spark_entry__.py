@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_index_wand_top100(spark, sf):
         return _index_search(spark, sf, Q_BM25_B, 100, "wand")
 
+    def q_index_maxscore_top10(spark, sf):
+        # Turtle-Flood max-score pruning (SURVEY Q5's other half):
+        # lossless, so the full-BM25 SQL oracle applies unchanged
+        return _index_search(spark, sf, Q_BM25_B, 10, "maxscore")
+
     def q_index_wand_top1000(spark, sf):
         return _index_search(spark, sf, Q_OR, 1000, "wand")
 
@@ -356,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_daat_top10": q_index_daat,
         "index_wand_top10": q_index_wand,
         "index_wand_top100": q_index_wand_top100,
+        "index_maxscore_top10": q_index_maxscore_top10,
         "index_wand_top1000": q_index_wand_top1000,
         "index_batch_wand_top10": q_index_batch_wand_top10,
         "index_wand_local_top10": q_index_wand_local_top10,
@@ -595,6 +601,7 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_daat_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),
+        "index_maxscore_top10": _bm25_sql(Q_BM25_B, 10),
         "index_wand_top1000": _bm25_sql(Q_OR, 1000),
         "index_ql_top10": _ql_sql(Q_BM25_A, 10),
         "index_and_top10": _bm25_sql(Q_AND, 10, conjunctive=True),

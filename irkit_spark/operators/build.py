@@ -789,16 +789,11 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 vocab.sort()
                 bc = spark.sparkContext.broadcast(
                     {t: i for i, t in enumerate(vocab)})
-                # pyarrow Table input: the Arrow fast path (a pandas
-                # frame + DDL-string schema falls back to row-wise
-                # conversion — measured 1.8s vs 0.06s for a 39k vocab,
-                # pure driver serial time paid identically at every
-                # parallelism level)
-                import pyarrow as pa
-                lex_df = spark.createDataFrame(pa.table({
-                    "term_id": pa.array(np.arange(len(vocab),
-                                                  dtype=np.int32)),
-                    "term": pa.array(vocab, pa.string())}))
+                # no lex_df frame on this path: pass B reads the
+                # broadcast dict and stage 4 assembles the terms table
+                # driver-side from the same dict, so a Spark-side
+                # lexicon frame would never be read
+                lex_df = None
             else:
                 join_ids = True
                 lex_df = (sorted_rank_mapping(
@@ -977,15 +972,30 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 .agg(F.sum("n_docs").cast("long").alias("df"),
                      F.sum("cf").alias("cf"),
                      F.max("max_norm").alias("max_norm")))
+    # stage 5's per-shard metrics aggregation runs CONCURRENTLY with
+    # the terms assembly below: both are small jobs over the (already
+    # materialized) cached postings table, and running them
+    # back-to-back serialized ~0.5s of job-scheduling latency into
+    # every build — a constant paid identically at N and 4N cores,
+    # i.e. pure drag on the BASELINE.md scaling-efficiency gate
+    from concurrent.futures import ThreadPoolExecutor
+    _ex = ThreadPoolExecutor(max_workers=1)
+    shard_f = _ex.submit(
+        lambda: (postings.groupBy("partition_id")
+                 .agg(F.sum("n_docs").alias("postings_cnt"),
+                      F.sum("wire_bytes").alias("bytes"))
+                 .collect()))
     if bc is not None:
         # vocab-gated driver-side terms assembly: the vocabulary is
         # already in driver memory (the broadcast dict), so collect the
         # per-term aggregates ONCE (vocab-sized — the same gate) and do
-        # the join + idf/max_score arithmetic vectorized in numpy. One
-        # Arrow collect + one tiny write job replaces the agg +
-        # broadcast-join + write chain, which cost a ~2s serial floor
-        # per build at EVERY parallelism level. Above the gate
-        # (join_ids) the distributed join below remains the plan.
+        # the join + idf/max_score arithmetic vectorized in numpy, then
+        # write the finished table straight from the driver (pyarrow —
+        # no createDataFrame + Spark write job round-trip). This
+        # replaces the agg + broadcast-join + write chain, which cost a
+        # ~2s serial floor per build at EVERY parallelism level. Above
+        # the gate (join_ids) the distributed join below remains the
+        # plan.
         import pyarrow as pa
         pt = per_term.toPandas()
         items = bc.value
@@ -997,7 +1007,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         dfv = mg["df"].fillna(0).to_numpy(dtype=np.float64)
         idf = np.log1p((float(n_docs) - dfv + 0.5) / (dfv + 0.5))
         mx = mg["max_norm"].fillna(0.0).to_numpy(dtype=np.float64)
-        terms_final = spark.createDataFrame(pa.table({
+        terms_tbl = pa.table({
             "term_id": pa.array(mg["term_id"].to_numpy()
                                 .astype(np.int32)),
             "term": pa.array(mg["term"].tolist(), pa.string()),
@@ -1005,7 +1015,11 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             "cf": pa.array(mg["cf"].fillna(0).to_numpy()
                            .astype(np.int64)),
             "max_score": pa.array((idf * mx).astype(np.float32)),
-        }))
+        })
+        from irkit_spark.sources.catalog import write_artifact_driver
+        write_artifact_driver(spark, terms_tbl, out_dir, "terms",
+                              fmt=fmt)
+        terms_final = None
     else:
         terms_final = (lex_df.join(per_term, "term_id", "left")
                        .fillna(0, ["df", "cf"])
@@ -1018,60 +1032,79 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                                    .cast("float"))
                        .select("term_id", "term", "df", "cf",
                                "max_score"))
-    if reuse_tok and fmt != "iceberg":
-        # swap via a temp dir: lex_df reads the live terms path (local/
-        # HDFS rename is atomic enough here; object stores would use a
-        # versioned path + pointer; Iceberg's createOrReplace IS the
-        # atomic swap, so it takes the plain branch)
-        import shutil
-        tmp_terms = p("terms_tmp")
-        terms_final.write.mode("overwrite").parquet(tmp_terms)
-        shutil.rmtree(p("terms"))
-        os.replace(tmp_terms, p("terms"))
-    else:
-        write_artifact(terms_final, out_dir, "terms", fmt=fmt)
-    lex_df.unpersist()
+    if terms_final is not None:
+        if reuse_tok and fmt != "iceberg":
+            # swap via a temp dir: lex_df reads the live terms path
+            # (local/HDFS rename is atomic enough here; object stores
+            # would use a versioned path + pointer; Iceberg's
+            # createOrReplace IS the atomic swap, so it takes the plain
+            # branch)
+            import shutil
+            tmp_terms = p("terms_tmp")
+            terms_final.write.mode("overwrite").parquet(tmp_terms)
+            shutil.rmtree(p("terms"))
+            os.replace(tmp_terms, p("terms"))
+        else:
+            write_artifact(terms_final, out_dir, "terms", fmt=fmt)
+    if lex_df is not None:
+        lex_df.unpersist()
     _mark("terms_write")
 
     wall_ms = int((time.monotonic() - t0) * 1000)
 
     # ---- stage 5: lineage + stats (per-shard metrics, §4.4) ------------
-    shard_m = (postings.groupBy("partition_id")
-               .agg(F.sum("n_docs").alias("postings_cnt"),
-                    F.sum("wire_bytes").alias("bytes"))
-               .collect())
+    shard_m = shard_f.result()
+    _ex.shutdown()
     if post_cached is not None:
         post_cached.unpersist()
     total_postings = sum(r["postings_cnt"] for r in shard_m)
     cnts = sorted(r["postings_cnt"] for r in shard_m) or [0]
     med = cnts[len(cnts) // 2] or 1
-    lineage_rows = [
-        (int(r["partition_id"]), "done", int(r["postings_cnt"]),
-         int(r["bytes"]), float(r["postings_cnt"] / med), wall_ms,
-         prev_attempts.get(int(r["partition_id"]), 0)
-         + (1 if int(r["partition_id"]) in pending or not prev_attempts
-            else 0))
-        for r in shard_m]
-    lineage_df = spark.createDataFrame(
-        lineage_rows,
-        "partition_id int, status string, postings_cnt long, bytes long, "
-        "skew_ratio double, wall_ms long, attempt int")
-    write_artifact(lineage_df, out_dir, "lineage", fmt=fmt)
+    # lineage + stats rows are driver-local already (built from the
+    # shard_m collect): write them via pyarrow, not two more Spark jobs
+    import pyarrow as pa
+    from irkit_spark.sources.catalog import write_artifact_driver
+    pids = [int(r["partition_id"]) for r in shard_m]
+    lineage_tbl = pa.table({
+        "partition_id": pa.array(pids, pa.int32()),
+        "status": pa.array(["done"] * len(pids), pa.string()),
+        "postings_cnt": pa.array([int(r["postings_cnt"])
+                                  for r in shard_m], pa.int64()),
+        "bytes": pa.array([int(r["bytes"]) for r in shard_m],
+                          pa.int64()),
+        "skew_ratio": pa.array([float(r["postings_cnt"] / med)
+                                for r in shard_m], pa.float64()),
+        "wall_ms": pa.array([wall_ms] * len(pids), pa.int64()),
+        "attempt": pa.array(
+            [prev_attempts.get(pid, 0)
+             + (1 if pid in pending or not prev_attempts else 0)
+             for pid in pids], pa.int32()),
+    })
+    write_artifact_driver(spark, lineage_tbl, out_dir, "lineage",
+                          fmt=fmt)
 
     # bound_slack: WAND upper-bound multiplier, 1.0 for a one-shot build.
     # Incremental merges of batches built under drifting avgdl set it to
     # max(1, avgdl_final/min(avgdl_batch)) — tf_norm grows at most by
     # that ratio when avgdl grows, so scaled bounds stay sound.
-    stats_row = [(n_docs, float(avgdl), int(coll_len), int(total_postings),
-                  codec, int(block_size), int(docs_per_shard), int(n_shards),
-                  wall_ms, 1.0, bool(quantize))]
-    stats_df = spark.createDataFrame(
-        stats_row,
-        "n_docs long, avg_doc_len double, coll_len long, total_postings long, "
-        "codec string, block_size int, docs_per_shard int, n_shards int, "
-        "wall_ms long, bound_slack double, quantized boolean") \
-        .withColumn("built_at", F.current_timestamp())
-    write_artifact(stats_df, out_dir, "stats", fmt=fmt)
+    from datetime import datetime, timezone
+    stats_tbl = pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "avg_doc_len": pa.array([float(avgdl)], pa.float64()),
+        "coll_len": pa.array([int(coll_len)], pa.int64()),
+        "total_postings": pa.array([int(total_postings)], pa.int64()),
+        "codec": pa.array([codec], pa.string()),
+        "block_size": pa.array([int(block_size)], pa.int32()),
+        "docs_per_shard": pa.array([int(docs_per_shard)], pa.int32()),
+        "n_shards": pa.array([int(n_shards)], pa.int32()),
+        "wall_ms": pa.array([wall_ms], pa.int64()),
+        "bound_slack": pa.array([1.0], pa.float64()),
+        "quantized": pa.array([bool(quantize)], pa.bool_()),
+        "built_at": pa.array([datetime.now(timezone.utc)],
+                             pa.timestamp("us", tz="UTC")),
+    })
+    write_artifact_driver(spark, stats_tbl, out_dir, "stats", fmt=fmt)
+    _mark("lineage_stats")
 
     return {"n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards,
             "total_postings": int(total_postings), "wall_ms": wall_ms,

@@ -517,7 +517,10 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 sc = sc + ql_K - nq * np.log(dl_arr[idxs] + mu)
             return topk_frame(idxs + base, sc)
 
-        # mode == "wand": two-phase lossless block-max pruning, Q5
+        # mode in ("wand", "maxscore"): two-phase lossless dynamic
+        # pruning, Q5 — shared block metadata + theta seeding, then
+        # either per-block rest bounds (wand) or the essential-list
+        # partition (maxscore)
         meta, firsts_by, lasts_by = {}, {}, {}
         for tid, blocks in term_rows.items():
             meta[tid] = np.array([b["max_score"] for b in blocks],
@@ -552,6 +555,47 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                     seed_docs.size - k]
             else:
                 theta = -np.inf
+
+        if mode == "maxscore":
+            # Max-score (Turtle & Flood 1995 — the other half of
+            # SURVEY Q5's "max-score / block-max WAND"): sort terms by
+            # TERM-level upper bound ub_t = idf_t * max(block maxes);
+            # the largest prefix (ascending ub) whose ub sum stays
+            # BELOW theta is the non-essential set — a doc matching
+            # only non-essential terms scores <= that sum < theta, so
+            # top-k candidates must appear in some ESSENTIAL term's
+            # postings. Decode essential postings fully as candidates;
+            # exact_scores then touches non-essential blocks only where
+            # a candidate lands (selective decode). Lossless for the
+            # same reason WAND is: pruned docs cannot displace the k
+            # docs that produced theta.
+            ub_by = {tid: idf_by_tid[tid]
+                     * (float(meta[tid].max()) if meta[tid].size else 0.0)
+                     for tid in term_rows}
+            order = sorted(term_rows, key=lambda t: ub_by[t])
+            acc_ub, n_noness = 0.0, 0
+            for tid in order:
+                if acc_ub + ub_by[tid] >= theta:
+                    break
+                acc_ub += ub_by[tid]
+                n_noness += 1
+            cand_parts = [seed_docs]
+            for tid in order[n_noness:]:
+                blocks = term_rows[tid]
+                for b_ix, blk in enumerate(blocks):
+                    key = (tid, b_ix)
+                    if key not in cache:
+                        n = int(blk["n"])
+                        gaps = dec(bytes(blk["doc_bytes"]), n)
+                        cache[key] = (
+                            delta_decode(gaps, int(blk["first_doc"]))
+                            .astype(np.int64),
+                            dec(bytes(blk["tf_bytes"]), n)
+                            .astype(np.int64))
+                    cand_parts.append(cache[key][0])
+            cand = np.unique(np.concatenate(cand_parts))
+            sc = exact_scores(term_rows, cand, dl_arr, base, cache)
+            return topk_frame(cand, sc)
 
         # phase 2: surviving blocks. A block of term t covering doc
         # range [f, l] bounds every doc in it by
@@ -655,13 +699,13 @@ def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
         index._dec_cache = {}
     for shard, g in sorted(per_shard.items()):
         dc = index._dec_cache.setdefault(shard, {})
-        if mode == "wand":
+        if mode in ("wand", "maxscore"):
             p = kern(pd.DataFrame(g), theta0=theta, decoded_cache=dc)
         else:
             p = kern(pd.DataFrame(g), decoded_cache=dc)
         if len(p):
             parts.append(p)
-            if mode == "wand":
+            if mode in ("wand", "maxscore"):
                 all_scores = np.concatenate(
                     [all_scores, p["score"].to_numpy()])
                 if all_scores.size >= k:
@@ -682,8 +726,11 @@ def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
 def search(index: Index, query: str, k: int = 10,
            mode: str = "wand", scorer: str = "bm25",
            local: bool | None = None) -> DataFrame:
-    """Top-k (doc_id, score); mode in {taat, daat, wand} (Q3/Q4/Q5),
-    scorer in {bm25, ql} (Q1/Q2; WAND pruning bounds are BM25-only).
+    """Top-k (doc_id, score); mode in {taat, daat, wand, maxscore}
+    (Q3/Q4/Q5 — wand prunes per block via doc-range-aligned rest
+    bounds, maxscore via the Turtle-Flood essential-list partition on
+    term-level bounds; both lossless, both bit-identical to daat),
+    scorer in {bm25, ql} (Q1/Q2; pruning bounds are BM25-only).
 
     local: None (default) auto-routes small queries through the
     driver-side kernel (see config.LOCAL_QUERY_MAX_POSTINGS — per-query
@@ -691,12 +738,13 @@ def search(index: Index, query: str, k: int = 10,
     single-node serving analog); False forces the distributed path;
     True requires the local path (raises when the query exceeds the
     gate). TAAT always runs distributed (it is the SQL-shaped path)."""
-    if mode not in ("taat", "daat", "wand", "and"):
-        raise ValueError(f"unknown mode {mode!r}: taat|daat|wand|and")
+    if mode not in ("taat", "daat", "wand", "maxscore", "and"):
+        raise ValueError(f"unknown mode {mode!r}: "
+                         "taat|daat|wand|maxscore|and")
     if scorer not in ("bm25", "ql"):
         raise ValueError(f"unknown scorer {scorer!r}: bm25|ql")
-    if scorer == "ql" and mode == "wand":
-        raise ValueError("block-max WAND bounds are defined for bm25; "
+    if scorer == "ql" and mode in ("wand", "maxscore"):
+        raise ValueError("dynamic-pruning bounds are defined for bm25; "
                          "use mode='daat' or 'taat' with scorer='ql'")
     if scorer == "ql" and index.quantized:
         raise ValueError("quantized indexes store 7-bit impacts, not "
@@ -771,11 +819,11 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
     queries: dict {query_id: text} or list of texts (ids = list
     index as string). OOV-only queries yield no rows (P3)."""
     from pyspark.sql import Window
-    if mode not in ("daat", "wand", "and"):
-        raise ValueError(f"batch_search supports daat|wand|and, "
-                         f"not {mode!r}")
-    if scorer == "ql" and mode == "wand":
-        raise ValueError("block-max WAND bounds are bm25-only")
+    if mode not in ("daat", "wand", "maxscore", "and"):
+        raise ValueError(f"batch_search supports daat|wand|maxscore|"
+                         f"and, not {mode!r}")
+    if scorer == "ql" and mode in ("wand", "maxscore"):
+        raise ValueError("dynamic-pruning bounds are bm25-only")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
     qmetas = {qid: index.lookup_query(q) for qid, q in queries.items()}

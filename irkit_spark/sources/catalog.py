@@ -83,6 +83,31 @@ def write_artifact(df: DataFrame, base: str, name: str,
     writer.parquet(os.path.join(base, name))
 
 
+def write_artifact_driver(spark: SparkSession, table, base: str,
+                          name: str, fmt: str | None = None) -> None:
+    """Write a DRIVER-RESIDENT artifact (the vocab-gated terms table,
+    lineage, stats — rows that already live on the driver) as one
+    parquet file via pyarrow, skipping the createDataFrame + Spark
+    write job. Each such job costs ~0.3-0.5s of fixed JVM round-trip
+    paid identically at every parallelism level — pure serial time in
+    the N->4N scaling ratio (BASELINE.md gate), so three of them are
+    ~1.5s off the 4N leg. Iceberg keeps the Spark writeTo path (the
+    catalog commit protocol is the point there)."""
+    fmt = artifact_format(fmt)
+    if fmt == "iceberg":
+        write_artifact(spark.createDataFrame(table), base, name, fmt=fmt)
+        return
+    import shutil
+
+    import pyarrow.parquet as pq
+    path = os.path.join(base, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
 def read_artifact(spark: SparkSession, base: str, name: str,
                   schema: str | None = None,
                   fmt: str | None = None) -> DataFrame:

@@ -76,11 +76,13 @@ def test_rank_identity(q, spark, index_small, token_table):
     tok, n_docs = token_table
     k = q["k"]
     res = {}
-    for mode in ("taat", "daat", "wand"):
+    for mode in ("taat", "daat", "wand", "maxscore"):
         rows = search(idx, q["query"], k=k, mode=mode).collect()
         res[mode] = [(r["doc_id"], r["score"]) for r in rows]
-    # DAAT and WAND are pinned to the same add order -> bit-identical
+    # DAAT, WAND and max-score are pinned to the same add order ->
+    # bit-identical (both pruners are lossless)
     assert res["daat"] == res["wand"]
+    assert res["daat"] == res["maxscore"]
     # TAAT: same ranking up to float ties; per-doc scores to 1e-9
     assert_rank_identical(res["taat"], res["daat"], k)
     daat_scores = dict(res["daat"])
@@ -226,6 +228,23 @@ def test_wand_skips_blocks(spark, tmp_path_factory):
     assert list(map(tuple, out_w.itertuples(index=False))) == \
         list(map(tuple, out_d.itertuples(index=False)))  # still lossless
 
+    # max-score: the stopword's term-level bound falls below the seeded
+    # theta, so it becomes non-essential — candidates come from the rare
+    # term only and the stopword is decoded selectively (fewer blocks
+    # than exist), with the exact DAAT result
+    calls["n"] = 0
+    CODECS[idx.codec] = (real[0], counting_dec)
+    try:
+        kern_m = qmod._shard_kernel(qmeta, idx.avgdl, idx.codec, 3,
+                                    idx.docs_per_shard, "maxscore")
+        out_m = kern_m(post, docs)
+        maxscore_block_decodes = calls["n"] / 2
+    finally:
+        CODECS[idx.codec] = real
+    assert maxscore_block_decodes < total_blocks
+    assert list(map(tuple, out_m.itertuples(index=False))) == \
+        list(map(tuple, out_d.itertuples(index=False)))
+
 
 def test_text_taat_oracle_path(spark, index_small, pages_small):
     """The SQL-shaped text path (operators/sqlpath.bm25_topk_text) agrees
@@ -243,7 +262,7 @@ def test_text_taat_oracle_path(spark, index_small, pages_small):
     assert a == b
 
 
-@pytest.mark.parametrize("mode", ["wand", "daat", "and"])
+@pytest.mark.parametrize("mode", ["wand", "maxscore", "daat", "and"])
 def test_local_path_identity(spark, index_small, mode):
     """The driver-side serving kernel (search local=True) is
     bit-identical to the distributed per-shard path: same numpy
