@@ -271,31 +271,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dedup_near(spark, sf):
         # applied near-dup dedup (LSH pairs -> connected components ->
-        # keep canonical): rows-only (the pair set is LSH-approximate)
+        # keep canonical): fully oracled — the LSH pair set is now
+        # deterministic portable arithmetic (_minhash_ctes) and the CC
+        # + keep-min step is a recursive closure in SQL (_dedup_near_sql)
         return dd.dedup_near_keep_first(_docs(spark, sf), 3, 0.5) \
             .select("doc_id", "lang", "source", "n_chars")
 
     def q_winnow(spark, sf):
-        # rolling-hash winnowing fingerprints (MOSS): rows-only — the
-        # k-gram rolling hash + sliding-window min is not reasonably
-        # SQL-expressible; pytest pins the winnowing guarantees
+        # winnowing fingerprints (MOSS): the portable double Karp-Rabin
+        # k-gram hash makes this fully oracleable — the DuckDB SQL
+        # below reproduces hash, window-min and dedup bit-for-bit;
+        # pytest additionally pins the winnowing guarantees
         return ts.winnow_fingerprints(_docs(spark, sf))
 
-    # --- rows-only (non-SQL-expressible) entries -----------------------
     def q_minhash_lsh(spark, sf):
+        # fully oracled since the MinHash tier moved to portable 31-bit
+        # Karp-Rabin arithmetic: _minhash_sql reproduces token hash ->
+        # shingles -> 128 permutations -> banding -> candidate join ->
+        # exact-Jaccard verify bit-for-bit in DuckDB
         return dd.minhash_lsh_pairs(_docs(spark, sf), 3, 0.5)
 
     def q_simhash(spark, sf):
+        # fully oracled: the 62-bit simhash is portable integer
+        # arithmetic and the chunk scheme is complete at hamming <= 6,
+        # so _simhash_sql(6)'s brute-force hamming join is an exact
+        # oracle (completeness itself is what the oracle checks)
         return dd.simhash_pairs(_docs(spark, sf), 6)
 
     def q_simhash_blocked(spark, sf):
         # scale path: Manku block-permutation candidate keys at the
         # default contract (hamming <= 4: C(8,4)=70 tables, 32-bit
-        # keys); k=6 is opt-in at 3x the fan-out. Pair-set parity with
-        # the chunk path at BOTH contracts is pinned by pytest
-        # (test_simhash_blocked_matches_chunked).
+        # keys); k=6 is opt-in at 3x the fan-out. Fully oracled against
+        # _simhash_sql(4)'s brute-force hamming join; pair-set parity
+        # with the chunk path at BOTH contracts is additionally pinned
+        # by pytest (test_simhash_blocked_matches_chunked).
         return dd.simhash_pairs_blocked(_docs(spark, sf))
 
+    # --- rows-only entries: the embedding ops below are float-order
+    # arithmetic (random-projection dots, cosine partial sums) that no
+    # SQL engine reproduces bit-for-bit; each has a recall/parity
+    # pytest oracle instead ------------------------------------------
     def q_lsh_ann(spark, sf):
         emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
         return sim.lsh_topk(emb, _query_vec(spark, sf), 10)
@@ -537,6 +552,137 @@ _COS_DOUBLE = ("list_aggregate(list_transform(list_zip({a}, {b}), "
                "x -> CAST(x AS DOUBLE) * x), 'sum')))")
 
 
+def _minhash_sql(threshold: float = 0.5) -> str:
+    """DuckDB reproduction of the ENTIRE MinHash-LSH pipeline, bit-for-
+    bit: the portable 31-bit Karp-Rabin token hash (base 257 mod
+    2^31-1), base-263 3-token shingle fold, the 128 frozen universal-
+    hash permutations (constants inlined from pipeline.dedup), the
+    16x8 banding with the packed 62-bit double band fold, the band-
+    bucket candidate equi-join, and the candidate-local exact-Jaccard
+    verify — same arithmetic as irkit_spark.pipeline.dedup (every
+    intermediate fits BIGINT by construction)."""
+    return f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jac
+FROM v WHERE round(CAST(inter AS DOUBLE)/(na+nb-inter), 6) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
+def _minhash_ctes() -> str:
+    """The shared CTE chain for the MinHash-LSH oracles (see
+    _minhash_sql): ends at `v` = candidate pairs with exact-Jaccard
+    ingredients."""
+    from irkit_spark.pipeline.dedup import _KR_B1, _KR_B2, _KR_P
+    from irkit_spark.pipeline.dedup import _MH_A, _MH_B
+    P, PK = _KR_P, _KR_P + 1
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(shs, h -> (h*{int(a)}+{int(b)}) % {P}))"
+        for a, b in zip(_MH_A, _MH_B))
+    return f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+th AS (
+  SELECT doc_id, list_transform(toks, t ->
+    list_reduce(list_transform(range(1, length(t)+1), j ->
+      CAST(unicode(substr(t, CAST(j AS INT), 1)) AS BIGINT)),
+      (a, b) -> (a*{_KR_B1}+b) % {P})) AS ths
+  FROM tok WHERE len(toks) > 0),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(ths) >= 3
+    THEN list_transform(range(1, len(ths)-3+2), i ->
+      list_reduce(ths[CAST(i AS INT):CAST(i+2 AS INT)],
+        (a, b) -> (a*{_KR_B2}+b) % {P}))
+    ELSE [list_reduce(ths, (a, b) -> (a*{_KR_B2}+b) % {P})] END) AS shs
+  FROM th),
+sg AS (SELECT doc_id, [{sig_exprs}] AS sigs FROM sh),
+bands AS (
+  SELECT doc_id, CAST(b AS INT) AS band,
+     list_reduce(sigs[CAST(b*8+1 AS INT):CAST(b*8+8 AS INT)],
+                 (a, c) -> (a*{_KR_B1}+c) % {P}) * {PK}
+   + list_reduce(sigs[CAST(b*8+1 AS INT):CAST(b*8+8 AS INT)],
+                 (a, c) -> (a*{_KR_B2}+c) % {P}) AS band_hash
+  FROM sg, range(0, 16) t(b)),
+cand AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band
+   AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+v AS (
+  SELECT doc_a, doc_b, len(list_intersect(sa.shs, sb.shs)) AS inter,
+         len(sa.shs) AS na, len(sb.shs) AS nb
+  FROM cand JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b)"""
+
+
+def _dedup_near_sql(threshold: float = 0.5) -> str:
+    """Oracle for the APPLIED near-dup dedup: the _minhash_ctes pair
+    set -> connected components via a recursive transitive-closure CTE
+    (dup clusters are tiny at oracle scale, so the closure stays small)
+    -> drop every doc that can reach a smaller doc_id. Matches
+    dedup_near_keep_first's LSH -> CC -> keep-min semantics exactly."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM v
+  WHERE round(CAST(inter AS DOUBLE)/(na+nb-inter), 6) >= {threshold}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+losers AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) < src)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id"""
+
+
+def _simhash_sql(k: int) -> str:
+    """Oracle for the simhash pair entries: both the chunk scheme
+    (simhash_pairs, complete at hamming <= n_chunks-1) and the Manku
+    block-permutation scheme (simhash_pairs_blocked, complete at its
+    max_hamming) return EXACTLY the set of pairs within hamming <= k,
+    so the oracle is the portable 62-bit simhash (two Karp-Rabin
+    planes + the squaring mix, identical integer arithmetic to
+    pipeline.dedup._kr_token_hashes62) + a brute-force hamming join —
+    completeness of the candidate schemes is what's being checked."""
+    from irkit_spark.pipeline.dedup import (_KR_B1, _KR_B2, _KR_P,
+                                            N_SIMHASH_BITS)
+    P, PK = _KR_P, _KR_P + 1
+    sums = ",\n    ".join(
+        f"SUM(tf*(2*((th>>{j})&1)-1)) AS s{j}"
+        for j in range(N_SIMHASH_BITS))
+    hexpr = "\n     + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_SIMHASH_BITS))
+    kr = (lambda b: f"""list_reduce(list_transform(
+        range(1, length(term)+1), j ->
+        CAST(unicode(substr(term, CAST(j AS INT), 1)) AS BIGINT)),
+        (a, b) -> (a*{b}+b) % {P})""")
+    return f"""
+WITH tf AS ({_TF}),
+kr2 AS (
+  SELECT term, {kr(_KR_B1)} AS h1, {kr(_KR_B2)} AS h2
+  FROM (SELECT DISTINCT term FROM tf) t),
+tmix AS (
+  SELECT term, ((h1*h1 + h2) % {P}) * {PK} + ((h2*h2 + h1) % {P}) AS th
+  FROM kr2),
+j AS (SELECT doc_id, tf, th FROM tf JOIN tmix USING (term)),
+sums AS (SELECT doc_id,
+    {sums}
+  FROM j GROUP BY doc_id),
+hv0 AS (SELECT doc_id,
+       {hexpr} AS h
+  FROM sums),
+hv AS (SELECT d.doc_id, coalesce(hv0.h, 0) AS h
+       FROM documents d LEFT JOIN hv0 USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {k}
+ORDER BY doc_a, doc_b"""
+
+
 def _hxb(i: int) -> str:
     """DuckDB expr for byte i (0-based) of the md5 hex string `hx` —
     lets the oracle reproduce multimodal._fake_decode exactly."""
@@ -682,6 +828,34 @@ FROM h""",
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
 FROM documents""",
+        # winnowing: same portable double Karp-Rabin (bases 257/263 mod
+        # 2^31-1, packed h1*2^31+h2) + window-of-4 min + dedup as the
+        # Spark op — bit-identical by construction
+        "winnow_fingerprints": """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t)-8+2), i ->
+           list_reduce(list_transform(range(i, i+8), j ->
+             CAST(unicode(substr(t, CAST(j AS INT), 1)) AS BIGINT)),
+             (a, b) -> (a*257+b) % 2147483647) * 2147483648
+           + list_reduce(list_transform(range(i, i+8), j ->
+             CAST(unicode(substr(t, CAST(j AS INT), 1)) AS BIGINT)),
+             (a, b) -> (a*263+b) % 2147483647)) AS hs
+  FROM d WHERE length(t) >= 8),
+wmin AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(hs) >= 4
+           THEN list_transform(range(1, len(hs)-4+2), i ->
+                list_min(hs[CAST(i AS INT):CAST(i+3 AS INT)]))
+           ELSE [list_min(hs)] END) AS fps
+  FROM h)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+FROM wmin ORDER BY doc_id, fp""",
+        "minhash_lsh_pairs": _minhash_sql(0.5),
+        "dedup_near_keep_first": _dedup_near_sql(0.5),
+        "simhash_pairs": _simhash_sql(6),
+        "simhash_pairs_blocked": _simhash_sql(4),
         "ann_cosine_top10": f"""
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
 SELECT a.vec_id, round({cosq}, 6) AS cos

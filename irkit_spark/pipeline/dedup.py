@@ -26,19 +26,81 @@ _rng = np.random.default_rng(42)
 _A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
-# FROZEN string/shingle hash (re-frozen round 2, replacing the per-
-# shingle hashlib.md5 python loop): token -> 64-bit via pandas'
-# vectorized siphash (pd.util.hash_array, fixed default key), shingle ->
-# polynomial fold of its token hashes with multiplier _SH_P (uint64
-# wraparound). Purely C-level per batch; collisions are ~n^2/2^64.
+# FROZEN hashes, two tiers (re-frozen round 4):
+#  - MinHash tier (token -> shingle -> signature -> band key): PORTABLE
+#    31-bit Karp-Rabin arithmetic — polynomial over Unicode code points
+#    base 257 mod the Mersenne prime 2^31-1 for tokens, base-263 window
+#    fold for shingles, universal-hash permutations (a*h+b) mod 2^31-1,
+#    and a double band fold packed to 62 bits. Every intermediate fits
+#    a signed 64-bit integer, so the DuckDB oracle in __spark_entry__
+#    reproduces the whole LSH pipeline bit-for-bit. 31-bit shingle
+#    hashes add ~n^2/2^31 per-doc collision mass to the exact-Jaccard
+#    verify — ~1e-2 for a 10^4-shingle doc, well under the verify
+#    threshold's resolution.
+#  - SimHash tier keeps the 64-bit vectorized siphash
+#    (pd.util.hash_array): simhash needs 64 independent bit planes per
+#    token, which a 31-bit hash cannot supply.
 _SH_P = np.uint64(0x9E3779B97F4A7C15)
+_KR_P = 2147483647              # 2^31 - 1
+_KR_B1, _KR_B2 = 257, 263
+_MH_A = _rng.integers(1, _KR_P, size=N_PERM, dtype=np.int64)
+_MH_B = _rng.integers(0, _KR_P, size=N_PERM, dtype=np.int64)
 
 
 def _hash_tokens(flat: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit token hash (frozen; see module constant)."""
+    """Vectorized 64-bit token hash (frozen; SimHash tier)."""
     if flat.size == 0:
         return np.empty(0, dtype=np.uint64)
     return pd.util.hash_array(flat).astype(np.uint64, copy=False)
+
+
+def _kr_token_hashes(flat: np.ndarray, base: int = _KR_B1) -> np.ndarray:
+    """Portable 31-bit Karp-Rabin token hash (MinHash/SimHash tiers;
+    see module constants). Vectorized: one utf-32 buffer for the whole
+    batch, then a char-position sweep with a shrinking active mask — no
+    per-token Python work beyond the join/length pass."""
+    if flat.size == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in flat), dtype=np.int64,
+                       count=flat.size)
+    codes = np.frombuffer("".join(flat).encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    acc = np.zeros(flat.size, dtype=np.int64)
+    for j in range(int(lens.max())):
+        m = lens > j
+        acc[m] = (acc[m] * base + codes[starts[m] + j]) % _KR_P
+    return acc
+
+
+def _kr_token_hashes62(flat: np.ndarray) -> np.ndarray:
+    """62 portable bit planes per token — the SimHash bit source: two
+    independent 31-bit Karp-Rabin hashes (bases 257/263) pushed through
+    a NONLINEAR portable mix (squaring mod the Mersenne prime, plus the
+    sibling hash as a cross term) and packed m1*2^31 + m2. Raw KR is
+    linear, so lexicographically-near tokens correlate in the high bit
+    planes and simhash buckets clump (a measured failure of the blocked
+    scheme's spread test); (h^2 + other) mod p breaks that while every
+    product stays < 2^62, so a SQL engine reproduces every bit."""
+    h1 = _kr_token_hashes(flat, _KR_B1)
+    h2 = _kr_token_hashes(flat, _KR_B2)
+    m1 = (h1 * h1 + h2) % _KR_P
+    m2 = (h2 * h2 + h1) % _KR_P
+    return m1 * (_KR_P + 1) + m2
+
+
+def _poly_windows_mod(th: np.ndarray, n: int,
+                      base: int = _KR_B2) -> np.ndarray:
+    """Portable length-n window fold of 31-bit hashes:
+    acc = (acc*base + h) mod 2^31-1 over each window (docs shorter than
+    n fold as one window of their full length, like _poly_windows)."""
+    m = th.size
+    w = min(n, m)
+    nw = m - w + 1
+    out = np.zeros(nw, dtype=np.int64)
+    for k in range(w):
+        out = (out * base + th[k:k + nw]) % _KR_P
+    return out
 
 
 def _poly_windows(th: np.ndarray, n: int) -> np.ndarray:
@@ -165,7 +227,7 @@ def _shingle_hash_rows(batches, n: int):
             if t:
                 flat[pos:pos + len(t)] = t
                 pos += len(t)
-        th = _hash_tokens(flat)
+        th = _kr_token_hashes(flat)
         bounds = np.concatenate([[0], np.cumsum(lens)])
         ids, sets = [], []
         for i, doc_id in enumerate(pdf["doc_id"]):
@@ -173,7 +235,7 @@ def _shingle_hash_rows(batches, n: int):
             if sl.size == 0:
                 continue
             ids.append(doc_id)
-            sets.append(np.unique(_poly_windows(sl, n)))
+            sets.append(np.unique(_poly_windows_mod(sl, n)))
         yield ids, sets
 
 
@@ -207,23 +269,29 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
                     "band": pd.Series([], dtype="int32"),
                     "band_hash": pd.Series([], dtype="int64")})
                 continue
-            sigs = np.empty((len(ids), N_PERM), dtype=np.uint64)
+            sigs = np.empty((len(ids), N_PERM), dtype=np.int64)
             for i, hs in enumerate(sets):
-                # universal hashing: (a*h + b) mod p, min per permutation
-                vals = (hs[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
+                # universal hashing: (a*h + b) mod 2^31-1, min per
+                # permutation — a, h < 2^31 so a*h+b < 2^63 (portable)
+                vals = (hs[None, :] * _MH_A[:, None]
+                        + _MH_B[:, None]) % _KR_P
                 sigs[i] = vals.min(axis=1)
-            # fold each band's ROWS_PER_BAND minhashes into one 64-bit
-            # key: polynomial with _SH_P (vectorized over docs x bands)
+            # fold each band's ROWS_PER_BAND minhashes into one 62-bit
+            # key: double Karp-Rabin fold (bases 257/263 mod 2^31-1)
+            # packed k1*2^31 + k2 — portable, collision rate ~2^-62
             bands = sigs.reshape(len(ids), N_BANDS, ROWS_PER_BAND)
-            bh = np.zeros((len(ids), N_BANDS), dtype=np.uint64)
+            b1 = np.zeros((len(ids), N_BANDS), dtype=np.int64)
+            b2 = np.zeros((len(ids), N_BANDS), dtype=np.int64)
             for r in range(ROWS_PER_BAND):
-                bh = bh * _SH_P + bands[:, :, r]
+                b1 = (b1 * _KR_B1 + bands[:, :, r]) % _KR_P
+                b2 = (b2 * _KR_B2 + bands[:, :, r]) % _KR_P
+            bh = b1 * (_KR_P + 1) + b2
             yield pd.DataFrame({
                 "doc_id": np.repeat(np.asarray(ids, dtype=np.int64),
                                     N_BANDS),
                 "band": np.tile(np.arange(N_BANDS, dtype=np.int32),
                                 len(ids)),
-                "band_hash": bh.reshape(-1).view(np.int64)})
+                "band_hash": bh.reshape(-1)})
 
     return docs.select("doc_id", "text").mapInPandas(
         run, "doc_id long, band int, band_hash long")
@@ -336,26 +404,34 @@ def dedup_near_keep_first(docs: DataFrame, n: int = 3,
 
 # ---------------------------------------------------------------- simhash
 
+# SimHash width: 62 bits — two portable 31-bit Karp-Rabin planes (see
+# _kr_token_hashes62). All chunk/block splitting derives from this.
+N_SIMHASH_BITS = 62
+
+
 def _chunk_widths(n_chunks: int) -> list[int]:
-    base, rem = divmod(64, n_chunks)
+    base, rem = divmod(N_SIMHASH_BITS, n_chunks)
     return [base + 1 if i < rem else base for i in range(n_chunks)]
 
 
 def simhash64(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
-    """(doc_id, simhash, chunk0..chunk{c-1}): 64-bit tf-weighted simhash
-    + c bit-chunks (pigeonhole keys: two hashes within hamming <= c-1
-    share >= 1 identical chunk, so candidate generation is an equi-join
-    per chunk). Token hashing is the frozen vectorized _hash_tokens."""
+    """(doc_id, simhash, chunk0..chunk{c-1}): tf-weighted simhash over
+    N_SIMHASH_BITS (62) portable bit planes + c bit-chunks (pigeonhole
+    keys: two hashes within hamming <= c-1 share >= 1 identical chunk,
+    so candidate generation is an equi-join per chunk). Token bit
+    planes come from _kr_token_hashes62 — exact integer arithmetic a
+    SQL engine reproduces, which is what makes the simhash pair entries
+    fully oracleable. (Function name kept from the 64-bit era.)"""
 
     def run(batches):
         # Batch-vectorized: one factorize + one reduceat per chunk of
-        # docs instead of a value_counts + (tokens x 64) matmul per doc.
-        # All-integer arithmetic (weights are tf counts), so the bit
-        # signs — and therefore the simhash values — are exactly those
-        # of the per-doc formulation.
+        # docs instead of a value_counts + (tokens x bits) matmul per
+        # doc. All-integer arithmetic (weights are tf counts), so the
+        # bit signs — and therefore the simhash values — are exactly
+        # those of the per-doc formulation.
         import re
         token = re.compile(TOKEN_RE)
-        b64 = np.arange(64, dtype=np.uint64)
+        b62 = np.arange(N_SIMHASH_BITS, dtype=np.int64)
         chunk = 3000          # bounds the (rows x 64) int32 workspace
         for pdf in batches:
             out_h = np.zeros(len(pdf), dtype=np.int64)
@@ -382,16 +458,16 @@ def simhash64(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
                 ukey, cnt = np.unique(row * nu + codes,
                                       return_counts=True)
                 rws = ukey // nu
-                th = _hash_tokens(np.asarray(uniq, dtype=object))[
-                    ukey % nu]
-                bits = ((th[:, None] >> b64) & np.uint64(1)) \
+                th = _kr_token_hashes62(
+                    np.asarray(uniq, dtype=object))[ukey % nu]
+                bits = ((th[:, None] >> b62) & np.int64(1)) \
                     .astype(np.int32)
                 contrib = (2 * bits - 1) * cnt[:, None].astype(np.int32)
                 starts = np.flatnonzero(
                     np.diff(rws, prepend=rws[0] - 1))
                 acc = np.add.reduceat(contrib, starts, axis=0)
-                hh = ((acc > 0).astype(np.uint64) << b64).sum(axis=1)
-                out_h[c0 + rws[starts]] = hh.view(np.int64)
+                hh = ((acc > 0).astype(np.int64) << b62).sum(axis=1)
+                out_h[c0 + rws[starts]] = hh
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy().astype("int64"),
                 "simhash": out_h})

@@ -131,39 +131,52 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 def winnow_fingerprints(docs: DataFrame, k: int = 8,
                         w: int = 4) -> DataFrame:
     """(doc_id, fp): winnowed rolling-hash fingerprints (the MOSS
-    scheme): rolling polynomial hash over every character k-gram of the
+    scheme): Karp-Rabin hash over every character k-gram of the
     lowercased text, then keep the minimum of each window of w
     consecutive hashes, deduped. Guarantees: identical docs share the
     full set; any shared substring of length >= k + w - 1 shares at
     least one fingerprint. Joining on fp is the standard local-overlap
-    dedup blocking key at corpus scale (one groupBy, no pair blowup)."""
+    dedup blocking key at corpus scale (one groupBy, no pair blowup).
+
+    The k-gram hash is a PORTABLE double Karp-Rabin over Unicode code
+    points — two independent 31-bit polynomial hashes (bases 257/263,
+    both mod the Mersenne prime 2^31-1) packed as fp = h1*2^31 + h2:
+    every intermediate product fits a signed 64-bit integer, so the
+    exact same arithmetic runs in any SQL engine (the DuckDB oracle in
+    __spark_entry__ reproduces it bit-for-bit), while the packed
+    62-bit key keeps the blocking-collision rate web-scale-safe."""
     import numpy as np
     import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
 
-    from irkit_spark.pipeline.dedup import _poly_windows
+    P = 2147483647              # 2^31 - 1
+    B1, B2 = 257, 263
 
     def run(batches):
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer((text or "").lower().encode(),
-                                  dtype=np.uint8)
-                if b.size < k:
+                # utf-32-le buffer -> one uint32 code point per char,
+                # no per-char Python loop
+                c = np.frombuffer((text or "").lower()
+                                  .encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.int64)
+                if c.size < k:
                     continue
-                with np.errstate(over="ignore"):
-                    # bytes -> 64-bit lanes so the k-gram polynomial
-                    # fold mixes the whole word
-                    th = ((b.astype(np.uint64) + np.uint64(1))
-                          * np.uint64(0x9E3779B97F4A7C15))
-                    hs = _poly_windows(th, k)
+                nw = c.size - k + 1
+                h1 = np.zeros(nw, dtype=np.int64)
+                h2 = np.zeros(nw, dtype=np.int64)
+                for j in range(k):      # k vectorized passes
+                    h1 = (h1 * B1 + c[j:j + nw]) % P
+                    h2 = (h2 * B2 + c[j:j + nw]) % P
+                hs = h1 * (P + 1) + h2          # pack: h1*2^31 + h2
                 if hs.size >= w:
-                    from numpy.lib.stride_tricks import sliding_window_view
                     sel = sliding_window_view(hs, w).min(axis=1)
                 else:
                     sel = hs.min(keepdims=True)
                 u = np.unique(sel)
                 ids.extend([doc_id] * u.size)
-                fps.extend(u.view(np.int64).tolist())
+                fps.extend(u.tolist())
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "fp": pd.Series(fps, dtype="int64")})
 
