@@ -143,6 +143,8 @@ def main():
             ("wand_k100", "term00001 term00010", 100, "wand"),
             ("wand_k1000", "term00002 term00005 term00050", 1000, "wand"),
             ("daat_k10", "term00000 term00003 term00123", 10, "daat"),
+            ("maxscore_k10", "term00000 term00003 term00123", 10,
+             "maxscore"),
             ("taat_k10", "term00000 term00003 term00123", 10, "taat")]
     for name, q, k, mode in qset:
         t0 = time.monotonic()

@@ -190,20 +190,33 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     write_artifact(terms_final, out_dir, "terms", fmt=fmt)
 
     wall_ms = int((time.monotonic() - t0) * 1000)
-    total_postings = postings.agg(F.sum("n_docs")).collect()[0][0] or 0
+    # one scan: total postings derives from the per-shard aggregation
     shard_m = (postings.groupBy("partition_id")
                .agg(F.sum("n_docs").alias("postings_cnt"),
                     F.sum("wire_bytes").alias("bytes"))
                .collect())
+    total_postings = sum(int(r["postings_cnt"]) for r in shard_m)
     cnts = sorted(r["postings_cnt"] for r in shard_m) or [0]
     med = cnts[len(cnts) // 2] or 1
-    lineage_df = spark.createDataFrame(
-        [(int(r["partition_id"]), "done", int(r["postings_cnt"]),
-          int(r["bytes"]), float(r["postings_cnt"] / med), wall_ms, 1)
-         for r in shard_m],
-        "partition_id int, status string, postings_cnt long, bytes long, "
-        "skew_ratio double, wall_ms long, attempt int")
-    write_artifact(lineage_df, out_dir, "lineage", fmt=fmt)
+    # lineage/stats rows are driver-local: pyarrow write, no Spark jobs
+    # (same rationale as build stage 5)
+    import pyarrow as pa
+    from irkit_spark.sources.catalog import write_artifact_driver
+    lineage_tbl = pa.table({
+        "partition_id": pa.array([int(r["partition_id"])
+                                  for r in shard_m], pa.int32()),
+        "status": pa.array(["done"] * len(shard_m), pa.string()),
+        "postings_cnt": pa.array([int(r["postings_cnt"])
+                                  for r in shard_m], pa.int64()),
+        "bytes": pa.array([int(r["bytes"]) for r in shard_m],
+                          pa.int64()),
+        "skew_ratio": pa.array([float(r["postings_cnt"] / med)
+                                for r in shard_m], pa.float64()),
+        "wall_ms": pa.array([wall_ms] * len(shard_m), pa.int64()),
+        "attempt": pa.array([1] * len(shard_m), pa.int32()),
+    })
+    write_artifact_driver(spark, lineage_tbl, out_dir, "lineage",
+                          fmt=fmt)
     # WAND soundness under incremental avgdl drift: batch indexes store
     # per-block max tf_norm computed with THEIR avgdl; tf_norm grows at
     # most by avgdl_final/avgdl_batch when avgdl grows, so this slack
@@ -214,15 +227,22 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     min_batch_avgdl = min(float(s["avg_doc_len"]) for s in stats)
     slack = max(max(batch_slacks),
                 max(1.0, avgdl / min_batch_avgdl if min_batch_avgdl else 1.0))
-    stats_df = spark.createDataFrame(
-        [(n_docs, float(avgdl), coll_len, int(total_postings), codec,
-          block_size, docs_per_shard, n_shards, wall_ms, slack,
-          quantized)],
-        "n_docs long, avg_doc_len double, coll_len long, "
-        "total_postings long, codec string, block_size int, "
-        "docs_per_shard int, n_shards int, wall_ms long, "
-        "bound_slack double, quantized boolean") \
-        .withColumn("built_at", F.current_timestamp())
-    write_artifact(stats_df, out_dir, "stats", fmt=fmt)
+    from datetime import datetime, timezone
+    stats_tbl = pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "avg_doc_len": pa.array([float(avgdl)], pa.float64()),
+        "coll_len": pa.array([int(coll_len)], pa.int64()),
+        "total_postings": pa.array([int(total_postings)], pa.int64()),
+        "codec": pa.array([codec], pa.string()),
+        "block_size": pa.array([int(block_size)], pa.int32()),
+        "docs_per_shard": pa.array([int(docs_per_shard)], pa.int32()),
+        "n_shards": pa.array([int(n_shards)], pa.int32()),
+        "wall_ms": pa.array([wall_ms], pa.int64()),
+        "bound_slack": pa.array([float(slack)], pa.float64()),
+        "quantized": pa.array([bool(quantized)], pa.bool_()),
+        "built_at": pa.array([datetime.now(timezone.utc)],
+                             pa.timestamp("us", tz="UTC")),
+    })
+    write_artifact_driver(spark, stats_tbl, out_dir, "stats", fmt=fmt)
     return {"n_docs": n_docs, "total_postings": int(total_postings),
             "wall_ms": wall_ms, "n_shards": n_shards}

@@ -478,3 +478,52 @@ def test_multimodal_plumbing(spark, dup_docs):
     # determinism
     feats2 = extract_features(media).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_portable_kr_hashes_match_scalar_reference():
+    """The portable-arithmetic contract behind the DuckDB oracles: the
+    vectorized Karp-Rabin token hash, the shingle window fold and the
+    62-bit simhash bit source must equal a direct scalar-Python
+    transcription of the published formula (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from irkit_spark.pipeline.dedup import (_KR_B1, _KR_B2, _KR_P,
+                                            _kr_token_hashes,
+                                            _kr_token_hashes62,
+                                            _poly_windows_mod)
+
+    def kr_scalar(t, base):
+        a = 0
+        for ch in t:
+            a = (a * base + ord(ch)) % _KR_P
+        return a
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                               blacklist_categories=("Cs",)),
+        min_size=1, max_size=24), min_size=1, max_size=40))
+    def check(tokens):
+        flat = np.asarray(tokens, dtype=object)
+        got = _kr_token_hashes(flat)
+        want = [kr_scalar(t, _KR_B1) for t in tokens]
+        assert got.tolist() == want
+        h1 = np.array(want, dtype=np.int64)
+        h2 = np.array([kr_scalar(t, _KR_B2) for t in tokens],
+                      dtype=np.int64)
+        want62 = ((h1 * h1 + h2) % _KR_P) * (_KR_P + 1) \
+            + (h2 * h2 + h1) % _KR_P
+        assert _kr_token_hashes62(flat).tolist() == want62.tolist()
+        # shingle fold (w = min(3, m) windows, scalar reference)
+        th = got
+        w = min(3, th.size)
+        want_sh = []
+        for i in range(th.size - w + 1):
+            a = 0
+            for v in th[i:i + w]:
+                a = (a * _KR_B2 + int(v)) % _KR_P
+            want_sh.append(a)
+        assert _poly_windows_mod(th, 3).tolist() == want_sh
+
+    check()
