@@ -96,10 +96,12 @@ def main():
                 best[cores] = m
         per_rep.append(this)
     # extra points: 8 and 32 carry the reported 8->32 pair, so they get
-    # the same best-of-2 interleaved treatment as the headline pair
-    # (r03's single-shot 32-core leg caught neighbor load and reported
-    # a spurious inversion); other extras run once
-    for rep in range(repeats):
+    # the same best-of-pair_repeats interleaved treatment as the
+    # headline pair (r03's single-shot 32-core leg caught neighbor load
+    # and reported a spurious inversion; an r04 local run caught a
+    # window where BOTH 32-core reps ran 3.9x slow — a third chance is
+    # cheap insurance); other extras run once
+    for rep in range(pair_repeats):
         for cores in (EXTRA_CORES if rep == 0
                       else [c for c in EXTRA_CORES if c in (8, 32)]):
             if cores in (N_CORES, N4_CORES):
