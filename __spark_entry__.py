@@ -69,13 +69,15 @@ def _index_for(spark: SparkSession, sf_dir: str,
 
 def _index_search(spark, sf_dir, query, k, mode,
                   scorer="bm25", quantize: bool = False,
-                  local: bool | None = False) -> DataFrame:
+                  local: bool | None = False,
+                  doc_filter: str | None = None) -> DataFrame:
     # local=False pins the distributed path: the correctness gate
     # should keep verifying the cluster-shape engine; the driver-side
     # serving kernel gets its own oracled entry (index_wand_local_*)
     from irkit_spark.operators.query import Index, search
     idx = Index(spark, _index_for(spark, sf_dir, quantize))
-    out = search(idx, query, k=k, mode=mode, scorer=scorer, local=local)
+    out = search(idx, query, k=k, mode=mode, scorer=scorer, local=local,
+                 doc_filter=doc_filter)
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -146,6 +148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Turtle-Flood max-score pruning (SURVEY Q5's other half):
         # lossless, so the full-BM25 SQL oracle applies unchanged
         return _index_search(spark, sf, Q_BM25_B, 10, "maxscore")
+
+    def q_index_wand_filtered_top10(spark, sf):
+        # FILTERED retrieval (training-data-pipeline shape: top-k
+        # within a doc slice): selection restricted to the predicate,
+        # scores keep global collection stats — oracled by the same
+        # BM25 SQL with the predicate on the selection CTE only
+        return _index_search(spark, sf, Q_BM25_A, 10, "wand",
+                             doc_filter="doc_id % 3 = 0")
 
     def q_index_wand_top1000(spark, sf):
         return _index_search(spark, sf, Q_OR, 1000, "wand")
@@ -377,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wand_top10": q_index_wand,
         "index_wand_top100": q_index_wand_top100,
         "index_maxscore_top10": q_index_maxscore_top10,
+        "index_wand_filtered_top10": q_index_wand_filtered_top10,
         "index_wand_top1000": q_index_wand_top1000,
         "index_batch_wand_top10": q_index_batch_wand_top10,
         "index_wand_local_top10": q_index_wand_local_top10,
@@ -430,12 +441,16 @@ def _values(terms: list[str]) -> str:
     return ", ".join(f"('{t}')" for t in sorted(set(terms)))
 
 
-def _bm25_sql(query: str, k: int, conjunctive: bool = False) -> str:
+def _bm25_sql(query: str, k: int, conjunctive: bool = False,
+              doc_where: str | None = None) -> str:
     terms = sorted(set(query.lower().split()))
     conj = ""
     if conjunctive:
         conj = """
   HAVING count(*) = (SELECT count(*) FROM ts JOIN q USING (term))"""
+    # doc_where (filtered retrieval): restricts SELECTION only — the
+    # collection stats st/ts stay global, matching search(doc_filter=)
+    where = f"\n  WHERE ({doc_where})" if doc_where else ""
     return f"""
 WITH tf AS ({_TF}),
 dl AS ({_DL}),
@@ -448,7 +463,7 @@ sc AS (
              * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
                         * dl.dl / st.avgdl))) AS s
   FROM tf JOIN q USING (term) JOIN ts USING (term)
-       JOIN dl USING (doc_id) CROSS JOIN st
+       JOIN dl USING (doc_id) CROSS JOIN st{where}
   GROUP BY 1{conj})
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
@@ -748,6 +763,8 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),
         "index_maxscore_top10": _bm25_sql(Q_BM25_B, 10),
+        "index_wand_filtered_top10": _bm25_sql(
+            Q_BM25_A, 10, doc_where="doc_id % 3 = 0"),
         "index_wand_top1000": _bm25_sql(Q_OR, 1000),
         "index_ql_top10": _ql_sql(Q_BM25_A, 10),
         "index_and_top10": _bm25_sql(Q_AND, 10, conjunctive=True),

@@ -298,10 +298,19 @@ def _decode_row_blocks(blocks, codec: str):
 def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                   docs_per_shard: int, mode: str, scorer: str = "bm25",
                   coll_len: int = 1, bound_slack: float = 1.0,
-                  quantized: bool = False, dl_bc=None):
+                  quantized: bool = False, dl_bc=None,
+                  restrict: bool = False):
     """Per-shard scorer: cogrouped with the docs table, or — when dl_bc
     (the broadcast per-shard doc-length arrays) is set — over postings
-    alone. qmeta sorted by term_id ascending."""
+    alone. qmeta sorted by term_id ascending.
+
+    restrict=True (filtered search): the cogrouped docs side carries
+    ONLY the docs passing the caller's predicate; candidates outside it
+    are dropped before scoring/theta, so the top-k is over the filtered
+    subset while scores keep the GLOBAL collection stats (a doc scores
+    identically filtered or not — selection changes, scoring doesn't).
+    Pruning stays lossless: all-docs block bounds are upper bounds for
+    any subset."""
     idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
     dec = CODECS[codec][1]
     # Dirichlet QL decomposition (SURVEY.md Q2):
@@ -397,6 +406,10 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             dl_arr = np.zeros(docs_per_shard, dtype=np.float64)
             d_ids = docs_pdf["doc_id"].to_numpy() - base
             dl_arr[d_ids] = docs_pdf["doc_len"].to_numpy()
+        valid = None
+        if restrict:
+            valid = np.zeros(docs_per_shard, dtype=bool)
+            valid[d_ids] = True
         term_rows: dict[int, list] = {}
         for _, r in post_pdf.iterrows():
             term_rows.setdefault(int(r["term_id"]), []).extend(
@@ -465,6 +478,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 cand = cand[keep]
                 if cand.size == 0:
                     break
+            if cand is not None and cand.size and valid is not None:
+                cand = cand[valid[cand - base]]
             if cand is None or cand.size == 0:
                 return pd.DataFrame(
                     {"doc_id": pd.Series([], dtype="int64"),
@@ -511,6 +526,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                         tf, dl_arr[off], avgdl)
                 acc[off] += contrib          # doc ids unique within term
                 present[off] = True
+            if valid is not None:
+                present &= valid
             idxs = np.flatnonzero(present)
             sc = acc[idxs]
             if scorer == "ql":
@@ -548,6 +565,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 cache[(seed_tid, b_ix)] = (d, t)
                 seed_parts.append(d)
             seed_docs = np.unique(np.concatenate(seed_parts))
+            if valid is not None:
+                seed_docs = seed_docs[valid[seed_docs - base]]
             seed_scores = exact_scores(term_rows, seed_docs, dl_arr, base,
                                        cache)
             if seed_docs.size >= k:
@@ -594,6 +613,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                             .astype(np.int64))
                     cand_parts.append(cache[key][0])
             cand = np.unique(np.concatenate(cand_parts))
+            if valid is not None:
+                cand = cand[valid[cand - base]]
             sc = exact_scores(term_rows, cand, dl_arr, base, cache)
             return topk_frame(cand, sc)
 
@@ -658,6 +679,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                     cache[key] = (d, t)
                 cand_parts.append(cache[key][0])
         cand = np.unique(np.concatenate(cand_parts))
+        if valid is not None:
+            cand = cand[valid[cand - base]]
 
         # phase 3: exact scores of candidates
         sc = exact_scores(term_rows, cand, dl_arr, base, cache)
@@ -725,12 +748,23 @@ def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
 
 def search(index: Index, query: str, k: int = 10,
            mode: str = "wand", scorer: str = "bm25",
-           local: bool | None = None) -> DataFrame:
+           local: bool | None = None,
+           doc_filter: str | None = None) -> DataFrame:
     """Top-k (doc_id, score); mode in {taat, daat, wand, maxscore}
     (Q3/Q4/Q5 — wand prunes per block via doc-range-aligned rest
     bounds, maxscore via the Turtle-Flood essential-list partition on
     term-level bounds; both lossless, both bit-identical to daat),
     scorer in {bm25, ql} (Q1/Q2; pruning bounds are BM25-only).
+
+    doc_filter: optional SQL boolean expression over the docs table
+    (doc_id, url, doc_len, partition_id) — FILTERED retrieval: top-k is
+    taken over the predicate-passing subset only, with scores computed
+    from the GLOBAL collection stats (a doc's score is identical
+    filtered or unfiltered; the filter changes selection, not scoring —
+    the training-data-pipeline shape "top-k within this slice").
+    Catalyst pushes doc_id/partition_id predicates into the
+    dir-partitioned docs scan. Runs on the distributed cogroup path
+    (daat/wand/maxscore/and; taat and local=True raise).
 
     local: None (default) auto-routes small queries through the
     driver-side kernel (see config.LOCAL_QUERY_MAX_POSTINGS — per-query
@@ -755,6 +789,33 @@ def search(index: Index, query: str, k: int = 10,
     empty = spark.createDataFrame([], TOPK_SCHEMA)
     if not qmeta:
         return empty
+
+    if doc_filter is not None:
+        if mode == "taat":
+            raise ValueError("doc_filter needs the per-shard kernel "
+                             "path — use daat/wand/maxscore/and")
+        if local:
+            raise ValueError("doc_filter runs distributed (the "
+                             "predicate is evaluated on the docs "
+                             "table); local=True is not available")
+        tids = [m["term_id"] for m in qmeta]
+        qpost = index.postings.filter(F.col("term_id").isin(tids))
+        shards = [r["partition_id"] for r in
+                  qpost.select("partition_id").distinct().collect()]
+        if not shards:
+            return empty
+        qdocs = (index.docs
+                 .filter(F.col("partition_id").isin(shards))
+                 .filter(F.expr(doc_filter))
+                 .select("partition_id", "doc_id", "doc_len"))
+        kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
+                             index.docs_per_shard, mode, scorer,
+                             index.coll_len, index.bound_slack,
+                             index.quantized, restrict=True)
+        out = (qpost.groupBy("partition_id")
+               .cogroup(qdocs.groupBy("partition_id"))
+               .applyInPandas(lambda lt, rt: kern(lt, rt), TOPK_SCHEMA))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     if mode != "taat" and local is not False:
         fits = (sum(m["df"] for m in qmeta)

@@ -339,3 +339,39 @@ def test_batch_search_matches_per_query(spark, index_small):
         assert by_qid[qid] == want, qid
     with pytest.raises(ValueError, match="daat"):
         batch_search(idx, qs, mode="taat")
+
+
+def test_filtered_search(spark, index_small, token_table):
+    """Filtered retrieval (doc_filter): top-k over the predicate-passing
+    subset only, scores unchanged vs the unfiltered run (global stats),
+    all three kernel modes bit-identical, and equal to a pandas
+    brute-force oracle restricted the same way."""
+    idx, _ = index_small
+    tok, n_docs = token_table
+    q, k, pred = "term00000 term00003 term00123", 10, "doc_id % 3 = 0"
+    res = {}
+    for mode in ("daat", "wand", "maxscore"):
+        rows = search(idx, q, k=k, mode=mode, doc_filter=pred).collect()
+        res[mode] = [(r["doc_id"], r["score"]) for r in rows]
+    assert res["daat"] == res["wand"] == res["maxscore"]
+    assert res["daat"], "filter should leave matches"
+    assert all(d % 3 == 0 for d, _ in res["daat"])
+    # scores are the GLOBAL-stats scores: every filtered hit present in
+    # a deep unfiltered run carries the identical score
+    unf = {r["doc_id"]: r["score"]
+           for r in search(idx, q, k=1000, mode="daat").collect()}
+    for d, s in res["daat"]:
+        assert s == unf[d]
+    # brute-force oracle over the same subset
+    want = [(d, s) for d, s in
+            brute_force_topk(tok, n_docs, q, 10_000) if d % 3 == 0][:k]
+    assert_rank_identical(res["daat"], want, k)
+    # and-mode respects the filter too
+    for r in search(idx, "term00000 term00001", 10, "and",
+                    doc_filter=pred).collect():
+        assert r["doc_id"] % 3 == 0
+    # taat/local raise
+    with pytest.raises(ValueError, match="doc_filter"):
+        search(idx, q, k, "taat", doc_filter=pred)
+    with pytest.raises(ValueError, match="local"):
+        search(idx, q, k, "wand", local=True, doc_filter=pred)
