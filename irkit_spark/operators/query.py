@@ -863,7 +863,8 @@ def search(index: Index, query: str, k: int = 10,
 
 def batch_search(index: Index, queries: dict[str, str] | list[str],
                  k: int = 10, mode: str = "wand",
-                 scorer: str = "bm25") -> DataFrame:
+                 scorer: str = "bm25",
+                 doc_filter: str | None = None) -> DataFrame:
     """Top-k for a whole QUERY SET in one distributed pass:
     (query_id, doc_id, score), k rows per query.
 
@@ -878,7 +879,11 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
     |queries|.
 
     queries: dict {query_id: text} or list of texts (ids = list
-    index as string). OOV-only queries yield no rows (P3)."""
+    index as string). OOV-only queries yield no rows (P3).
+
+    doc_filter: optional SQL predicate over the docs table — the whole
+    run restricted to a doc slice (see search(doc_filter=); forces the
+    cogroup path, same lossless-subset semantics)."""
     from pyspark.sql import Window
     if mode not in ("daat", "wand", "maxscore", "and"):
         raise ValueError(f"batch_search supports daat|wand|maxscore|"
@@ -896,11 +901,12 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
     all_tids = sorted({m["term_id"] for qm in qmetas.values()
                        for m in qm})
     qpost = index.postings.filter(F.col("term_id").isin(all_tids))
+    dl_bc = None if doc_filter is not None else index.doc_len_broadcast()
     kerns = {qid: _shard_kernel(qm, index.avgdl, index.codec, k,
                                 index.docs_per_shard, mode, scorer,
                                 index.coll_len, index.bound_slack,
-                                index.quantized,
-                                dl_bc=index.doc_len_broadcast())
+                                index.quantized, dl_bc=dl_bc,
+                                restrict=doc_filter is not None)
              for qid, qm in qmetas.items()}
     tids_by_qid = {qid: {m["term_id"] for m in qm}
                    for qid, qm in qmetas.items()}
@@ -921,7 +927,7 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
         return pd.concat(outs, ignore_index=True)[
             ["query_id", "doc_id", "score"]]
 
-    if index.doc_len_broadcast() is not None:
+    if dl_bc is not None:
         local = (qpost.groupBy("partition_id")
                  .applyInPandas(lambda pdf: run_all(pdf), out_schema))
     else:
@@ -931,6 +937,11 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
             return spark.createDataFrame([], out_schema)
         qdocs = (index.docs.filter(F.col("partition_id").isin(shards))
                  .select("partition_id", "doc_id", "doc_len"))
+        if doc_filter is not None:
+            qdocs = (index.docs
+                     .filter(F.col("partition_id").isin(shards))
+                     .filter(F.expr(doc_filter))
+                     .select("partition_id", "doc_id", "doc_len"))
         local = (qpost.groupBy("partition_id")
                  .cogroup(qdocs.groupBy("partition_id"))
                  .applyInPandas(lambda lt, rt: run_all(lt, rt),

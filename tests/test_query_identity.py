@@ -375,3 +375,22 @@ def test_filtered_search(spark, index_small, token_table):
         search(idx, q, k, "taat", doc_filter=pred)
     with pytest.raises(ValueError, match="local"):
         search(idx, q, k, "wand", local=True, doc_filter=pred)
+
+
+def test_batch_search_doc_filter(spark, index_small):
+    """batch_search(doc_filter=) == per-query filtered search for every
+    query in the set."""
+    from irkit_spark.operators.query import batch_search
+    idx, _ = index_small
+    pred = "doc_id % 3 = 0"
+    qs = {"qa": "term00000 term00003", "qb": "term00001 term00010"}
+    got = {}
+    for r in batch_search(idx, qs, 5, "wand",
+                          doc_filter=pred).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"],
+                                                  r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                search(idx, q, 5, "wand", doc_filter=pred).collect()]
+        assert got.get(qid, []) == want, qid
+        assert all(d % 3 == 0 for d, _ in want)
