@@ -32,8 +32,8 @@ def test_quantized_paths_identical(spark, q_indexes, q):
     assert qi.quantized
     res = {m: [(r["doc_id"], r["score"])
                for r in search(qi, q, 10, m).collect()]
-           for m in ("taat", "daat", "wand")}
-    assert res["daat"] == res["wand"]
+           for m in ("taat", "daat", "wand", "maxscore")}
+    assert res["daat"] == res["wand"] == res["maxscore"]
     assert [d for d, _ in res["taat"]] == [d for d, _ in res["daat"]]
 
 
