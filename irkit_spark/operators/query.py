@@ -408,6 +408,13 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             dl_arr[d_ids] = docs_pdf["doc_len"].to_numpy()
         valid = None
         if restrict:
+            if dl_bc is not None:
+                # the predicate is evaluated on the cogrouped docs
+                # side; a broadcast-dl caller has no docs side to
+                # restrict by — fail loudly instead of NameError
+                raise ValueError(
+                    "restrict=True requires the cogrouped docs path "
+                    "(dl_bc must be None)")
             valid = np.zeros(docs_per_shard, dtype=bool)
             valid[d_ids] = True
         term_rows: dict[int, list] = {}
@@ -935,13 +942,10 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
                   qpost.select("partition_id").distinct().collect()]
         if not shards:
             return spark.createDataFrame([], out_schema)
-        qdocs = (index.docs.filter(F.col("partition_id").isin(shards))
-                 .select("partition_id", "doc_id", "doc_len"))
+        qdocs = index.docs.filter(F.col("partition_id").isin(shards))
         if doc_filter is not None:
-            qdocs = (index.docs
-                     .filter(F.col("partition_id").isin(shards))
-                     .filter(F.expr(doc_filter))
-                     .select("partition_id", "doc_id", "doc_len"))
+            qdocs = qdocs.filter(F.expr(doc_filter))
+        qdocs = qdocs.select("partition_id", "doc_id", "doc_len")
         local = (qpost.groupBy("partition_id")
                  .cogroup(qdocs.groupBy("partition_id"))
                  .applyInPandas(lambda lt, rt: run_all(lt, rt),

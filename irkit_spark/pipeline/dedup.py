@@ -23,42 +23,37 @@ N_BANDS = 16            # 16 bands x 8 rows
 ROWS_PER_BAND = N_PERM // N_BANDS
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.default_rng(42)
+# these draws are retired (the pre-round-4 61-bit permutation
+# constants) but MUST stay: they position the shared _rng stream so the
+# frozen _MH_A/_MH_B values below stay frozen
 _A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
-# FROZEN hashes, two tiers (re-frozen round 4):
-#  - MinHash tier (token -> shingle -> signature -> band key): PORTABLE
-#    31-bit Karp-Rabin arithmetic — polynomial over Unicode code points
-#    base 257 mod the Mersenne prime 2^31-1 for tokens, base-263 window
-#    fold for shingles, universal-hash permutations (a*h+b) mod 2^31-1,
-#    and a double band fold packed to 62 bits. Every intermediate fits
-#    a signed 64-bit integer, so the DuckDB oracle in __spark_entry__
-#    reproduces the whole LSH pipeline bit-for-bit. 31-bit shingle
-#    hashes add ~n^2/2^31 per-doc collision mass to the exact-Jaccard
-#    verify — ~1e-2 for a 10^4-shingle doc, well under the verify
-#    threshold's resolution.
-#  - SimHash tier keeps the 64-bit vectorized siphash
-#    (pd.util.hash_array): simhash needs 64 independent bit planes per
-#    token, which a 31-bit hash cannot supply.
-_SH_P = np.uint64(0x9E3779B97F4A7C15)
+# FROZEN hashes (re-frozen round 4): ALL text-dedup tiers — MinHash
+# (token -> shingle -> signature -> band key) AND SimHash (62 bit
+# planes via _kr_token_hashes62) — run on PORTABLE 31-bit Karp-Rabin
+# arithmetic: polynomial over Unicode code points base 257 mod the
+# Mersenne prime 2^31-1 for tokens, base-263 window fold for shingles,
+# universal-hash permutations (a*h+b) mod 2^31-1, double folds packed
+# to 62 bits. Every intermediate fits a signed 64-bit integer, so the
+# DuckDB oracles in __spark_entry__ reproduce every pipeline
+# bit-for-bit. 31-bit shingle hashes add ~n^2/2^31 per-doc collision
+# mass to the exact-Jaccard verify — ~1e-2 for a 10^4-shingle doc,
+# well under the verify threshold's resolution.
 _KR_P = 2147483647              # 2^31 - 1
 _KR_B1, _KR_B2 = 257, 263
 _MH_A = _rng.integers(1, _KR_P, size=N_PERM, dtype=np.int64)
 _MH_B = _rng.integers(0, _KR_P, size=N_PERM, dtype=np.int64)
 
 
-def _hash_tokens(flat: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit token hash (frozen; SimHash tier)."""
-    if flat.size == 0:
-        return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(flat).astype(np.uint64, copy=False)
-
-
 def _kr_token_hashes(flat: np.ndarray, base: int = _KR_B1) -> np.ndarray:
-    """Portable 31-bit Karp-Rabin token hash (MinHash/SimHash tiers;
-    see module constants). Vectorized: one utf-32 buffer for the whole
-    batch, then a char-position sweep with a shrinking active mask — no
-    per-token Python work beyond the join/length pass."""
+    """Portable 31-bit Karp-Rabin token hash (see module constants).
+    Vectorized in O(total chars): tokens are processed in length-sorted
+    order, so the active set at char position j is a contiguous SUFFIX
+    of the sorted batch — no per-position rescan of the whole batch (a
+    single 50k-char blob token in a 200k-token batch would otherwise
+    turn the position sweep into max_len full-batch mask passes,
+    measured ~100x slower)."""
     if flat.size == 0:
         return np.empty(0, dtype=np.int64)
     lens = np.fromiter((len(t) for t in flat), dtype=np.int64,
@@ -66,11 +61,17 @@ def _kr_token_hashes(flat: np.ndarray, base: int = _KR_B1) -> np.ndarray:
     codes = np.frombuffer("".join(flat).encode("utf-32-le"),
                           dtype=np.uint32).astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    sstarts = starts[order]
     acc = np.zeros(flat.size, dtype=np.int64)
-    for j in range(int(lens.max())):
-        m = lens > j
-        acc[m] = (acc[m] * base + codes[starts[m] + j]) % _KR_P
-    return acc
+    for j in range(int(slens[-1]) if slens.size else 0):
+        lo = int(np.searchsorted(slens, j, side="right"))
+        idx = sstarts[lo:] + j
+        acc[lo:] = (acc[lo:] * base + codes[idx]) % _KR_P
+    out = np.empty_like(acc)
+    out[order] = acc
+    return out
 
 
 def _kr_token_hashes62(flat: np.ndarray) -> np.ndarray:
@@ -93,31 +94,13 @@ def _poly_windows_mod(th: np.ndarray, n: int,
                       base: int = _KR_B2) -> np.ndarray:
     """Portable length-n window fold of 31-bit hashes:
     acc = (acc*base + h) mod 2^31-1 over each window (docs shorter than
-    n fold as one window of their full length, like _poly_windows)."""
+    n fold as one window of their full length)."""
     m = th.size
     w = min(n, m)
     nw = m - w + 1
     out = np.zeros(nw, dtype=np.int64)
     for k in range(w):
         out = (out * base + th[k:k + nw]) % _KR_P
-    return out
-
-
-def _poly_windows(th: np.ndarray, n: int) -> np.ndarray:
-    """Hashes of all length-n windows of th: sum_k th[k+i] * P^(n-1-k)
-    (uint64 wraparound). A doc shorter than n folds as one window of
-    its full length."""
-    m = th.size
-    w = min(n, m)
-    with np.errstate(over="ignore"):    # uint64 wraparound is the point
-        pw = np.empty(w, dtype=np.uint64)
-        pw[-1] = np.uint64(1)
-        for i in range(w - 2, -1, -1):
-            pw[i] = pw[i + 1] * _SH_P
-        nw = m - w + 1
-        out = np.zeros(nw, dtype=np.uint64)
-        for k in range(w):
-            out += th[k:k + nw] * pw[k]
     return out
 
 
@@ -432,7 +415,7 @@ def simhash64(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
         import re
         token = re.compile(TOKEN_RE)
         b62 = np.arange(N_SIMHASH_BITS, dtype=np.int64)
-        chunk = 3000          # bounds the (rows x 64) int32 workspace
+        chunk = 3000          # bounds the (rows x bits) int32 workspace
         for pdf in batches:
             out_h = np.zeros(len(pdf), dtype=np.int64)
             texts = pdf["text"]
@@ -495,7 +478,7 @@ def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 4,
     Manku-style block-permutation keying (the public simhash paper's
     table scheme) instead of single-chunk pigeonhole buckets.
 
-    Split the 64 bits into m = n_blocks blocks. A pair within hamming
+    Split the N_SIMHASH_BITS (62) bits into m = n_blocks blocks. A pair within hamming
     k differs in at most k blocks, so it matches on at least m-k
     unchanged blocks; for EVERY (m-k)-subset of blocks we build one
     candidate table keyed on that subset's concatenation. Completeness:
@@ -503,8 +486,8 @@ def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 4,
     one key subset, so the pair collides in that table.
 
     vs the chunk scheme (simhash_pairs): same exact output at the same
-    k, but the candidate key is (m-k)/m * 64 bits wide instead of
-    64/(k+1) bits, so per-bucket candidate joins stay tiny at 10^9
+    k, but the candidate key is (m-k)/m * 62 bits wide instead of
+    62/(k+1) bits, so per-bucket candidate joins stay tiny at 10^9
     docs. Cost: C(m, m-k) tables — a LINEAR row fan-out (each doc emits
     one row per table), never a quadratic bucket join.
 
@@ -512,7 +495,7 @@ def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 4,
       k=4, m=8  ->  C(8,4) = 70 tables, 32-bit keys   (default)
       k=6, m=10 -> C(10,4) = 210 tables, ~25-bit keys (opt-in)
     The fan-out grows combinatorially with k while near-dup recall
-    gains past hamming 4 are marginal for 64-bit simhashes (Manku's
+    gains past hamming 4 are marginal at this hash width (Manku's
     production setting is k=3 on similar hash widths); callers that
     need the k=6 contract pass max_hamming=6 explicitly and pay the 3x
     fan-out. n_blocks defaults to max_hamming + 4 (keeps keys >= 24
@@ -565,7 +548,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     """(doc_a, doc_b, hamming): near-dup pairs via chunk-bucketed
     candidate join + exact hamming verify.
 
-    Completeness: with c chunks of 64 bits, any pair within hamming
+    Completeness: with c chunks of the 62 bits, any pair within hamming
     c-1 shares at least one unchanged chunk (pigeonhole), so
     n_chunks defaults to max_hamming + 1 — every qualifying pair is
     guaranteed to surface as a candidate. (4 fixed chunks would
