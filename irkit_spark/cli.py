@@ -61,8 +61,11 @@ def cmd_query(args):
     spark = _session("irkit-query")
     idx = Index(spark, args.index)
     local = {"auto": None, "on": True, "off": False}[args.local]
+    if args.doc_filter and args.local == "auto":
+        local = False           # filtered retrieval runs distributed
     rows = search(idx, args.query, k=args.k, mode=args.mode,
-                  scorer=args.scorer, local=local).collect()
+                  scorer=args.scorer, local=local,
+                  doc_filter=args.doc_filter or None).collect()
     for rank, r in enumerate(rows, 1):
         # TREC-ish run output (SURVEY.md O3 [pub:tools/irk-query.cpp])
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
@@ -123,6 +126,10 @@ def main(argv=None):
                    choices=["taat", "daat", "wand", "maxscore", "and"])
     q.add_argument("--scorer", default="bm25", choices=["bm25", "ql"])
     q.add_argument("--qid", default="0")
+    q.add_argument("--doc-filter", default=None, dest="doc_filter",
+                   help="SQL predicate over the docs table (doc_id, "
+                        "url, doc_len, partition_id): top-k within "
+                        "the passing doc slice, global scoring stats")
     q.add_argument("--local", default="auto",
                    choices=["auto", "on", "off"],
                    help="driver-side serving kernel: auto gates on "
