@@ -83,9 +83,17 @@ def main():
     # quiet-host window on BOTH legs
     pair_repeats = int(os.environ.get("IRKIT_BENCH_PAIR_REPEATS",
                                       str(repeats + 1)))
+    # wall budget: under heavy neighbor load every leg runs 1.5-4x
+    # slow, and 3 repeats of everything could stretch past 45 min —
+    # shed EXTRA repeats (never the first pair / first extras sweep)
+    # once the elapsed build-phase wall passes the budget. A quiet full
+    # run is ~24 min, well inside the default.
+    budget = float(os.environ.get("IRKIT_BENCH_BUDGET_SEC", "2100"))
     best: dict[int, dict] = {}
     per_rep: list[dict[int, dict]] = []
     for rep in range(pair_repeats):
+        if rep and time.monotonic() - t_start > budget * 0.5:
+            break
         levels = (N_CORES, N4_CORES) if rep % 2 == 0 \
             else (N4_CORES, N_CORES)
         this: dict[int, dict] = {}
@@ -102,6 +110,8 @@ def main():
     # window where BOTH 32-core reps ran 3.9x slow — a third chance is
     # cheap insurance); other extras run once
     for rep in range(pair_repeats):
+        if rep and time.monotonic() - t_start > budget:
+            break
         for cores in (EXTRA_CORES if rep == 0
                       else [c for c in EXTRA_CORES if c in (8, 32)]):
             if cores in (N_CORES, N4_CORES):
