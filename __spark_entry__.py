@@ -317,10 +317,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by pytest (test_simhash_blocked_matches_chunked).
         return dd.simhash_pairs_blocked(_docs(spark, sf))
 
-    # --- rows-only entries: the embedding ops below are float-order
-    # arithmetic (random-projection dots, cosine partial sums) that no
-    # SQL engine reproduces bit-for-bit; each has a recall/parity
-    # pytest oracle instead ------------------------------------------
+    # --- embedding tier: FULLY ORACLED since round 5 — candidate
+    # selection (quantization, integer hyperplane signatures,
+    # fixed-point k-means IVF) is exact integer/floor arithmetic and
+    # the cosine rerank is an ordered fold, so the DuckDB oracles
+    # (_lsh_ann_sql/_ivf_ann_sql/_lsh_pairs_sql/_dedup_embedding_sql)
+    # reproduce every row bit-for-bit; recall-vs-bruteforce quality is
+    # additionally pytest-pinned --------------------------------------
     def q_lsh_ann(spark, sf):
         emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
         return sim.lsh_topk(emb, _query_vec(spark, sf), 10)
@@ -330,21 +333,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ivf_topk(emb, _query_vec(spark, sf), 10)
 
     def q_lsh_cosine_pairs(spark, sf):
-        # banded-LSH blocked near-dup pairs (approximate recall ->
-        # rows-only; every returned cos is exact by construction).
         # 0.45 because the synthetic embeddings top out at cos ~0.51
         return sim.lsh_cosine_pairs(_emb(spark, sf), 0.45)
 
     def q_dedup_embedding(spark, sf):
         # applied embedding-cosine near-dup dedup: banded-LSH pairs ->
-        # connected components -> keep min vec_id. Rows-only (CC is
-        # iterative); transitivity + planted-dup pytest pins behavior.
-        # 0.45: see q_lsh_cosine_pairs
+        # connected components -> keep min vec_id. Oracle closes the
+        # pair set with a recursive CTE. 0.45: see q_lsh_cosine_pairs
         return sim.dedup_embedding_keep_first(_emb(spark, sf), 0.45) \
             .select("vec_id").orderBy("vec_id")
 
     def q_ann_index(spark, sf):
-        # persisted ANN index: partition-pruned cluster scan
+        # persisted ANN index: partition-pruned cluster scan; same
+        # oracle as ivf_ann_top10 (the index materializes the same
+        # portable assignment)
         out = os.path.join(tempfile.gettempdir(),
                            "irkit_entry_ann_" +
                            sf.strip("/").replace("/", "_"))
@@ -698,6 +700,183 @@ WHERE bit_count(xor(a.h, b.h)) <= {k}
 ORDER BY doc_a, doc_b"""
 
 
+# ---- portable embedding-tier oracles (round 5) -------------------------
+# The candidate-selection math in pipeline/similarity.py is integer /
+# floor arithmetic by design (floor-quantized vectors, integer
+# hyperplanes, fixed-point k-means), so these CTEs reproduce every
+# signature bit, cluster assignment and probe choice exactly; the final
+# cosine re-score reuses _COS_DOUBLE (ordered left fold — already
+# proven bit-identical between F.aggregate and DuckDB's list fold).
+
+
+def _emb_sig_ctes() -> str:
+    """CTE chain qe -> dots -> sig: quantized vectors, exact integer
+    hyperplane projections (plane coeff(j,i) = ((h1^2+h2) mod p) mod
+    1025 - 512 with affine h over u = j*4096+i), packed 32-bit
+    signatures — identical arithmetic to similarity._int_planes /
+    _sig_of."""
+    from irkit_spark.pipeline.similarity import (N_PLANES, _P31, _PA1,
+                                                 _PA2, _PB1, _PB2,
+                                                 _PLANE_STRIDE, _QSCALE)
+    u = f"(j*{_PLANE_STRIDE} + i - 1)"
+    h1 = f"(({_PA1}*{u} + {_PB1}) % {_P31})"
+    h2 = f"(({_PA2}*{u} + {_PB2}) % {_P31})"
+    coeff = f"((({h1}*{h1} + {h2}) % {_P31}) % 1025 - 512)"
+    return f"""qe AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}.0) AS BIGINT)) AS q
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, CAST(j AS INT) AS j,
+    list_aggregate(list_transform(range(1, len(q)+1), i ->
+      q[CAST(i AS INT)] * {coeff}), 'sum') AS dot
+  FROM qe, range(0, {N_PLANES}) t(j)),
+sig AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN dot >= 0
+             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s
+  FROM dots GROUP BY vec_id)"""
+
+
+def _lsh_ann_sql(k: int = 10, probe_hamming: int = 10) -> str:
+    """Oracle for lsh_ann_top10: candidates = signatures within
+    `probe_hamming` bits of the query's (vec_id 0), exact-cosine
+    rerank — similarity.lsh_topk bit-for-bit."""
+    cosq = _COS_DOUBLE.format(a="a.embedding", b="q.e")
+    return f"""
+WITH {_emb_sig_ctes()},
+qs AS (SELECT s AS qsig FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id FROM sig, qs
+  WHERE vec_id <> 0 AND bit_count(xor(s, qsig)) <= {probe_hamming}),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id, round({cosq}, 6) AS cos
+FROM embeddings a JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY cos DESC, a.vec_id LIMIT {k}"""
+
+
+def _emb_pair_ctes(threshold: float, band_bits: int = 4) -> str:
+    """bnd -> cand -> pv: banded signature blocking keys, candidate
+    equi-join on (band, bsig), exact-cosine verify >= threshold —
+    similarity.lsh_cosine_pairs bit-for-bit."""
+    cosab = _COS_DOUBLE.format(a="a.embedding", b="b.embedding")
+    return f"""{_emb_sig_ctes()},
+bnd AS (
+  SELECT vec_id, CAST(j // {band_bits} AS INT) AS band,
+    CAST(sum(CASE WHEN dot >= 0
+             THEN (CAST(1 AS BIGINT) << (j % {band_bits}))
+             ELSE 0 END) AS BIGINT) AS bsig
+  FROM dots GROUP BY 1, 2),
+cand AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bnd l JOIN bnd r
+    ON l.band = r.band AND l.bsig = r.bsig AND l.vec_id < r.vec_id
+  GROUP BY 1, 2),
+pv AS (
+  SELECT c.vec_a, c.vec_b, round({cosab}, 6) AS cos
+  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a
+              JOIN embeddings b ON b.vec_id = c.vec_b
+  WHERE round({cosab}, 6) >= {threshold})"""
+
+
+def _lsh_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH {_emb_pair_ctes(threshold)}
+SELECT vec_a, vec_b, cos FROM pv ORDER BY vec_a, vec_b"""
+
+
+def _dedup_embedding_sql(threshold: float) -> str:
+    """Oracle for the APPLIED embedding dedup: banded-LSH pair set ->
+    connected components via a recursive transitive-closure CTE ->
+    drop every vec that can reach a smaller vec_id (same pattern as
+    _dedup_near_sql)."""
+    return f"""
+WITH RECURSIVE {_emb_pair_ctes(threshold)},
+e AS (SELECT vec_a AS src, vec_b AS dst FROM pv
+      UNION ALL SELECT vec_b, vec_a FROM pv),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+losers AS (
+  SELECT src AS vec_id FROM reach GROUP BY src HAVING min(dst) < src)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+ORDER BY vec_id"""
+
+
+def _ivf_ann_sql(k: int = 10, n_clusters: int = 16,
+                 n_probe: int = 4) -> str:
+    """Oracle for ivf_ann_top10 AND ann_index_top10 (the persisted
+    index materializes the identical assignment): fixed-point k-means
+    — hash-ordered bounded sample, seeds = first n_clusters, then
+    _IVF_ITERS Lloyd rounds of integer-L2 argmin assignment +
+    floor(sum/count) centroid update — then full integer assignment,
+    n_probe nearest cells to the quantized query, exact-cosine rerank.
+    Reproduces similarity.train_centroids_q / ivf_assign /
+    _probe_clusters bit-for-bit (floor(CAST(sum AS DOUBLE)/cnt) is
+    exact: |sum| <= n_train*2^21 << 2^53)."""
+    from irkit_spark.pipeline.similarity import (_IVF_ITERS, _IVF_TRAIN,
+                                                 _MA, _MB, _P31, _QSCALE)
+    d2 = ("list_aggregate(list_transform(list_zip({a}, {b}), "
+          "x -> (x[1]-x[2])*(x[1]-x[2])), 'sum')")
+    cosq = _COS_DOUBLE.format(a="a.embedding", b="q.e")
+    lloyd = []
+    for t in range(1, _IVF_ITERS + 1):
+        prev = f"cent{t-1}"
+        lloyd.append(f"""a{t} AS (
+  SELECT s.rn, s.q, c.cluster,
+    row_number() OVER (PARTITION BY s.rn
+      ORDER BY {d2.format(a='s.q', b='c.q')}, c.cluster) AS rnk
+  FROM samp s CROSS JOIN {prev} c),
+u{t} AS (
+  SELECT cluster, i,
+    CAST(floor(CAST(sum(q[CAST(i AS INT)]) AS DOUBLE) / count(*))
+         AS BIGINT) AS v
+  FROM a{t}, range(1, 4097) t(i)
+  WHERE rnk = 1 AND i <= (SELECT max(len(embedding)) FROM embeddings)
+  GROUP BY cluster, i),
+cent{t} AS (
+  SELECT c.cluster, coalesce(u.nq, c.q) AS q
+  FROM {prev} c LEFT JOIN
+    (SELECT cluster, list(v ORDER BY i) AS nq
+     FROM u{t} GROUP BY cluster) u USING (cluster))""")
+    last = f"cent{_IVF_ITERS}"
+    return f"""
+WITH qe AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}.0) AS BIGINT)) AS q
+  FROM embeddings),
+samp AS (
+  SELECT vec_id, q,
+    row_number() OVER (
+      ORDER BY ({_MA}*(vec_id+1) + {_MB}) % {_P31}, vec_id) AS rn
+  FROM qe WHERE vec_id <> 0
+  QUALIFY rn <= {_IVF_TRAIN}),
+cent0 AS (SELECT CAST(rn - 1 AS INT) AS cluster, q
+          FROM samp WHERE rn <= {n_clusters}),
+{','.join(lloyd)},
+assign AS (
+  SELECT e.vec_id, c.cluster,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {d2.format(a='e.q', b='c.q')}, c.cluster) AS rnk
+  FROM qe e CROSS JOIN {last} c WHERE e.vec_id <> 0),
+qprobe AS (
+  SELECT c.cluster,
+    row_number() OVER (
+      ORDER BY {d2.format(a='qq.q', b='c.q')}, c.cluster) AS rnk
+  FROM {last} c, (SELECT q FROM qe WHERE vec_id = 0) qq),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN qprobe p ON a.cluster = p.cluster
+  WHERE a.rnk = 1 AND p.rnk <= {n_probe}),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id, round({cosq}, 6) AS cos
+FROM embeddings a JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY cos DESC, a.vec_id LIMIT {k}"""
+
+
 def _hxb(i: int) -> str:
     """DuckDB expr for byte i (0-based) of the md5 hex string `hx` —
     lets the oracle reproduce multimodal._fake_decode exactly."""
@@ -873,6 +1052,11 @@ FROM wmin ORDER BY doc_id, fp""",
         "dedup_near_keep_first": _dedup_near_sql(0.5),
         "simhash_pairs": _simhash_sql(6),
         "simhash_pairs_blocked": _simhash_sql(4),
+        "lsh_ann_top10": _lsh_ann_sql(),
+        "ivf_ann_top10": _ivf_ann_sql(),
+        "ann_index_top10": _ivf_ann_sql(),
+        "lsh_cosine_pairs": _lsh_pairs_sql(0.45),
+        "dedup_embedding_keep_first": _dedup_embedding_sql(0.45),
         "ann_cosine_top10": f"""
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
 SELECT a.vec_id, round({cosq}, 6) AS cos

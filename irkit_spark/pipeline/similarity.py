@@ -1,11 +1,41 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k (the oracle-checkable baseline) stays fully
-JVM-side via zip_with/aggregate in double precision. The scale path is
-random-hyperplane LSH: signature via one matmul in a pandas UDF,
-candidates from a bucket groupBy (shuffle bounded by #buckets), exact
-re-scoring of candidates only — the IVF/LSH shape that survives 10^9+
-vectors where brute force can't.
+JVM-side via zip_with/aggregate in double precision. The scale paths —
+random-hyperplane LSH and IVF — generate candidates from an equi-join
+on a blocking key (bucket / cluster id), then exact-rescore only the
+candidates: the shape that survives 10^9+ vectors where brute force
+can't.
+
+PORTABLE-ARITHMETIC DESIGN (round 5): every candidate-selection step
+runs on integers so a SQL engine (the DuckDB oracles in
+__spark_entry__) reproduces it bit-for-bit — the embedding analog of
+the text tier's 31-bit Karp-Rabin rework (pipeline/dedup.py):
+
+  * vectors are quantized qx[i] = floor(float64(x[i]) * 2^20): float32
+    -> float64 is exact, *2^20 is an exponent shift (exact), floor is
+    exact — so numpy and SQL agree on every component;
+  * LSH hyperplanes are deterministic integer coefficients in
+    [-512, 512] derived per (plane j, dim i) from two 31-bit affine
+    hashes pushed through the squaring mix ((h1*h1 + h2) mod p, p =
+    2^31-1) — the same nonlinearity the simhash planes use (raw affine
+    sequences in i are linear and would correlate adjacent dims);
+  * signature bits are signs of EXACT int64 dot products (|q|<=2^20,
+    |coeff|<=2^9, so dim<=2^33 before overflow);
+  * the IVF coarse quantizer is FIXED-POINT k-means: a deterministic
+    hash-ordered bounded sample (the n_train rows with the smallest
+    (a*(vec_id+1)+b) mod p — a distributed top-k, never .limit()),
+    seeds = the first n_clusters of those, then _IVF_ITERS Lloyd
+    rounds where assignment is exact integer L2 argmin (ties ->
+    lowest cluster id) and the centroid update is element-wise
+    floor(sum/count) — all integer/floor arithmetic a SQL engine
+    replays exactly (the oracle uses floor(CAST(sum AS DOUBLE)/cnt),
+    exact because |sum| <= n_train*2^21 << 2^53). Corpus assignment
+    stays distributed; only the bounded sample visits the driver.
+
+Exact cosine re-scoring stays in float doubles — it is portable
+anyway, because both Spark's F.aggregate and DuckDB's list folds sum
+the array elements in the same left-to-right order.
 """
 
 from __future__ import annotations
@@ -15,13 +45,44 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_PLANES = 16           # 16-bit LSH signature
-_PLANE_SEED = 42
+N_PLANES = 32           # 32-bit LSH signature (8 bands x 4 bits: a
+                        # cos-0.8 pair misses all 8 bands with prob
+                        # ~0.6^8 ~= 2%, vs 13% at 4 bands of 16 bits)
+_QSCALE = 1 << 20       # fixed-point quantization: floor(x * 2^20)
+_PLANE_STRIDE = 4096    # plane coeff index u = j*stride + i (dim < 4096)
+_P31 = 2147483647       # 2^31 - 1 (Mersenne; all products < 2^63)
+# affine constants for the two plane hash streams and the sample order
+_PA1, _PB1 = 1103515245, 12345
+_PA2, _PB2 = 1000003, 826366247
+_MA, _MB = 1229, 48271
+_IVF_TRAIN = 4096       # bounded quantizer-training sample size
+_IVF_ITERS = 5          # fixed-point Lloyd rounds (frozen: oracle CTEs)
 
 
-def _planes(dim: int) -> np.ndarray:
-    rng = np.random.default_rng(_PLANE_SEED)
-    return rng.standard_normal((dim, N_PLANES))
+def quantize(m: np.ndarray) -> np.ndarray:
+    """floor(float64(x) * 2^20) -> int64; exact and SQL-reproducible
+    (see module docstring)."""
+    return np.floor(m.astype(np.float64) * _QSCALE).astype(np.int64)
+
+
+def _int_planes(dim: int) -> np.ndarray:
+    """(dim, N_PLANES) int64 hyperplane coefficients in [-512, 512]:
+    coeff(j,i) = ((h1^2 + h2) mod p) mod 1025 - 512 with
+    h{1,2} = (a*(j*4096+i) + b) mod p. Deterministic, dim-independent
+    per index, every intermediate < 2^63."""
+    j = np.arange(N_PLANES, dtype=np.int64)[None, :]
+    i = np.arange(dim, dtype=np.int64)[:, None]
+    u = j * _PLANE_STRIDE + i
+    h1 = (_PA1 * u + _PB1) % _P31
+    h2 = (_PA2 * u + _PB2) % _P31
+    return ((h1 * h1 + h2) % _P31) % 1025 - 512
+
+
+def _sig_of(mq: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack sign bits of the exact integer projections: bit j set iff
+    qx . plane_j >= 0."""
+    bits = (mq @ planes >= 0).astype(np.int64)
+    return (bits << np.arange(N_PLANES)).sum(axis=1)
 
 
 def _cos_expr(vec_col, qlit):
@@ -51,36 +112,45 @@ def cosine_topk(emb: DataFrame, query_vec, k: int = 10,
 
 def lsh_signatures(emb: DataFrame, dim: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, sig): sign-of-projection 16-bit bucket id."""
-    planes = _planes(dim)
+    """(vec_id, sig): sign-of-integer-projection 16-bit bucket id
+    (portable — see module docstring)."""
+    planes = _int_planes(dim)
 
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                                    "sig": pd.Series([], dtype="int32")})
+                                    "sig": pd.Series([], dtype="int64")})
                 continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            proj = m @ planes
-            bits = (proj > 0).astype(np.int64)
-            sig = (bits << np.arange(N_PLANES)).sum(axis=1)
+            mq = quantize(np.stack(pdf[vec_col].to_numpy()))
             yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"),
-                                "sig": sig.astype("int32")})
+                                "sig": _sig_of(mq, planes).astype("int64")})
 
     return emb.select(id_col, vec_col).mapInPandas(
-        run, "vec_id long, sig int")
+        run, "vec_id long, sig long")
+
+
+def query_signature(query_vec) -> int:
+    """The portable 16-bit signature of a driver-side query vector."""
+    q = np.asarray(query_vec)
+    return int(_sig_of(quantize(q)[None, :], _int_planes(q.size))[0])
 
 
 def lsh_topk(emb: DataFrame, query_vec, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             probe_hamming: int = 5, round_dp: int = 6) -> DataFrame:
+             probe_hamming: int = 10, round_dp: int = 6) -> DataFrame:
     """ANN top-k: multi-probe LSH — score only vectors whose signature
-    is within `probe_hamming` bits of the query's. Approximate (recall
-    tested against brute force in tests/test_pipeline.py)."""
+    is within `probe_hamming` bits of the query's. Candidate recall is
+    pytest-pinned vs brute force AND the whole path (integer
+    signatures + ordered-fold cosine) is exactly reproduced by the
+    DuckDB oracle.
+
+    Exploration form: recomputes signatures per call (one corpus
+    scan). For repeated serving build a persisted index once
+    (build_ann_index) and query it with ann_index_topk — that path
+    scans only the probed cluster partitions."""
+    qsig = query_signature(query_vec)
     q = np.asarray(query_vec, dtype=np.float64)
-    planes = _planes(q.size)
-    qsig = int(((q @ planes > 0).astype(np.int64)
-                << np.arange(N_PLANES)).sum())
     sig = lsh_signatures(emb, q.size, id_col, vec_col)
     ham = F.bit_count(
         F.col("sig").cast("long").bitwiseXOR(F.lit(qsig).cast("long")))
@@ -97,15 +167,16 @@ def lsh_topk(emb: DataFrame, query_vec, k: int = 10,
 def kmeans_centroids(emb: DataFrame, n_clusters: int = 16,
                      sample: int = 4096, iters: int = 10,
                      vec_col: str = "embedding") -> np.ndarray:
-    """Seeded driver-side k-means on a bounded sample — the IVF coarse
-    quantizer. At 10^9+ vectors the sample stays bounded and assignment
-    below stays distributed; only centroids live on the driver.
+    """Seeded driver-side k-means on a bounded sample — the OPT-IN
+    float coarse quantizer (pass its result as `centroids=` to
+    ivf_topk). The default/oracled IVF path uses fixed-point k-means
+    instead (train_centroids_q): portable integer arithmetic. At 10^9+ vectors the sample stays bounded and
+    assignment stays distributed; only centroids live on the driver.
 
-    The sample is drawn ACROSS partitions (seeded hash of vec_id /
-    deterministic per-partition Bernoulli), never `.limit()` — a limit
-    short-circuits to the first partitions, so at corpus scale the
-    centroids would be trained on whatever corner of the data sorts
-    first."""
+    The sample is drawn ACROSS partitions (seeded Bernoulli), never
+    `.limit()` — a limit short-circuits to the first partitions, so at
+    corpus scale the centroids would be trained on whatever corner of
+    the data sorts first."""
     total = emb.count()
     if total > sample:
         # Bernoulli-sample ~1.5x the target across ALL partitions, then
@@ -133,11 +204,83 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 16,
     return cent
 
 
-def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+def train_centroids_q(emb: DataFrame, n_clusters: int = 16,
+                      n_train: int = _IVF_TRAIN, iters: int = _IVF_ITERS,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> np.ndarray:
+    """The portable IVF coarse quantizer: fixed-point k-means on a
+    deterministic hash-ordered sample (see module docstring). Returns
+    the (n_clusters, dim) int64 centroid matrix.
+
+    Scale shape: the sample selection is a distributed top-k (no full
+    sort, no .limit() first-partitions bias — the hash order is a
+    property of the rows, not the partitioning), and only n_train rows
+    ever reach the driver; Lloyd runs on that bounded sample."""
+    mh = (F.lit(_MA) * (F.col(id_col) + F.lit(1)) + F.lit(_MB)) % F.lit(_P31)
+    rows = (emb.select(F.col(id_col).alias("vec_id"), vec_col)
+            .withColumn("__mh", mh)
+            .orderBy("__mh", "vec_id")
+            .limit(n_train)
+            .collect())
+    rows.sort(key=lambda r: (r["__mh"], r["vec_id"]))
+    sample_q = quantize(np.array([r[vec_col] for r in rows]))
+    med = sample_q[:n_clusters].copy()
+    for _ in range(iters):
+        a = np.argmin(_int_l2(sample_q, med), axis=1)  # ties -> lowest
+        for c in range(len(med)):
+            msk = a == c
+            if msk.any():
+                # element-wise floor(sum/count) — int64 // floors,
+                # matching the oracle's floor(CAST(sum AS DOUBLE)/cnt)
+                med[c] = sample_q[msk].sum(axis=0) // int(msk.sum())
+    return med
+
+
+def _int_l2(mq: np.ndarray, med: np.ndarray) -> np.ndarray:
+    """Exact int64 squared-L2 distance matrix (n, k): components
+    <= 2^21, squares <= 2^42, dim-sums < 2^63 for dim <= 2^20."""
+    x2 = (mq * mq).sum(axis=1)
+    c2 = (med * med).sum(axis=1)
+    return x2[:, None] - 2 * (mq @ med.T) + c2[None, :]
+
+
+def ivf_assign(emb: DataFrame, medoids_q: np.ndarray,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, cluster): distributed nearest-centroid assignment —
-    one matmul per Arrow batch."""
+    """(vec_id, cluster): distributed nearest-medoid assignment by
+    EXACT integer L2 (ties -> lowest cluster id) — one integer matmul
+    per Arrow batch, bit-reproducible in SQL."""
+    med = np.asarray(medoids_q, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "cluster": pd.Series([], dtype="int32")})
+                continue
+            mq = quantize(np.stack(pdf[vec_col].to_numpy()))
+            assign = np.argmin(_int_l2(mq, med), axis=1)  # ties -> lowest
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64"),
+                "cluster": assign.astype("int32")})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, "vec_id long, cluster int")
+
+
+def _probe_clusters(query_vec, medoids_q: np.ndarray,
+                    n_probe: int) -> list[int]:
+    """n_probe clusters by smallest exact integer L2 to the quantized
+    query, ties -> lowest cluster id (lexsort on (dist, cluster))."""
+    qd = _int_l2(quantize(np.asarray(query_vec))[None, :],
+                 np.asarray(medoids_q, dtype=np.int64))[0]
+    order = np.lexsort((np.arange(qd.size), qd))
+    return [int(c) for c in order[:n_probe]]
+
+
+def _ivf_assign_float(emb: DataFrame, centroids: np.ndarray,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """Float nearest-centroid assignment for the opt-in k-means path."""
     cent = centroids
 
     def run(batches):
@@ -162,16 +305,28 @@ def ivf_topk(emb: DataFrame, query_vec, k: int = 10, n_clusters: int = 16,
              vec_col: str = "embedding", round_dp: int = 6,
              centroids: np.ndarray | None = None) -> DataFrame:
     """IVF ANN: score only vectors whose cluster is among the n_probe
-    centroids nearest the query. Candidate selection is an equi-join on
-    cluster id (partition-prunable when assignments are stored
-    dir-partitioned by cluster) — the inverted-file shape that survives
-    10^9+ vectors."""
-    cent = (kmeans_centroids(emb, n_clusters, vec_col=vec_col)
-            if centroids is None else centroids)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(cent @ qn))[:n_probe].tolist()
-    assign = ivf_assign(emb, cent, id_col, vec_col)
+    coarse cells nearest the query. Candidate selection is an
+    equi-join on cluster id (partition-prunable when assignments are
+    stored dir-partitioned by cluster) — the inverted-file shape that
+    survives 10^9+ vectors. Default quantizer: portable fixed-point
+    k-means + integer L2 (exactly reproduced by the DuckDB oracle);
+    pass `centroids=` (e.g. kmeans_centroids) for the float path.
+
+    Exploration form: re-derives the quantizer and assignment per call
+    (full corpus scans). For repeated serving build a persisted index
+    once (build_ann_index) and query it with ann_index_topk — that
+    path scans only the probed cluster partitions."""
+    if centroids is not None:
+        cent = centroids
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        probes = np.argsort(-(cent @ qn))[:n_probe].tolist()
+        assign = _ivf_assign_float(emb, cent, id_col, vec_col)
+    else:
+        med = train_centroids_q(emb, n_clusters,
+                                id_col=id_col, vec_col=vec_col)
+        probes = _probe_clusters(query_vec, med, n_probe)
+        assign = ivf_assign(emb, med, id_col, vec_col)
     cand_ids = (assign.filter(F.col("cluster").isin(probes))
                 .select(F.col("vec_id").alias("__cid")))
     cand = emb.join(cand_ids, emb[id_col] == F.col("__cid")).drop("__cid")
@@ -189,10 +344,11 @@ def _dim_of(emb: DataFrame, vec_col: str) -> int:
 def lsh_band_signatures(emb: DataFrame, dim: int, band_bits: int = 4,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, band, bsig): the N_PLANES sign bits split into bands of
-    `band_bits` — the pair-blocking keys (two vectors are candidates if
-    ANY band matches; more/narrower bands = higher recall)."""
-    planes = _planes(dim)
+    """(vec_id, band, bsig): the N_PLANES integer sign bits split into
+    bands of `band_bits` — the pair-blocking keys (two vectors are
+    candidates if ANY band matches; more/narrower bands = higher
+    recall)."""
+    planes = _int_planes(dim)
     n_bands = N_PLANES // band_bits
 
     def run(batches):
@@ -202,8 +358,8 @@ def lsh_band_signatures(emb: DataFrame, dim: int, band_bits: int = 4,
                                     "band": pd.Series([], dtype="int32"),
                                     "bsig": pd.Series([], dtype="int32")})
                 continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (m @ planes > 0).astype(np.int64)      # (n, N_PLANES)
+            mq = quantize(np.stack(pdf[vec_col].to_numpy()))
+            bits = (mq @ planes >= 0).astype(np.int64)    # (n, N_PLANES)
             bb = bits.reshape(len(pdf), n_bands, band_bits)
             bsig = (bb << np.arange(band_bits)).sum(axis=2)
             yield pd.DataFrame({
@@ -225,8 +381,9 @@ def lsh_cosine_pairs(emb: DataFrame, threshold: float = 0.8,
     blocking + exact cosine verify — the scale form of cosine_pairs:
     candidate generation is an equi-join on (band, bsig) (shuffle
     bounded by bucket sizes, never the O(n^2) pair space), and only
-    candidate pairs are re-scored. Approximate: recall is the banded-
-    LSH collision probability (tested vs the exact all-pairs oracle)."""
+    candidate pairs are re-scored. With portable integer signatures
+    the whole path is exactly reproduced by the DuckDB oracle; banded
+    recall is additionally pytest-pinned vs the all-pairs oracle."""
     dim = _dim_of(emb, vec_col)
     sig = lsh_band_signatures(emb, dim, band_bits, id_col, vec_col)
     l, r = sig.alias("l"), sig.alias("r")
@@ -258,14 +415,17 @@ def build_ann_index(emb: DataFrame, out_dir: str, n_clusters: int = 16,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> dict:
     """Persisted ANN index: vectors stored WITH their IVF cluster and
-    LSH signature, dir-partitioned by cluster, plus a centroids table.
-    Query-time candidate selection is then a partition-PRUNED scan of
-    n_probe cluster dirs — no signature/assignment recompute per query
-    (the serving shape for 10^9+ vectors)."""
+    LSH signature, dir-partitioned by cluster, plus a centroids table
+    (cluster, centroid_q). Query-time candidate selection is then a
+    partition-PRUNED scan of n_probe cluster dirs — no
+    signature/assignment recompute per query (the serving shape for
+    10^9+ vectors). Portable: quantizer training, assignment and probe
+    ranking are all exact integer/floor arithmetic."""
     import os
     dim = _dim_of(emb, vec_col)
-    cent = kmeans_centroids(emb, n_clusters, vec_col=vec_col)
-    assign = ivf_assign(emb, cent, id_col, vec_col)
+    med = train_centroids_q(emb, n_clusters, id_col=id_col,
+                            vec_col=vec_col)
+    assign = ivf_assign(emb, med, id_col, vec_col)
     sig = lsh_signatures(emb, dim, id_col, vec_col)
     table = (emb.select(F.col(id_col).alias("vec_id"), vec_col)
              .join(assign, "vec_id").join(sig, "vec_id"))
@@ -273,27 +433,25 @@ def build_ann_index(emb: DataFrame, out_dir: str, n_clusters: int = 16,
      .partitionBy("cluster").parquet(os.path.join(out_dir, "vectors")))
     spark = emb.sparkSession
     spark.createDataFrame(
-        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
-        "cluster int, centroid array<double>") \
+        [(c, [int(x) for x in med[c]]) for c in range(len(med))],
+        "cluster int, centroid_q array<bigint>") \
         .coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(out_dir, "centroids"))
-    return {"n_clusters": int(len(cent)), "dim": dim}
+    return {"n_clusters": int(len(med)), "dim": dim}
 
 
 def ann_index_topk(spark, out_dir: str, query_vec, k: int = 10,
                    n_probe: int = 4, vec_col: str = "embedding",
                    round_dp: int = 6) -> DataFrame:
-    """Top-k over a persisted ANN index: pick n_probe nearest centroids
-    on the driver, scan ONLY those cluster partitions, exact-cosine the
-    survivors."""
+    """Top-k over a persisted ANN index: pick the n_probe nearest
+    centroids on the driver (exact integer L2), scan ONLY those
+    cluster partitions, exact-cosine the survivors."""
     import os
-    cent_rows = spark.read.parquet(
-        os.path.join(out_dir, "centroids")).collect()
-    cent = np.array([r["centroid"] for r in
-                     sorted(cent_rows, key=lambda r: r["cluster"])])
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(cent @ qn))[:n_probe].tolist()
+    med_rows = sorted(
+        spark.read.parquet(os.path.join(out_dir, "centroids")).collect(),
+        key=lambda r: r["cluster"])
+    med = np.array([r["centroid_q"] for r in med_rows], dtype=np.int64)
+    probes = _probe_clusters(query_vec, med, n_probe)
     vecs = spark.read.parquet(os.path.join(out_dir, "vectors")) \
         .filter(F.col("cluster").isin(probes))
     return (vecs.select("vec_id",

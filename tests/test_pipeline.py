@@ -288,22 +288,27 @@ def test_dedup_embedding_keep_first(spark, planted_vectors):
 
 def test_ann_index_persisted_matches_ivf(spark, planted_vectors, tmp_path):
     """The persisted ANN index (partition-pruned cluster scan) returns
-    the same top-k as the in-flight IVF path with the same centroids."""
+    the same top-k as the in-flight portable IVF path — both derive
+    the identical fixed-point k-means centroids from the same rows."""
     import numpy as np
 
     from irkit_spark.pipeline.similarity import (ann_index_topk,
-                                                 build_ann_index, ivf_topk)
+                                                 build_ann_index,
+                                                 ivf_topk,
+                                                 train_centroids_q)
     emb, q = planted_vectors
     emb = emb.filter("vec_id != 0")
     out = str(tmp_path / "ann")
     meta = build_ann_index(emb, out, n_clusters=8)
     assert meta["n_clusters"] == 8 and meta["dim"] == 32
-    cent = np.array([r["centroid"] for r in sorted(
+    cent = np.array([r["centroid_q"] for r in sorted(
         spark.read.parquet(out + "/centroids").collect(),
-        key=lambda r: r["cluster"])])
+        key=lambda r: r["cluster"])], dtype=np.int64)
+    # the persisted centroids ARE the deterministic trained ones
+    assert (cent == train_centroids_q(emb, 8)).all()
     want = [(r["vec_id"], r["cos"]) for r in
-            ivf_topk(emb, q.tolist(), 10, n_probe=2,
-                     centroids=cent).collect()]
+            ivf_topk(emb, q.tolist(), 10, n_clusters=8,
+                     n_probe=2).collect()]
     got = [(r["vec_id"], r["cos"]) for r in
            ann_index_topk(spark, out, q.tolist(), 10, n_probe=2).collect()]
     assert got == want
