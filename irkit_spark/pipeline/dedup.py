@@ -130,10 +130,35 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------- exact Jaccard (oracle)
 
+_JACCARD_GUARD_ROWS = 100_000
+
+
+def _guard_pair_scale(docs: DataFrame, op: str, max_rows: int | None):
+    """The exact-Jaccard pair ops below join on shared tokens/shingles
+    across the whole corpus — correct (they are the oracle forms) but
+    quadratic in bucket sizes, so running one on a 100 TB table is a
+    mistake the API should catch, not honor. Raise above `max_rows`
+    docs and point to the banded-LSH path; max_rows=None opts out."""
+    if max_rows is None:
+        return
+    n = docs.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op} is the exact/oracle form (corpus-wide token "
+            f"self-join) and was asked to run on {n} docs "
+            f"(> max_rows={max_rows}). Use minhash_lsh_pairs (banded "
+            f"candidates, candidate-local verify) at scale, or pass "
+            f"max_rows=None to override.")
+
+
 def token_jaccard_pairs(docs: DataFrame, block_col: str = "source",
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_rows: int | None = _JACCARD_GUARD_ROWS
+                        ) -> DataFrame:
     """(doc_a, doc_b, jac): distinct-token Jaccard over pairs within a
-    blocking column (at scale: block first, never all-pairs)."""
+    blocking column (at scale: block first, never all-pairs — see
+    _guard_pair_scale; minhash_lsh_pairs is the 100 TB path)."""
+    _guard_pair_scale(docs, "token_jaccard_pairs", max_rows)
     base = docs.select("doc_id", F.col(block_col).alias("blk"),
                        F.array_distinct(_toks()).alias("toks"))
     tok = base.select("doc_id", "blk", F.explode("toks").alias("term"))
@@ -158,21 +183,25 @@ def token_jaccard_pairs(docs: DataFrame, block_col: str = "source",
 
 
 def shingle_jaccard_pairs(docs: DataFrame, n: int = 3,
-                          threshold: float = 0.1) -> DataFrame:
+                          threshold: float = 0.1,
+                          max_rows: int | None = _JACCARD_GUARD_ROWS
+                          ) -> DataFrame:
     """(doc_a, doc_b, jac): n-gram (token shingle) Jaccard near-dup pairs.
     Pair candidates come from an equi-join on shared shingles, so only
-    docs with >=1 common shingle ever meet (no cross join)."""
+    docs with >=1 common shingle ever meet (no cross join) — but the
+    shared-shingle join is still corpus-wide (see _guard_pair_scale;
+    minhash_lsh_pairs is the 100 TB path). Shingles are built with a
+    sliding window over the token array (one codegen'd projection —
+    no positional self-joins)."""
+    _guard_pair_scale(docs, "shingle_jaccard_pairs", max_rows)
     base = docs.select("doc_id", _toks().alias("toks"))
-    pos = base.select("doc_id", F.posexplode("toks").alias("pos", "term"))
-    a1, a2, a3 = pos.alias("x"), pos.alias("y"), pos.alias("z")
-    sh = (a1.join(a2, (F.col("x.doc_id") == F.col("y.doc_id"))
-                  & (F.col("y.pos") == F.col("x.pos") + 1))
-          .join(a3, (F.col("x.doc_id") == F.col("z.doc_id"))
-                & (F.col("z.pos") == F.col("x.pos") + 2))
-          .select(F.col("x.doc_id").alias("doc_id"),
-                  F.concat_ws(" ", "x.term", "y.term", "z.term")
-                  .alias("sh"))
-          .distinct())
+    windows = F.when(
+        F.size("toks") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (base.select("doc_id",
+                      F.explode(F.array_distinct(windows)).alias("sh")))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (l.join(r, (F.col("l.sh") == F.col("r.sh"))
@@ -315,19 +344,92 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
 
 # ------------------------------------------------- near-dup apply (CC)
 
+def _star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+    """(doc_id, component) via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    convergence in O(log n) alternations regardless of graph DIAMETER —
+    the path for pathological duplicate chains where min-label
+    propagation's O(diameter) rounds would not terminate. Each half-
+    round is a groupBy-min plus a join, all distributed.
+
+      large-star(u): m = min(N(u) + {u}); edges (v, m) for v in N(u),
+                     v > u   (operates on the symmetrized edge set)
+      small-star(u): m = min(N-(u) + {u}); edges (v, m) for
+                     v in N-(u) + {u}, v != m, where N-(u) = smaller
+                     neighbors (edges are larger->smaller after a
+                     large-star round)
+    """
+    # localCheckpoint (not persist) each round: an iterative loop that
+    # re-persists on top of the previous round's cache hits Spark's
+    # cascading cache invalidation — unpersisting round t's edges
+    # invalidates round t+1's dependent cache entry, so every job
+    # recomputes the full lineage back to round 0 and per-round cost
+    # doubles (measured). Checkpointing truncates the lineage instead.
+    edges = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct()).localCheckpoint()
+    nodes = (edges.select(F.col("u").alias("doc_id"))
+             .union(edges.select("v")).distinct()).localCheckpoint()
+    for _ in range(max_iter):
+        # ---- large-star on the symmetrized set
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+             .select("u", F.least("mv", F.col("u")).alias("m")))
+        ls = (sym.join(m, "u")
+              .filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .distinct())
+        # ---- small-star on the (now larger->smaller) directed set
+        m2 = (ls.groupBy("u").agg(F.min("v").alias("mv"))
+              .select("u", F.least("mv", F.col("u")).alias("m")))
+        new_edges = (ls.join(m2, "u")
+                     .select(F.col("v").alias("n"), F.col("m"))
+                     .union(m2.select(F.col("u").alias("n"),
+                                      F.col("m")))
+                     .filter(F.col("n") != F.col("m"))
+                     .select(F.col("n").alias("u"),
+                             F.col("m").alias("v"))
+                     .distinct()).localCheckpoint()
+        stable = (new_edges.exceptAll(edges).isEmpty()
+                  and edges.exceptAll(new_edges).isEmpty())
+        edges = new_edges
+        if stable:
+            break
+    # fixpoint: every edge points a node at its component min
+    return (nodes.join(edges.select(F.col("u").alias("doc_id"),
+                                    F.col("v").alias("component")),
+                       "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id")
+                    .alias("component")))
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 50,
-                         on_nonconverged: str = "raise") -> DataFrame:
+                         on_nonconverged: str = "raise",
+                         algorithm: str = "auto") -> DataFrame:
     """(doc_id, component): connected components of an undirected pair
     graph via min-label propagation — each round every node adopts the
     smallest label in its closed neighborhood. Convergence takes
-    O(diameter) rounds (dup clusters are tiny, so 2-3 in practice; a
-    pathological 10^3-hop chain needs large-star/small-star instead).
+    O(diameter) rounds (dup clusters are tiny, so 2-3 in practice).
     Each round is two hash joins + a groupBy — no driver data, scales
     with the edge list.
 
-    If the loop exhausts max_iter while labels are still changing the
-    result would be silently split components, so it raises by default
-    (on_nonconverged="warn" downgrades to a logged warning)."""
+    algorithm: "label" = min-label propagation only; "star" = go
+    straight to alternating large-star/small-star (_star_components,
+    O(log n) rounds regardless of diameter); "auto" (default) = label
+    propagation, falling back to star if max_iter rounds don't
+    converge (a pathological long duplicate chain).
+
+    If label propagation exhausts max_iter with no fallback available
+    the result would be silently split components, so it raises by
+    default (on_nonconverged="warn" downgrades to a logged warning)."""
+    if algorithm == "star":
+        return _star_components(pairs)
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
@@ -356,11 +458,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
             break
     if changed != 0:
         msg = (f"connected_components did not converge within "
-               f"{max_iter} rounds ({changed} labels still changing); "
-               f"components would be silently split")
+               f"{max_iter} rounds ({changed} labels still changing)")
+        if algorithm == "auto":
+            import warnings
+            warnings.warn(msg + "; falling back to large-star/"
+                          "small-star", RuntimeWarning)
+            labels.unpersist()
+            return _star_components(pairs)
         if on_nonconverged == "raise":
             labels.unpersist()
-            raise RuntimeError(msg)
+            raise RuntimeError(msg + "; components would be silently "
+                               "split")
         import warnings
         warnings.warn(msg, RuntimeWarning)
     return labels
@@ -491,9 +599,10 @@ def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 4,
     docs. Cost: C(m, m-k) tables — a LINEAR row fan-out (each doc emits
     one row per table), never a quadratic bucket join.
 
-    Recall/cost frontier (the reason the default contract is k=4):
-      k=4, m=8  ->  C(8,4) = 70 tables, 32-bit keys   (default)
-      k=6, m=10 -> C(10,4) = 210 tables, ~25-bit keys (opt-in)
+    Recall/cost frontier at N_SIMHASH_BITS=62 (the reason the default
+    contract is k=4; key width = (m-k)/m * 62):
+      k=4, m=8  ->  C(8,4) = 70 tables, ~31-bit keys  (default)
+      k=6, m=10 -> C(10,4) = 210 tables, ~24-bit keys (opt-in)
     The fan-out grows combinatorially with k while near-dup recall
     gains past hamming 4 are marginal at this hash width (Manku's
     production setting is k=3 on similar hash widths); callers that

@@ -532,3 +532,57 @@ def test_portable_kr_hashes_match_scalar_reference():
         assert _poly_windows_mod(th, 3).tolist() == want_sh
 
     check()
+
+
+def test_jaccard_pair_scale_guard(spark, dup_docs):
+    """The exact-Jaccard pair ops are oracle forms (corpus-wide token
+    self-joins); above max_rows they must refuse and point at the
+    banded-LSH path, and max_rows=None must opt out."""
+    from irkit_spark.pipeline.dedup import (shingle_jaccard_pairs,
+                                            token_jaccard_pairs)
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        token_jaccard_pairs(dup_docs, max_rows=10)
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        shingle_jaccard_pairs(dup_docs, max_rows=10)
+    assert token_jaccard_pairs(dup_docs, max_rows=None).count() >= 0
+
+
+def test_star_components_long_chain(spark):
+    """A 120-hop duplicate chain: min-label propagation needs
+    O(diameter) rounds, large-star/small-star closes it in O(log n) —
+    and algorithm='auto' falls back to it instead of raising."""
+    import warnings
+
+    from irkit_spark.pipeline.dedup import (_star_components,
+                                            connected_components)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(120)],
+                                  "doc_a long, doc_b long")
+    want = {(i, 0) for i in range(121)}
+    got = {(r["doc_id"], r["component"])
+           for r in _star_components(pairs).collect()}
+    assert got == want
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        comp = connected_components(pairs, max_iter=3, algorithm="auto")
+    assert {(r["doc_id"], r["component"])
+            for r in comp.collect()} == want
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=3, algorithm="label")
+
+
+def test_star_components_matches_label_propagation(spark):
+    """On a multi-component graph both algorithms produce the same
+    (doc_id, component-min) labeling."""
+    from irkit_spark.pipeline.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22),
+         (22, 23), (5, 40), (40, 6)],
+        "doc_a long, doc_b long")
+    lab = {(r["doc_id"], r["component"]) for r in
+           connected_components(pairs, algorithm="label").collect()}
+    star = {(r["doc_id"], r["component"]) for r in
+            connected_components(pairs, algorithm="star").collect()}
+    assert lab == star
+    assert star == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                    (20, 20), (21, 20), (22, 20), (23, 20),
+                    (5, 5), (40, 5), (6, 5)}
