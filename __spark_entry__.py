@@ -589,7 +589,17 @@ ORDER BY doc_a, doc_b"""
 def _minhash_ctes() -> str:
     """The shared CTE chain for the MinHash-LSH oracles (see
     _minhash_sql): ends at `v` = candidate pairs with exact-Jaccard
-    ingredients."""
+    ingredients.
+
+    Case-fold caveat: the Spark side lowercases via Python str.lower()
+    and hashes UTF-32 code points (ord); the oracle uses DuckDB
+    lower() + unicode(substr(...)). These agree on ASCII — which the
+    driver's synthetic `documents` fixtures are by construction — but
+    locale-sensitive folds (İ, ß, Σ-final) can differ between the two
+    lower() implementations, so the bit-for-bit claim is scoped to
+    ASCII corpora. Non-ASCII production text would need a shared
+    normalization pass (e.g. restrict to [a-z0-9]+ BEFORE folding,
+    which the frozen tokenizer already does for the index path)."""
     from irkit_spark.pipeline.dedup import _KR_B1, _KR_B2, _KR_P
     from irkit_spark.pipeline.dedup import _MH_A, _MH_B
     P, PK = _KR_P, _KR_P + 1

@@ -985,76 +985,80 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                  .agg(F.sum("n_docs").alias("postings_cnt"),
                       F.sum("wire_bytes").alias("bytes"))
                  .collect()))
-    if bc is not None:
-        # vocab-gated driver-side terms assembly: the vocabulary is
-        # already in driver memory (the broadcast dict), so collect the
-        # per-term aggregates ONCE (vocab-sized — the same gate) and do
-        # the join + idf/max_score arithmetic vectorized in numpy, then
-        # write the finished table straight from the driver (pyarrow —
-        # no createDataFrame + Spark write job round-trip). This
-        # replaces the agg + broadcast-join + write chain, which cost a
-        # ~2s serial floor per build at EVERY parallelism level. Above
-        # the gate (join_ids) the distributed join below remains the
-        # plan.
-        import pyarrow as pa
-        pt = per_term.toPandas()
-        items = bc.value
-        lex_pdf = pd.DataFrame(
-            {"term": pd.Series(list(items.keys()), dtype="object"),
-             "term_id": np.fromiter(items.values(), dtype=np.int64,
-                                    count=len(items))})
-        mg = lex_pdf.merge(pt, on="term_id", how="left")
-        dfv = mg["df"].fillna(0).to_numpy(dtype=np.float64)
-        idf = np.log1p((float(n_docs) - dfv + 0.5) / (dfv + 0.5))
-        mx = mg["max_norm"].fillna(0.0).to_numpy(dtype=np.float64)
-        terms_tbl = pa.table({
-            "term_id": pa.array(mg["term_id"].to_numpy()
-                                .astype(np.int32)),
-            "term": pa.array(mg["term"].tolist(), pa.string()),
-            "df": pa.array(dfv.astype(np.int64)),
-            "cf": pa.array(mg["cf"].fillna(0).to_numpy()
-                           .astype(np.int64)),
-            "max_score": pa.array((idf * mx).astype(np.float32)),
-        })
-        from irkit_spark.sources.catalog import write_artifact_driver
-        write_artifact_driver(spark, terms_tbl, out_dir, "terms",
-                              fmt=fmt)
-        terms_final = None
-    else:
-        terms_final = (lex_df.join(per_term, "term_id", "left")
-                       .fillna(0, ["df", "cf"])
-                       .withColumn("idf", F.log1p(
-                           (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                           / (F.col("df") + 0.5)))
-                       .withColumn("max_score",
-                                   (F.col("idf")
-                                    * F.coalesce("max_norm", F.lit(0.0)))
-                                   .cast("float"))
-                       .select("term_id", "term", "df", "cf",
-                               "max_score"))
-    if terms_final is not None:
-        if reuse_tok and fmt != "iceberg":
-            # swap via a temp dir: lex_df reads the live terms path
-            # (local/HDFS rename is atomic enough here; object stores
-            # would use a versioned path + pointer; Iceberg's
-            # createOrReplace IS the atomic swap, so it takes the plain
-            # branch)
-            import shutil
-            tmp_terms = p("terms_tmp")
-            terms_final.write.mode("overwrite").parquet(tmp_terms)
-            shutil.rmtree(p("terms"))
-            os.replace(tmp_terms, p("terms"))
+    try:
+        if bc is not None:
+            # vocab-gated driver-side terms assembly: the vocabulary is
+            # already in driver memory (the broadcast dict), so collect the
+            # per-term aggregates ONCE (vocab-sized — the same gate) and do
+            # the join + idf/max_score arithmetic vectorized in numpy, then
+            # write the finished table straight from the driver (pyarrow —
+            # no createDataFrame + Spark write job round-trip). This
+            # replaces the agg + broadcast-join + write chain, which cost a
+            # ~2s serial floor per build at EVERY parallelism level. Above
+            # the gate (join_ids) the distributed join below remains the
+            # plan.
+            import pyarrow as pa
+            pt = per_term.toPandas()
+            items = bc.value
+            lex_pdf = pd.DataFrame(
+                {"term": pd.Series(list(items.keys()), dtype="object"),
+                 "term_id": np.fromiter(items.values(), dtype=np.int64,
+                                        count=len(items))})
+            mg = lex_pdf.merge(pt, on="term_id", how="left")
+            dfv = mg["df"].fillna(0).to_numpy(dtype=np.float64)
+            idf = np.log1p((float(n_docs) - dfv + 0.5) / (dfv + 0.5))
+            mx = mg["max_norm"].fillna(0.0).to_numpy(dtype=np.float64)
+            terms_tbl = pa.table({
+                "term_id": pa.array(mg["term_id"].to_numpy()
+                                    .astype(np.int32)),
+                "term": pa.array(mg["term"].tolist(), pa.string()),
+                "df": pa.array(dfv.astype(np.int64)),
+                "cf": pa.array(mg["cf"].fillna(0).to_numpy()
+                               .astype(np.int64)),
+                "max_score": pa.array((idf * mx).astype(np.float32)),
+            })
+            from irkit_spark.sources.catalog import write_artifact_driver
+            write_artifact_driver(spark, terms_tbl, out_dir, "terms",
+                                  fmt=fmt)
+            terms_final = None
         else:
-            write_artifact(terms_final, out_dir, "terms", fmt=fmt)
-    if lex_df is not None:
-        lex_df.unpersist()
-    _mark("terms_write")
+            terms_final = (lex_df.join(per_term, "term_id", "left")
+                           .fillna(0, ["df", "cf"])
+                           .withColumn("idf", F.log1p(
+                               (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                               / (F.col("df") + 0.5)))
+                           .withColumn("max_score",
+                                       (F.col("idf")
+                                        * F.coalesce("max_norm", F.lit(0.0)))
+                                       .cast("float"))
+                           .select("term_id", "term", "df", "cf",
+                                   "max_score"))
+        if terms_final is not None:
+            if reuse_tok and fmt != "iceberg":
+                # swap via a temp dir: lex_df reads the live terms path
+                # (local/HDFS rename is atomic enough here; object stores
+                # would use a versioned path + pointer; Iceberg's
+                # createOrReplace IS the atomic swap, so it takes the plain
+                # branch)
+                import shutil
+                tmp_terms = p("terms_tmp")
+                terms_final.write.mode("overwrite").parquet(tmp_terms)
+                shutil.rmtree(p("terms"))
+                os.replace(tmp_terms, p("terms"))
+            else:
+                write_artifact(terms_final, out_dir, "terms", fmt=fmt)
+        if lex_df is not None:
+            lex_df.unpersist()
+        _mark("terms_write")
 
-    wall_ms = int((time.monotonic() - t0) * 1000)
+        wall_ms = int((time.monotonic() - t0) * 1000)
 
-    # ---- stage 5: lineage + stats (per-shard metrics, §4.4) ------------
-    shard_m = shard_f.result()
-    _ex.shutdown()
+        # ---- stage 5: lineage + stats (per-shard metrics, §4.4) ------------
+        shard_m = shard_f.result()
+    finally:
+        # a failure anywhere in the terms assembly above must not
+        # leak the background metrics thread or mask its error
+        _ex.shutdown(wait=False, cancel_futures=True)
     if post_cached is not None:
         post_cached.unpersist()
     total_postings = sum(r["postings_cnt"] for r in shard_m)

@@ -100,12 +100,18 @@ def write_artifact_driver(spark: SparkSession, table, base: str,
     import shutil
 
     import pyarrow.parquet as pq
+    # write-to-temp + os.replace (the same swap the reuse_tok terms
+    # path uses): a crash mid-write must never leave the artifact
+    # absent — rmtree-then-write would.
     path = os.path.join(base, name)
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
-    with open(os.path.join(path, "_SUCCESS"), "w"):
+    tmp = path + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
         pass
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
 
 
 def read_artifact(spark: SparkSession, base: str, name: str,
