@@ -16,8 +16,21 @@ BASELINE.json:15):
   5. collapse all whitespace runs to a single space; strip ends
 
 Exposed as `extract_text_udf`, an Arrow-vectorized pandas_udf
-(BinaryType -> StringType); the regex passes run as pandas .str ops
-over the whole Arrow batch.
+(BinaryType -> StringType): rows move Spark<->Python as Arrow batches;
+within a batch the regex passes run per element (re.sub on str is
+per-element in CPython whether called directly or via pandas .str —
+there is no vectorized regex kernel to hoist into).
+
+Known frozen-semantics edge cases (deliberate, golden-tested —
+regex-vs-DOM fidelity is documented in SURVEY.md §2.1 / VERDICT r4):
+  * a literal '>' inside an attribute value (title="a>b") ends the
+    tag match early, leaking the attribute tail (-> 'b">link') — a
+    DOM parser would not leak it ('<' inside a value is fine: the
+    tag regex consumes it)
+  * <noscript>/<template> content is KEPT (a DOM walk with scripting
+    enabled would drop noscript)
+  * a bare text '<' with a later '>' strips the span between them
+    ('5 < 6 and 7 > 4' -> '5 4'); with no later '>' it is kept
 """
 
 from __future__ import annotations
@@ -60,13 +73,12 @@ def extract_text(html_bytes: bytes | None) -> str:
 def extract_batch(html_series: pd.Series) -> pd.Series:
     """Batch form over an Arrow column of binary; same frozen semantics.
 
-    Regex substitution runs per batch via pandas str ops; entity
-    unescape uses html.unescape per element inside the batch (C-accel
-    lookup table, still Arrow-batched at the Spark boundary).
+    Arrow-batched at the Spark boundary only: inside the batch each
+    element runs the scalar extract_text (regex substitution on str is
+    per-element in CPython regardless of pandas .str wrapping, so
+    there is nothing further to vectorize — measured equal).
     """
-    def _one(b):
-        return extract_text(b)
-    return html_series.map(_one).astype("object")
+    return html_series.map(extract_text).astype("object")
 
 
 def extract_text_udf():

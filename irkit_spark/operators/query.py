@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from irkit_spark import config
-from irkit_spark.functions.codecs import CODECS, delta_decode
+from irkit_spark.functions.codecs import decode_blocks_batch
 from irkit_spark.functions.scoring import bm25_tf_norm, idf as idf_fn
 from irkit_spark.functions.tokenize import tokenize
 
@@ -283,16 +283,10 @@ class Index:
 
 
 def _decode_row_blocks(blocks, codec: str):
-    """postings.blocks (list of dict-like) -> (docs u64[], tfs u64[])."""
-    dec = CODECS[codec][1]
-    ds, ts = [], []
-    for blk in blocks:
-        n = int(blk["n"])
-        gaps = dec(bytes(blk["doc_bytes"]), n)
-        ds.append(delta_decode(gaps, int(blk["first_doc"])))
-        ts.append(dec(bytes(blk["tf_bytes"]), n))
-    return (np.concatenate(ds) if ds else np.empty(0, np.uint64),
-            np.concatenate(ts) if ts else np.empty(0, np.uint64))
+    """postings.blocks (list of dict-like) -> (docs u64[], tfs u64[]).
+    One codec call per run (varbyte) via decode_blocks_batch."""
+    docs, tfs, _ = decode_blocks_batch(list(blocks), codec)
+    return docs, tfs
 
 
 def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
@@ -312,7 +306,6 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
     Pruning stays lossless: all-docs block bounds are upper bounds for
     any subset."""
     idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
-    dec = CODECS[codec][1]
     # Dirichlet QL decomposition (SURVEY.md Q2):
     #   sum_t ln((tf + mu*p_t)/(dl + mu))
     #     = sum_t ln(1 + tf/(mu*p_t)) + K - |q|*ln(dl + mu)
@@ -323,9 +316,37 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
     ql_K = float(sum(np.log(mu * p) for p in p_by_tid.values()))
     nq = len(qmeta)
 
+    def term_gather(tid, blocks, need, decoded_cache):
+        """(docs, tfs) int64, concatenated over the `need` block indices
+        (ascending). Uncached blocks are batch-decoded in one codec
+        call; per-block views land in decoded_cache so the driver
+        serving cache and cross-phase reuse keep working. The all-fresh
+        case (cold query) returns the fused arrays directly — zero
+        re-concatenation."""
+        fresh = [b_ix for b_ix in need if (tid, b_ix) not in decoded_cache]
+        if fresh:
+            d, t, offs = decode_blocks_batch([blocks[i] for i in fresh],
+                                             codec)
+            d = d.astype(np.int64)
+            t = t.astype(np.int64)
+            for j, b_ix in enumerate(fresh):
+                decoded_cache[(tid, b_ix)] = (d[offs[j]:offs[j + 1]],
+                                              t[offs[j]:offs[j + 1]])
+            if len(fresh) == len(need):
+                return d, t
+        return (np.concatenate([decoded_cache[(tid, b)][0] for b in need]),
+                np.concatenate([decoded_cache[(tid, b)][1] for b in need]))
+
     def exact_scores(term_rows, cand: np.ndarray, dl_arr: np.ndarray,
                      base: int, decoded_cache: dict) -> np.ndarray:
-        """Exact BM25 of sorted candidate docs; selective block decode."""
+        """Exact BM25 of sorted candidate docs; selective block decode.
+
+        Blocks containing no candidate are never decoded (the WAND /
+        max-score skip guarantee); the needed ones are decoded in one
+        codec call and probed with ONE searchsorted per term — docIDs
+        are unique per term, so each doc still receives exactly one add
+        per term in ascending term_id order (the pinned float add order
+        DAAT identity depends on)."""
         scores = np.zeros(cand.size, dtype=np.float64)
         for tid in sorted(term_rows):  # ascending term_id: pinned add order
             blocks = term_rows[tid]
@@ -337,29 +358,22 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             hit = np.zeros(cand.size, dtype=bool)
             hit[ok] = firsts[bi[ok]] <= cand[ok]
             need = np.unique(bi[hit])
-            for b_ix in need.tolist():
-                key = (tid, b_ix)
-                if key not in decoded_cache:
-                    blk = blocks[b_ix]
-                    n = int(blk["n"])
-                    gaps = dec(bytes(blk["doc_bytes"]), n)
-                    d = delta_decode(gaps, int(blk["first_doc"])).astype(np.int64)
-                    t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
-                    decoded_cache[key] = (d, t)
-                d, t = decoded_cache[key]
-                pos = np.searchsorted(d, cand)
-                pos_ok = pos < d.size
-                m = np.zeros(cand.size, dtype=bool)
-                m[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
-                if not m.any():
-                    continue
-                tf = t[pos[m]]
-                if quantized:
-                    scores[m] += idf_by_tid[tid] * (tf / 127.0)
-                else:
-                    dl = dl_arr[cand[m] - base]
-                    scores[m] += idf_by_tid[tid] * bm25_tf_norm(tf, dl,
-                                                                avgdl)
+            if need.size == 0:
+                continue
+            d, t = term_gather(tid, blocks, need.tolist(), decoded_cache)
+            pos = np.searchsorted(d, cand)
+            pos_ok = pos < d.size
+            m = np.zeros(cand.size, dtype=bool)
+            m[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
+            if not m.any():
+                continue
+            tf = t[pos[m]]
+            if quantized:
+                scores[m] += idf_by_tid[tid] * (tf / 127.0)
+            else:
+                dl = dl_arr[cand[m] - base]
+                scores[m] += idf_by_tid[tid] * bm25_tf_norm(tf, dl,
+                                                            avgdl)
         return scores
 
     def topk_frame(doc: np.ndarray, score: np.ndarray) -> pd.DataFrame:
@@ -446,17 +460,10 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             for tid in order:
                 blocks = term_rows[tid]
                 if cand is None:
-                    ds = []
-                    for b_ix, blk in enumerate(blocks):
-                        n = int(blk["n"])
-                        gaps = dec(bytes(blk["doc_bytes"]), n)
-                        d = delta_decode(gaps, int(blk["first_doc"])) \
-                            .astype(np.int64)
-                        t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
-                        cache[(tid, b_ix)] = (d, t)
-                        ds.append(d)
-                    cand = np.concatenate(ds) if ds else \
-                        np.empty(0, np.int64)
+                    # rarest term: decode fully (one codec call) — its
+                    # docs ARE the initial candidate set
+                    cand, _t = term_gather(tid, blocks,
+                                           list(range(len(blocks))), cache)
                     continue
                 firsts = np.array([b["first_doc"] for b in blocks],
                                   np.int64)
@@ -465,23 +472,15 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 ok = bi < len(blocks)
                 hit = np.zeros(cand.size, dtype=bool)
                 hit[ok] = firsts[bi[ok]] <= cand[ok]
+                need = np.unique(bi[hit])
+                if need.size == 0:
+                    cand = cand[:0]
+                    break
+                d, _t = term_gather(tid, blocks, need.tolist(), cache)
+                pos = np.searchsorted(d, cand)
+                pos_ok = pos < d.size
                 keep = np.zeros(cand.size, dtype=bool)
-                for b_ix in np.unique(bi[hit]).tolist():
-                    key = (tid, b_ix)
-                    if key not in cache:
-                        blk = blocks[b_ix]
-                        n = int(blk["n"])
-                        gaps = dec(bytes(blk["doc_bytes"]), n)
-                        cache[key] = (
-                            delta_decode(gaps, int(blk["first_doc"]))
-                            .astype(np.int64),
-                            dec(bytes(blk["tf_bytes"]), n).astype(np.int64))
-                    d, _t = cache[key]
-                    pos = np.searchsorted(d, cand)
-                    pos_ok = pos < d.size
-                    m = np.zeros(cand.size, dtype=bool)
-                    m[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
-                    keep |= m
+                keep[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
                 cand = cand[keep]
                 if cand.size == 0:
                     break
@@ -563,15 +562,10 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         else:
             seed_tid = min(term_rows,
                            key=lambda t: sum(b["n"] for b in term_rows[t]))
-            seed_parts = []
-            for b_ix, blk in enumerate(term_rows[seed_tid]):
-                n = int(blk["n"])
-                gaps = dec(bytes(blk["doc_bytes"]), n)
-                d = delta_decode(gaps, int(blk["first_doc"])).astype(np.int64)
-                t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
-                cache[(seed_tid, b_ix)] = (d, t)
-                seed_parts.append(d)
-            seed_docs = np.unique(np.concatenate(seed_parts))
+            seed_blocks = term_rows[seed_tid]
+            seed_docs, _t = term_gather(seed_tid, seed_blocks,
+                                        list(range(len(seed_blocks))), cache)
+            # already ascending + unique (build invariant), no np.unique
             if valid is not None:
                 seed_docs = seed_docs[valid[seed_docs - base]]
             seed_scores = exact_scores(term_rows, seed_docs, dl_arr, base,
@@ -608,17 +602,9 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             cand_parts = [seed_docs]
             for tid in order[n_noness:]:
                 blocks = term_rows[tid]
-                for b_ix, blk in enumerate(blocks):
-                    key = (tid, b_ix)
-                    if key not in cache:
-                        n = int(blk["n"])
-                        gaps = dec(bytes(blk["doc_bytes"]), n)
-                        cache[key] = (
-                            delta_decode(gaps, int(blk["first_doc"]))
-                            .astype(np.int64),
-                            dec(bytes(blk["tf_bytes"]), n)
-                            .astype(np.int64))
-                    cand_parts.append(cache[key][0])
+                d, _t = term_gather(tid, blocks, list(range(len(blocks))),
+                                    cache)
+                cand_parts.append(d)
             cand = np.unique(np.concatenate(cand_parts))
             if valid is not None:
                 cand = cand[valid[cand - base]]
@@ -675,16 +661,9 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 ub_b = ub_b + idf_by_tid[tid2] * window_max(
                     meta[tid2], a, np.maximum(a, b2))
             keep = np.flatnonzero(ub_b >= theta)
-            for b_ix in keep.tolist():
-                key = (tid, b_ix)
-                if key not in cache:
-                    blk = blocks[b_ix]
-                    n = int(blk["n"])
-                    gaps = dec(bytes(blk["doc_bytes"]), n)
-                    d = delta_decode(gaps, int(blk["first_doc"])).astype(np.int64)
-                    t = dec(bytes(blk["tf_bytes"]), n).astype(np.int64)
-                    cache[key] = (d, t)
-                cand_parts.append(cache[key][0])
+            if keep.size:
+                d, _t = term_gather(tid, blocks, keep.tolist(), cache)
+                cand_parts.append(d)
         cand = np.unique(np.concatenate(cand_parts))
         if valid is not None:
             cand = cand[valid[cand - base]]

@@ -27,6 +27,16 @@ GOLDEN = [
     (b"<script>never closed", ""),                  # unterminated script
     (b"<p>one</p>\n\n\t <p>two</p>", "one two"),    # whitespace collapse
     (None, ""),
+    # regex-vs-DOM fidelity edges (VERDICT r4 item 6) — frozen, not
+    # "right": documents exactly where the regex machine diverges from
+    # a DOM walk (see functions/extract.py module docstring)
+    (b'<a href="x<y">link</a>', "link"),            # '<' in attr: fine
+    (b'<a title="a>b">link</a>', 'b">link'),        # '>' in attr: leaks
+    (b"<noscript>enable js</noscript><p>body</p>",
+     "enable js body"),                             # noscript kept
+    (b"<template><p>tpl</p></template>after", "tpl after"),
+    (b"5 < 6 and 7 > 4", "5 4"),                    # bare <..> stripped
+    (b"unclosed < angle text", "unclosed < angle text"),  # no '>': kept
 ]
 
 
