@@ -170,7 +170,10 @@ def test_dl_broadcast_and_cogroup_paths_identical(spark, index_small):
     assert idx_slow.doc_len_broadcast() is None        # forced cogroup
     for q, k, mode in [("term00000 term00003 term00123", 10, "wand"),
                        ("term00001 term00010", 100, "daat"),
-                       ("term00000 term00002", 10, "and")]:
+                       ("term00000 term00002", 10, "and"),
+                       # taat: fused decode+score (broadcast) vs the
+                       # docs-table join fallback must agree exactly
+                       ("term00000 term00003 term00123", 10, "taat")]:
         fast = [(r["doc_id"], round(r["score"], 9))
                 for r in search(idx_fast, q, k, mode).collect()]
         slow = [(r["doc_id"], round(r["score"], 9))
