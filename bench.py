@@ -17,6 +17,11 @@ Measures, in order:
   2. query latencies on the built index (wand/daat/taat, k=10/100/1000)
   3. operator benches on $SPARK_GRAFT_SF_DIR documents/embeddings
      (BM25 SQL-path, dedup, ANN)
+  4. Zipf-adversarial skew probe: the same 1 vs 4-core build pair on a
+     HOSTILE corpus (5 stopwords with df == n_docs holding 40% of all
+     tokens over a steep-Zipf tail; tools/bench_zipf.py) — evidences
+     that (term, doc-shard) bucketing keeps skew_ratio ~1 and the
+     scaling gate is not an artifact of the uniform corpus
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
@@ -201,6 +206,55 @@ def main():
         queries[name] = round(time.monotonic() - t0, 3)
     spark.stop()
 
+    # ---- 4. Zipf-adversarial skew probe (1 vs 4 cores, pinned) --------
+    # one pair, smaller corpus than the headline (the point is the
+    # hostile distribution, not throughput); shed under budget pressure
+    # like the extra repeats — the headline sections always come first
+    zipf_docs = int(os.environ.get("IRKIT_BENCH_ZIPF_DOCS", "400000"))
+    zipf: dict = {}
+    if zipf_docs and time.monotonic() - t_start < budget * 1.15:
+        def _zipf_at(cores: int) -> dict:
+            cmd = [sys.executable,
+                   os.path.join(HERE, "tools", "bench_zipf.py"),
+                   str(cores), str(zipf_docs),
+                   os.path.join(base, f"zipf_idx{cores}")]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1800)
+            if r.returncode != 0:
+                raise RuntimeError(f"zipf bench @{cores} failed: "
+                                   f"{r.stderr[-2000:]}")
+            return json.loads(r.stdout.strip().splitlines()[-1])
+        z1, z4 = _zipf_at(N_CORES), _zipf_at(N4_CORES)
+        zipf = {
+            "n_docs": zipf_docs,
+            "postings": z1["total_postings"],
+            "head_token_share": z1["head_token_share"],
+            "head_min_df": z1["head_min_df"],
+            "skew_ratio": z1["skew_ratio"],
+            f"postings_per_sec_local{N_CORES}": z1["postings_per_sec"],
+            f"postings_per_sec_local{N4_CORES}": z4["postings_per_sec"],
+            f"scaling_efficiency_{N_CORES}_to_{N4_CORES}": round(
+                z4["postings_per_sec"]
+                / ((N4_CORES // N_CORES) * z1["postings_per_sec"]), 3),
+            # the phase head-term skew would melt: a naive
+            # groupBy(term) encode puts df==n_docs postings in ONE
+            # reducer; (term, doc-shard) bucketing keeps this phase
+            # embarrassingly parallel even with 40% of tokens in 5
+            # terms. This ratio is the direct skew-neutrality evidence
+            # (the thin text-only corpus carries a proportionally
+            # larger serial driver floor than the uniform headline, so
+            # the OVERALL zipf efficiency under-reads — see BENCH.md)
+            f"encode_phase_efficiency_{N_CORES}_to_{N4_CORES}": round(
+                z1["phases"]["shuffle_encode_write"]
+                / ((N4_CORES // N_CORES)
+                   * z4["phases"]["shuffle_encode_write"]), 3),
+            "phases_n": z1["phases"], "phases_4n": z4["phases"],
+        }
+        queries[f"zipf_build_local{N_CORES}"] = z1["wall_sec"]
+        queries[f"zipf_build_local{N4_CORES}"] = z4["wall_sec"]
+
     total = round(time.monotonic() - t_start, 3)
     print(json.dumps({
         "metric": "irkit_spark build+query wall (build throughput and "
@@ -232,6 +286,7 @@ def main():
             f"efficiency_vs_kernel_ceiling_{N_CORES}_to_{N4_CORES}":
                 round(efficiency / max(ceiling["real_kernel"].get(
                     f"eff_{N_CORES}_to_{N4_CORES}", 1.0), 1e-9), 3),
+            **({"zipf_skew": zipf} if zipf else {}),
         },
     }))
 
