@@ -45,7 +45,8 @@ def cmd_build(args):
                     doc_id_col=args.doc_id_col,
                     resume=args.resume,
                     quantize=args.quantize,
-                    table_format=args.table_format)
+                    table_format=args.table_format,
+                    extractor=args.extractor)
     print(json.dumps(m))
 
 
@@ -109,6 +110,11 @@ def main(argv=None):
                         "$IRKIT_TABLE_FORMAT or parquet)")
     b.add_argument("--quantize", action="store_true",
                    help="store 7-bit impact scores instead of tfs")
+    b.add_argument("--extractor", default="frozen",
+                   choices=["frozen", "dom"],
+                   help="html->text form when --from-html (frozen = "
+                        "golden byte-identity default; dom = quote-"
+                        "aware tags, noscript/template/iframe dropped)")
     b.set_defaults(fn=cmd_build)
 
     m = sub.add_parser("merge", help="merge batch indexes")

@@ -70,24 +70,81 @@ def extract_text(html_bytes: bytes | None) -> str:
     return _WS.sub(" ", strip_markup(s)).strip()
 
 
-def extract_batch(html_series: pd.Series) -> pd.Series:
-    """Batch form over an Arrow column of binary; same frozen semantics.
+# ---------------------------------------------------------------------
+# Opt-in DOM-fidelity extractor ("dom"): fixes the frozen extractor's
+# documented regex-vs-DOM edge cases (VERDICT r4 "What's missing" #2)
+# without touching the frozen default — indexes built under one
+# extractor stay byte-stable forever; the knob is per-build
+# (build_index(extractor=...)) and batches merged together must share
+# it (operators/merge.py docstring).
+#
+# DOM-faithful behaviors the frozen regexes get wrong:
+#   * '>' inside a quoted attribute value (title="a>b") no longer ends
+#     the tag — tag bodies are tokenized quote-aware
+#   * <noscript>/<template>/<iframe> CONTENT is dropped (a DOM walk
+#     with scripting enabled renders none of it), alongside
+#     script/style
+#   * a bare '<' that does not open a tag ('5 < 6') stays literal
+#     text instead of swallowing everything to the next '>'
+#   * <!DOCTYPE ...>, <? ... >, <![CDATA[ ... ]]> and bogus comments
+#     are dropped as units
+# Still a single linear scan: one alternation where the first
+# character(s) decide the branch and every branch consumes
+# deterministically (quoted-string | non-quote-non-gt runs), so no
+# catastrophic backtracking on adversarial input.
+_RAW_DROP = r"script|style|noscript|template|iframe"
+_DOM = re.compile(
+    r"""
+      <!--.*?(?:-->|$)                                # comment
+    | <!\[CDATA\[.*?(?:\]\]>|$)                       # CDATA section
+    | <!(?:--)?[^>]*(?:>|$)                           # doctype/bogus <!
+    | <\?[^>]*(?:>|$)                                 # <? ... >
+    | <(script|style|noscript|template|iframe)        # raw-text element:
+      (?=[\s/>])(?:"[^"]*"|'[^']*'|[^>"'])*(?:>|$)    #  quote-aware open tag
+      .*?(?:</\1\s*(?:>|$)|$)                         #  content to close/EOF
+    | </?[a-zA-Z](?:"[^"]*"|'[^']*'|[^>"'])*(?:>|$)   # ordinary tag
+    """,
+    re.S | re.I | re.X)
+
+
+def extract_text_dom(html_bytes: bytes | None) -> str:
+    """Scalar "dom" extractor: same decode / entity / whitespace
+    contract as the frozen form, DOM-faithful markup handling."""
+    if html_bytes is None:
+        return ""
+    try:
+        s = bytes(html_bytes).decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return ""
+    return _WS.sub(" ", _html.unescape(_DOM.sub(" ", s))).strip()
+
+
+# extractor registry (house pattern: codec/scorer registries) — keys
+# are the build_index(extractor=...) values. "frozen" is the default
+# and the only form the golden byte-identity invariant applies to.
+EXTRACTORS = {"frozen": extract_text, "dom": extract_text_dom}
+
+
+def extract_batch(html_series: pd.Series,
+                  extractor: str = "frozen") -> pd.Series:
+    """Batch form over an Arrow column of binary.
 
     Arrow-batched at the Spark boundary only: inside the batch each
-    element runs the scalar extract_text (regex substitution on str is
+    element runs the scalar extractor (regex substitution on str is
     per-element in CPython regardless of pandas .str wrapping, so
     there is nothing further to vectorize — measured equal).
     """
-    return html_series.map(extract_text).astype("object")
+    return html_series.map(EXTRACTORS[extractor]).astype("object")
 
 
-def extract_text_udf():
+def extract_text_udf(extractor: str = "frozen"):
     """Build the Arrow-vectorized pandas_udf lazily (needs pyspark)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+    fn = EXTRACTORS[extractor]   # raise on unknown name at plan time
 
     @F.pandas_udf(T.StringType())
     def _extract(html_col: pd.Series) -> pd.Series:
-        return extract_batch(html_col)
+        return html_col.map(fn).astype("object")
 
     return _extract

@@ -57,10 +57,16 @@ def canonicalize_iter(batches: Iterator[pd.DataFrame],
                       id_col: str = "doc_id",
                       text_col: str = "text",
                       from_html: bool = False,
-                      emit_terms: bool = False) -> Iterator[pd.DataFrame]:
-    """(doc_id, text|html) -> (doc_id, text=space-joined frozen tokens).
+                      emit_terms: bool = False,
+                      extractor: str = "frozen") -> Iterator[pd.DataFrame]:
+    r"""(doc_id, text|html) -> (doc_id, text=space-joined frozen tokens).
 
-    Runs the frozen extractor (optionally) and the frozen regex
+    extractor selects the html->text form from
+    functions/extract.EXTRACTORS ("frozen" default; "dom" opt-in —
+    quote-aware tags, noscript/template dropped); only consulted when
+    from_html. The tokenizer itself is always the frozen regex.
+
+    Runs the extractor (optionally) and the frozen regex
     tokenizer ONCE, fused in a single Python crossing — raw html enters
     the worker, only canonical tokens leave (at web scale that removes
     two full Arrow transfers of the corpus text). Downstream passes
@@ -84,10 +90,11 @@ def canonicalize_iter(batches: Iterator[pd.DataFrame],
     this mode every row also carries `dl` (the doc's token count —
     free here, len(tok_list)), so the docs table downstream is a pure
     projection: no corpus-wide re-split for doc lengths."""
-    from irkit_spark.functions.extract import extract_text
+    from irkit_spark.functions.extract import EXTRACTORS
+    _extract = EXTRACTORS[extractor]
     for pdf in batches:
         if from_html:
-            texts = (extract_text(h) for h in pdf[text_col])
+            texts = (_extract(h) for h in pdf[text_col])
         else:
             texts = (t if isinstance(t, str) else "" for t in pdf[text_col])
         if not emit_terms:

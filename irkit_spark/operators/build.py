@@ -609,8 +609,16 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 shared_lexicon: DataFrame | None = None,
                 global_stats: tuple[int, float] | None = None,
                 broadcast_vocab_max: int | None = None,
-                table_format: str | None = None) -> dict:
+                table_format: str | None = None,
+                extractor: str = "frozen") -> dict:
     """Build (or resume) the index; returns build metrics dict.
+
+    extractor ('frozen' default, 'dom' opt-in — see
+    functions/extract.EXTRACTORS) selects the html->text form when
+    text_from_html=True. Pick ONE per index: batches merged together
+    (operators/merge.py) and incremental ingest runs must share it, or
+    the same url can tokenize differently across batches. The frozen
+    form is the only one under the golden byte-identity invariant.
 
     table_format ('parquet' default, or 'iceberg'; falls back to
     $IRKIT_TABLE_FORMAT) governs every index artifact
@@ -629,6 +637,10 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     from irkit_spark.sources.catalog import (artifact_exists,
                                              artifact_format,
                                              read_artifact, write_artifact)
+    from irkit_spark.functions.extract import EXTRACTORS
+    if extractor not in EXTRACTORS:
+        raise ValueError(f"unknown extractor {extractor!r}; "
+                         f"choices: {sorted(EXTRACTORS)}")
     fmt = artifact_format(table_format)
     if fmt == "iceberg":
         from irkit_spark.sources.catalog import iceberg_available
@@ -738,7 +750,8 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                            lambda it: canonicalize_iter(
                                it, "doc_id", "text",
                                from_html=text_from_html,
-                               emit_terms=True),
+                               emit_terms=True,
+                               extractor=extractor),
                            schema="doc_id long, text string, dl int")
                        .persist())
             src = src_all.filter(F.col("doc_id").isNotNull())
@@ -754,7 +767,8 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                            lambda it: canonicalize_iter(
                                it, "url", "text",
                                from_html=text_from_html,
-                               emit_terms=True),
+                               emit_terms=True,
+                               extractor=extractor),
                            schema="url string, text string, dl int")
                        .persist())
             src0 = src_all.filter(F.col("url").isNotNull())
@@ -1104,6 +1118,9 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         "wall_ms": pa.array([wall_ms], pa.int64()),
         "bound_slack": pa.array([1.0], pa.float64()),
         "quantized": pa.array([bool(quantize)], pa.bool_()),
+        # which html->text form built this index; merge refuses to mix
+        # (same-url text must be identical across merged batches)
+        "extractor": pa.array([extractor], pa.string()),
         "built_at": pa.array([datetime.now(timezone.utc)],
                              pa.timestamp("us", tz="UTC")),
     })

@@ -130,10 +130,13 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     block_size = int(stats[0]["block_size"])
     docs_per_shard = int(stats[0]["docs_per_shard"])
     quantized = bool(stats[0].asDict().get("quantized", False))
+    # pre-knob indexes (no extractor column) were all built frozen
+    extractor = stats[0].asDict().get("extractor", "frozen")
     for s in stats[1:]:
         if (s["codec"], int(s["block_size"]), int(s["docs_per_shard"]),
-                bool(s.asDict().get("quantized", False))) != \
-                (codec, block_size, docs_per_shard, quantized):
+                bool(s.asDict().get("quantized", False)),
+                s.asDict().get("extractor", "frozen")) != \
+                (codec, block_size, docs_per_shard, quantized, extractor):
             raise ValueError("batch indexes built with different layouts")
 
     docs = None
@@ -240,6 +243,7 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
         "wall_ms": pa.array([wall_ms], pa.int64()),
         "bound_slack": pa.array([float(slack)], pa.float64()),
         "quantized": pa.array([bool(quantized)], pa.bool_()),
+        "extractor": pa.array([extractor], pa.string()),
         "built_at": pa.array([datetime.now(timezone.utc)],
                              pa.timestamp("us", tz="UTC")),
     })

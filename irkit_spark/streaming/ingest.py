@@ -112,7 +112,8 @@ def _grow_lexicon(spark, out_dir: str, batch_terms, counters: dict,
 
 def process_batch(spark: SparkSession, batch_df, out_dir: str,
                   docs_per_shard: int, codec: str = "varbyte",
-                  epoch_id: int | None = None) -> dict:
+                  epoch_id: int | None = None,
+                  extractor: str = "frozen") -> dict:
     """One micro-batch -> one batch index with global ids/stats.
 
     Idempotent per epoch: foreachBatch replays a micro-batch when the
@@ -139,7 +140,8 @@ def process_batch(spark: SparkSession, batch_df, out_dir: str,
     # grow the shared lexicon with this batch's unseen terms
     from irkit_spark.functions.extract import extract_text_udf
     from irkit_spark.functions.tokenize import distinct_terms_iter
-    src = ids.withColumn("text", extract_text_udf()(F.col("html")))
+    src = ids.withColumn("text",
+                         extract_text_udf(extractor)(F.col("html")))
     batch_terms = (src.select("text")
                    .mapInPandas(lambda it: distinct_terms_iter(it, "text"),
                                 schema="term string").distinct())
@@ -157,7 +159,7 @@ def process_batch(spark: SparkSession, batch_df, out_dir: str,
     build_index(spark, ids, bdir, codec=codec,
                 docs_per_shard=docs_per_shard, text_from_html=True,
                 doc_id_col="doc_id", shared_lexicon=lex,
-                global_stats=(n_docs, avgdl))
+                global_stats=(n_docs, avgdl), extractor=extractor)
     c.update({"n_docs": n_docs, "coll_len": coll_len,
               "next_doc_id": c["next_doc_id"] + n})
     c["batches"].append(bdir)
@@ -171,18 +173,21 @@ def process_batch(spark: SparkSession, batch_df, out_dir: str,
 def ingest_available_now(spark: SparkSession, input_dir: str,
                          out_dir: str, docs_per_shard: int = 100000,
                          codec: str = "varbyte",
-                         merge: bool = True) -> dict:
+                         merge: bool = True,
+                         extractor: str = "frozen") -> dict:
     """Process every file currently in `input_dir` (exactly-once via the
     stream checkpoint), then merge all batch indexes into
     `out_dir/current`. Re-running after new files arrive ingests only
-    the new ones and re-merges."""
+    the new ones and re-merges. `extractor` must stay the same across
+    every run against one out_dir (merge enforces it via stats)."""
     ckpt = os.path.join(_state_dir(out_dir), "checkpoint")
     stream = (spark.readStream.schema(PAGES_SCHEMA)
               .option("maxFilesPerTrigger", "64")
               .parquet(input_dir))
     q = (stream.writeStream
          .foreachBatch(lambda df, epoch: process_batch(
-             spark, df, out_dir, docs_per_shard, codec, epoch_id=epoch))
+             spark, df, out_dir, docs_per_shard, codec, epoch_id=epoch,
+             extractor=extractor))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
