@@ -57,10 +57,45 @@ def cmd_merge(args):
                                    table_format=args.table_format)))
 
 
+def _read_queries_file(path: str) -> dict[str, str]:
+    """TREC-style query file: one query per line, either 'qid<TAB>text'
+    or bare text (qid = 0-based line number). Blank lines skipped."""
+    queries: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            if "\t" in line:
+                qid, text = line.split("\t", 1)
+            else:
+                qid, text = str(i), line
+            queries[qid] = text
+    return queries
+
+
 def cmd_query(args):
-    from irkit_spark.operators.query import Index, search
+    from irkit_spark.operators.query import Index, batch_search, search
     spark = _session("irkit-query")
     idx = Index(spark, args.index)
+    if args.queries_file:
+        # whole TREC run in ONE distributed pass (batch_search): all
+        # queries' terms prune one postings scan — per-query jobs would
+        # cost a fixed ~1-2s of scheduling each
+        queries = _read_queries_file(args.queries_file)
+        rows = batch_search(idx, queries, k=args.k, mode=args.mode,
+                            scorer=args.scorer,
+                            doc_filter=args.doc_filter or None).collect()
+        by_q: dict[str, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid in queries:            # file order; OOV-only -> no rows
+            ranked = sorted(by_q.get(qid, ()),
+                            key=lambda r: (-r["score"], r["doc_id"]))
+            for rank, r in enumerate(ranked, 1):
+                print(f"{qid} Q0 {r['doc_id']} {rank} "
+                      f"{r['score']:.6f} irkit_spark")
+        return
     local = {"auto": None, "on": True, "off": False}[args.local]
     if args.doc_filter and args.local == "auto":
         local = False           # filtered retrieval runs distributed
@@ -126,7 +161,12 @@ def main(argv=None):
 
     q = sub.add_parser("query", help="top-k BM25 query")
     q.add_argument("--index", required=True)
-    q.add_argument("--query", required=True)
+    g = q.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query")
+    g.add_argument("--queries-file", dest="queries_file",
+                   help="TREC run over a query file ('qid<TAB>text' or "
+                        "bare text per line) in one distributed pass "
+                        "(batch_search); modes: daat/wand/maxscore/and")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", default="wand",
                    choices=["taat", "daat", "wand", "maxscore", "and"])

@@ -53,3 +53,18 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert len(lines) == 5          # TREC run format, k rows
     ranks = [int(ln.split()[3]) for ln in lines]
     assert ranks == [1, 2, 3, 4, 5]
+
+    # whole-file TREC run (one distributed batch_search pass); the
+    # single-query leg above must reappear verbatim under its qid
+    (tmp_path / "queries.tsv").write_text(
+        "q7\tterm00000 term00007\nq9\tterm00001 term00123\n"
+        "\nqoov\tzzznotaterm\n")
+    out = submit("query", "--index", "idx",
+                 "--queries-file", "queries.tsv", "--k", "5",
+                 "--mode", "maxscore")
+    blines = [ln for ln in out.strip().splitlines() if " Q0 " in ln]
+    got_q7 = [ln.split() for ln in blines if ln.startswith("q7 ")]
+    assert [g[2:5] for g in got_q7] == \
+        [ln.split()[2:5] for ln in lines]          # same docs/ranks/scores
+    assert len([ln for ln in blines if ln.startswith("q9 ")]) == 5
+    assert not any(ln.startswith("qoov ") for ln in blines)  # OOV: no rows
