@@ -107,6 +107,80 @@ def test_dom_linear_on_adversarial():
     assert time.monotonic() - t0 < 5.0
 
 
+def test_dom_matches_stdlib_htmlparser_on_generated_html():
+    """Property: on well-formed generated HTML, the dom extractor's
+    TOKENIZED output (the semantics indexing actually consumes) equals
+    a reference extractor built on stdlib html.parser.HTMLParser — an
+    event-driven real HTML tokenizer with proper attribute handling.
+    Exclusions by construction: unterminated quotes, bogus `<!` blobs,
+    and markup inside attribute VALUES beyond '>' (both sides handle
+    those, but whitespace joining differs legitimately)."""
+    from html.parser import HTMLParser
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from irkit_spark.functions.tokenize import tokenize
+
+    RAW = {"script", "style", "noscript", "template", "iframe"}
+
+    class Ref(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts, self.skip = [], 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in RAW:
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in RAW and self.skip:
+                self.skip -= 1
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+    def ref_tokens(html: str) -> list[str]:
+        p = Ref()
+        p.feed(html)
+        p.close()
+        return tokenize(" ".join(p.parts))
+
+    text = st.lists(st.sampled_from(
+        ["hello", "world42", "5 < 6", "7 > 4", "a&amp;b", "x&#65;y",
+         "café", "mixed CASE", "", "  "]), max_size=3).map(" ".join)
+    attr = st.sampled_from(
+        ["", ' class="a>b"', " id='q>r'", ' data-x="1<2"', " disabled"])
+    name = st.sampled_from(["p", "div", "span", "b", "em", "li", "h1"])
+    rawname = st.sampled_from(sorted(RAW))
+    rawbody = st.sampled_from(
+        ["var x = 1 < 2;", "p { color: red }", "fallback words", ""])
+
+    def element(children):
+        return st.tuples(name, attr, children).map(
+            lambda t: f"<{t[0]}{t[1]}>{t[2]}</{t[0]}>")
+
+    leaf = st.one_of(
+        text,
+        st.tuples(rawname, rawbody).map(
+            lambda t: f"<{t[0]}>{t[1]}</{t[0]}>"),
+        st.sampled_from(["<!-- a comment -->", "<!DOCTYPE html>"]),
+    )
+    node = st.recursive(leaf, lambda kids: st.one_of(
+        element(st.lists(kids, max_size=3).map(" ".join)), kids),
+        max_leaves=8)
+    doc = st.lists(node, max_size=4).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(doc)
+    def check(html):
+        assert tokenize(extract_text_dom(html.encode())) == \
+            ref_tokens(html), html
+
+    check()
+
+
 def test_build_with_dom_extractor_end_to_end(spark, tmp_path):
     """build_index(extractor='dom') records the knob in stats, indexes
     the dom-extracted text, and queries work; a doc whose dom text
