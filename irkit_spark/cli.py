@@ -54,7 +54,8 @@ def cmd_merge(args):
     from irkit_spark.operators.merge import merge_indexes
     spark = _session("irkit-merge")
     print(json.dumps(merge_indexes(spark, args.inputs, args.out,
-                                   table_format=args.table_format)))
+                                   table_format=args.table_format,
+                                   resume=args.resume)))
 
 
 def _read_queries_file(path: str) -> dict[str, str]:
@@ -154,6 +155,10 @@ def main(argv=None):
 
     m = sub.add_parser("merge", help="merge batch indexes")
     m.add_argument("--out", required=True)
+    m.add_argument("--resume", action="store_true",
+                   help="skip artifacts a prior interrupted merge of "
+                        "the SAME inputs already completed "
+                        "(_merge_manifest.json checkpoint)")
     m.add_argument("--table-format", default=None,
                    choices=["parquet", "iceberg"])
     m.add_argument("inputs", nargs="+")

@@ -106,10 +106,23 @@ def _merge_kernel(avgdl: float, codec: str, block_size: int,
 
 
 def merge_indexes(spark: SparkSession, in_dirs: list[str],
-                  out_dir: str, table_format: str | None = None) -> dict:
+                  out_dir: str, table_format: str | None = None,
+                  resume: bool = False) -> dict:
     """table_format (parquet default / 'iceberg', $IRKIT_TABLE_FORMAT)
     governs the merged artifacts exactly like build_index's knob; under
-    iceberg, in_dirs/out_dir are catalog namespaces."""
+    iceberg, in_dirs/out_dir are catalog namespaces.
+
+    resume=True: artifact-level checkpointing for the 10^12-doc case
+    where a merge is itself a multi-hour job. Each completed artifact
+    (docs, postings, terms) is recorded in `_merge_manifest.json`
+    AFTER its write returns, so a crash mid-write is never marked done
+    and the re-run rewrites exactly the unfinished artifacts (the
+    in_dirs list is pinned in the manifest — different inputs start
+    fresh). The final stats artifact doubles as the completion marker
+    and the manifest is removed on success. Parquet only (an Iceberg
+    catalog gets atomic table commits from the format itself)."""
+    import json as _json
+
     from irkit_spark.sources.catalog import (artifact_format,
                                              read_artifact, write_artifact)
     fmt = artifact_format(table_format)
@@ -119,10 +132,33 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
             raise RuntimeError(
                 "table_format=iceberg but no Iceberg extension is "
                 "configured on this session")
+        if resume:
+            raise ValueError("resume=True is parquet-only; Iceberg "
+                             "merges get atomic commits from the "
+                             "catalog")
     t0 = time.monotonic()
     if fmt != "iceberg":
         os.makedirs(out_dir, exist_ok=True)
     p = lambda name: os.path.join(out_dir, name)
+
+    manifest_path = p("_merge_manifest.json")
+    done: set[str] = set()
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = _json.load(f)
+        if man.get("in_dirs") == list(in_dirs):
+            done = set(man.get("done", []))
+    skipped = sorted(done)          # stages already complete at entry
+
+    def _mark_stage(stage: str):
+        if fmt == "iceberg":
+            return
+        done.add(stage)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"in_dirs": list(in_dirs),
+                        "done": sorted(done)}, f)
+        os.replace(tmp, manifest_path)
 
     stats = [read_artifact(spark, d, "stats", fmt=fmt).collect()[0]
              for d in in_dirs]
@@ -139,12 +175,14 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
                 (codec, block_size, docs_per_shard, quantized, extractor):
             raise ValueError("batch indexes built with different layouts")
 
-    docs = None
-    for d in in_dirs:
-        b = read_artifact(spark, d, "docs", fmt=fmt)
-        docs = b if docs is None else docs.unionByName(b)
-    write_artifact(docs, out_dir, "docs", partition_by="partition_id",
-                   fmt=fmt)
+    if "docs" not in done:
+        docs = None
+        for d in in_dirs:
+            b = read_artifact(spark, d, "docs", fmt=fmt)
+            docs = b if docs is None else docs.unionByName(b)
+        write_artifact(docs, out_dir, "docs", partition_by="partition_id",
+                       fmt=fmt)
+        _mark_stage("docs")
     docs = read_artifact(spark, out_dir, "docs", fmt=fmt)
     g = docs.agg(F.count("*").alias("n"), F.sum("doc_len").alias("l"),
                  F.max("doc_id").alias("mx")).collect()[0]
@@ -152,45 +190,53 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
     avgdl = coll_len / n_docs if n_docs else 1.0
     n_shards = max(1, math.ceil((int(g["mx"] or 0) + 1) / docs_per_shard))
 
-    post = None
-    for d in in_dirs:
-        b = read_artifact(spark, d, "postings", fmt=fmt)
-        if "max_norm" not in b.columns:
-            raise ValueError(
-                f"batch index at {d!r} uses the pre-max_norm postings "
-                f"layout — rebuild it before merging")
-        post = b if post is None else post.unionByName(b)
-    kern = _merge_kernel(avgdl, codec, block_size, docs_per_shard,
-                         quantized)
-    merged = (post.groupBy("partition_id")
-              .cogroup(docs.select("partition_id", "doc_id", "doc_len")
-                       .groupBy("partition_id"))
-              .applyInPandas(lambda lt, rt: kern(lt, rt), POSTINGS_SCHEMA))
-    write_artifact(merged.repartition("partition_id")
-                   .sortWithinPartitions("term_id"),
-                   out_dir, "postings", partition_by="partition_id",
-                   fmt=fmt)
+    if "postings" not in done:
+        post = None
+        for d in in_dirs:
+            b = read_artifact(spark, d, "postings", fmt=fmt)
+            if "max_norm" not in b.columns:
+                raise ValueError(
+                    f"batch index at {d!r} uses the pre-max_norm postings "
+                    f"layout — rebuild it before merging")
+            post = b if post is None else post.unionByName(b)
+        kern = _merge_kernel(avgdl, codec, block_size, docs_per_shard,
+                             quantized)
+        merged = (post.groupBy("partition_id")
+                  .cogroup(docs.select("partition_id", "doc_id", "doc_len")
+                           .groupBy("partition_id"))
+                  .applyInPandas(lambda lt, rt: kern(lt, rt),
+                                 POSTINGS_SCHEMA))
+        write_artifact(merged.repartition("partition_id")
+                       .sortWithinPartitions("term_id"),
+                       out_dir, "postings", partition_by="partition_id",
+                       fmt=fmt)
+        _mark_stage("postings")
     postings = read_artifact(spark, out_dir, "postings", fmt=fmt)
 
     # terms: df/cf sums across batches (disjoint docs), fresh max_score
-    terms = None
-    for d in in_dirs:
-        b = read_artifact(spark, d, "terms", fmt=fmt)
-        terms = b if terms is None else terms.unionByName(b)
-    tsum = (terms.groupBy("term_id", "term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
-    per_term_max = (postings
-                    .select("term_id", F.col("max_norm").alias("mx"))
-                    .groupBy("term_id").agg(F.max("mx").alias("max_norm")))
-    terms_final = (tsum.join(per_term_max, "term_id", "left")
-                   .withColumn("idf", F.log1p(
-                       (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                       / (F.col("df") + 0.5)))
-                   .withColumn("max_score",
-                               (F.col("idf") * F.coalesce(
-                                   "max_norm", F.lit(0.0))).cast("float"))
-                   .select("term_id", "term", "df", "cf", "max_score"))
-    write_artifact(terms_final, out_dir, "terms", fmt=fmt)
+    if "terms" not in done:
+        terms = None
+        for d in in_dirs:
+            b = read_artifact(spark, d, "terms", fmt=fmt)
+            terms = b if terms is None else terms.unionByName(b)
+        tsum = (terms.groupBy("term_id", "term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+        per_term_max = (postings
+                        .select("term_id", F.col("max_norm").alias("mx"))
+                        .groupBy("term_id")
+                        .agg(F.max("mx").alias("max_norm")))
+        terms_final = (tsum.join(per_term_max, "term_id", "left")
+                       .withColumn("idf", F.log1p(
+                           (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                           / (F.col("df") + 0.5)))
+                       .withColumn("max_score",
+                                   (F.col("idf") * F.coalesce(
+                                       "max_norm",
+                                       F.lit(0.0))).cast("float"))
+                       .select("term_id", "term", "df", "cf",
+                               "max_score"))
+        write_artifact(terms_final, out_dir, "terms", fmt=fmt)
+        _mark_stage("terms")
 
     wall_ms = int((time.monotonic() - t0) * 1000)
     # one scan: total postings derives from the per-shard aggregation
@@ -248,5 +294,8 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
                              pa.timestamp("us", tz="UTC")),
     })
     write_artifact_driver(spark, stats_tbl, out_dir, "stats", fmt=fmt)
+    if fmt != "iceberg" and os.path.exists(manifest_path):
+        os.remove(manifest_path)    # stats written = merge complete
     return {"n_docs": n_docs, "total_postings": int(total_postings),
-            "wall_ms": wall_ms, "n_shards": n_shards}
+            "wall_ms": wall_ms, "n_shards": n_shards,
+            "resumed_stages": skipped}

@@ -143,3 +143,53 @@ def test_resume_rejects_old_tok_layout(spark, pages_small,
     with _pytest.raises(RuntimeError, match="row layout"):
         build_index(spark, pages_small, out, docs_per_shard=300,
                     text_from_html=True, resume=True)
+
+
+def test_merge_resume_skips_completed_stages(spark, split_build,
+                                             tmp_path_factory):
+    """merge_indexes(resume=True): a merge interrupted after the docs
+    stage re-runs only postings/terms/stats, leaves the finished docs
+    artifact untouched, and lands byte-identical to an uninterrupted
+    merge. The manifest pins in_dirs and is removed on success."""
+    import json
+
+    full_dir, merged_dir, _ = split_build
+    base = os.path.dirname(merged_dir)
+    dirs = [os.path.join(base, "even"), os.path.join(base, "odd")]
+    ref = _postings_canon(spark, merged_dir)
+
+    out = str(tmp_path_factory.mktemp("mresume") / "m2")
+    m = merge_indexes(spark, dirs, out, resume=True)
+    assert m["resumed_stages"] == []
+    manifest = os.path.join(out, "_merge_manifest.json")
+    assert not os.path.exists(manifest)   # success removes it
+    assert _postings_canon(spark, out) == ref
+
+    # simulate a crash right after the docs write: later artifacts
+    # gone, manifest records docs done
+    for a in ("postings", "terms", "stats"):
+        shutil.rmtree(os.path.join(out, a))
+    with open(manifest, "w") as f:
+        json.dump({"in_dirs": dirs, "done": ["docs"]}, f)
+    docs_mtime = os.path.getmtime(os.path.join(out, "docs"))
+    m2 = merge_indexes(spark, dirs, out, resume=True)
+    assert m2["resumed_stages"] == ["docs"]
+    assert os.path.getmtime(os.path.join(out, "docs")) == docs_mtime
+    assert not os.path.exists(manifest)
+    assert _postings_canon(spark, out) == ref
+    tb = {r["term"]: (r["df"], r["cf"])
+          for r in spark.read.parquet(out + "/terms").collect()}
+    tref = {r["term"]: (r["df"], r["cf"])
+            for r in spark.read.parquet(merged_dir + "/terms").collect()}
+    assert tb == tref
+
+    # a manifest written for DIFFERENT inputs must be ignored: every
+    # stage re-runs (nothing falsely skipped)
+    for a in ("postings", "terms", "stats"):
+        shutil.rmtree(os.path.join(out, a))
+    with open(manifest, "w") as f:
+        json.dump({"in_dirs": ["/somewhere/else"],
+                   "done": ["docs", "postings", "terms"]}, f)
+    m3 = merge_indexes(spark, dirs, out, resume=True)
+    assert m3["resumed_stages"] == []
+    assert _postings_canon(spark, out) == ref
