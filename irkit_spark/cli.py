@@ -108,6 +108,16 @@ def cmd_query(args):
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
 
 
+def cmd_verify(args):
+    from irkit_spark.operators.validate import verify_index
+    spark = _session("irkit-verify")
+    r = verify_index(spark, args.index, table_format=args.table_format,
+                     deep=args.deep)
+    print(json.dumps(r))
+    if not r["ok"]:
+        sys.exit(2)
+
+
 def cmd_lookup(args):
     from irkit_spark.operators.query import Index
     spark = _session("irkit-lookup")
@@ -187,6 +197,14 @@ def main(argv=None):
                         "query size (irk-query analog), on forces it, "
                         "off forces the distributed path")
     q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("verify", help="check index artifact invariants")
+    v.add_argument("--index", required=True)
+    v.add_argument("--deep", action="store_true",
+                   help="also decode every posting block (full scan)")
+    v.add_argument("--table-format", default=None,
+                   choices=["parquet", "iceberg"])
+    v.set_defaults(fn=cmd_verify)
 
     lk = sub.add_parser("lookup", help="term/doc/stats lookups")
     lk.add_argument("--index", required=True)
