@@ -28,6 +28,8 @@ Q_BM25_A = "join hash merge"
 Q_BM25_B = "spark window customer"
 Q_AND = "scan filter merge"
 Q_OR = "spark window"
+Q_PHRASE = "spark window"        # ~30 adjacency hits at sf0.01
+Q_PHRASE3 = "value table part"   # trigram: exercises m>2 adjacency
 
 _IDX_CACHE: dict[str, str] = {}
 
@@ -65,6 +67,20 @@ def _index_for(spark: SparkSession, sf_dir: str,
                     key_col="doc_id", n_parts=16, quantize=quantize)
         _IDX_CACHE[key] = out
     return _IDX_CACHE[key]
+
+
+def _positions_for(spark, sf_dir: str) -> str:
+    """Ensure the cached index for sf_dir also carries the positions
+    artifact (built once per process from the same documents table —
+    the doc_id_col path, so ids line up by construction)."""
+    path = _index_for(spark, sf_dir)
+    key = path + "#pos"
+    if key not in _IDX_CACHE:
+        from irkit_spark.operators.positions import build_positions
+        build_positions(spark, _docs(spark, sf_dir), path,
+                        doc_id_col="doc_id")
+        _IDX_CACHE[key] = path
+    return path
 
 
 def _index_search(spark, sf_dir, query, k, mode,
@@ -373,6 +389,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 lambda x: F.round(x * 255).cast("int").cast("string")))
             .alias("feat_bytes"))
 
+    def q_index_phrase_top10(spark, sf):
+        # exact-phrase retrieval from the positional artifact
+        # (operators/positions.py): adjacency-verified docs ranked by
+        # the same frozen BM25 over the phrase's unique terms
+        from irkit_spark.operators.positions import phrase_search
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _positions_for(spark, sf))
+        return (phrase_search(idx, Q_PHRASE, 10)
+                .select("doc_id", "phrase_tf",
+                        F.round("score", 6).alias("score")))
+
+    def q_index_phrase3_top10(spark, sf):
+        from irkit_spark.operators.positions import phrase_search
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _positions_for(spark, sf))
+        return (phrase_search(idx, Q_PHRASE3, 10)
+                .select("doc_id", "phrase_tf",
+                        F.round("score", 6).alias("score")))
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_stats": q_term_stats,
@@ -423,6 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_keep_first": q_dedup_embedding,
         "ann_index_top10": q_ann_index,
         "media_features": q_media_features,
+        "index_phrase_top10": q_index_phrase_top10,
+        "index_phrase3_top10": q_index_phrase3_top10,
     }
 
 
@@ -468,6 +505,40 @@ sc AS (
        JOIN dl USING (doc_id) CROSS JOIN st{where}
   GROUP BY 1{conj})
 SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _phrase_sql(phrase: str, k: int) -> str:
+    """Exact-phrase top-k oracle (operators/positions.phrase_search):
+    adjacency via a list_filter over 1-indexed token offsets (DuckDB
+    range(a, b) is empty when b <= a, so short docs fall out), then
+    the standard BM25 over the phrase's UNIQUE terms restricted to
+    adjacency-passing docs — selection changes, scoring doesn't."""
+    ws = phrase.lower().split()
+    m = len(ws)
+    cond = " AND ".join(f"toks[i + {j}] = '{w}'" for j, w in enumerate(ws))
+    terms = sorted(set(ws))
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(terms)}),
+ph AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(toks) - {m} + 2),
+                              i -> {cond})) AS BIGINT) AS phrase_tf
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+cand AS (SELECT doc_id, phrase_tf FROM ph WHERE phrase_tf > 0),
+sc AS (
+  SELECT tf.doc_id, cand.phrase_tf,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) JOIN cand USING (doc_id) CROSS JOIN st
+  GROUP BY 1, 2)
+SELECT doc_id, phrase_tf, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
@@ -1080,6 +1151,8 @@ WHERE round({cosp}, 6) > 0.3""",
 SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
        md5(text) AS digest FROM documents""",
         "media_features": _media_features_sql(),
+        "index_phrase_top10": _phrase_sql(Q_PHRASE, 10),
+        "index_phrase3_top10": _phrase_sql(Q_PHRASE3, 10),
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

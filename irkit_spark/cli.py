@@ -97,6 +97,13 @@ def cmd_query(args):
                 print(f"{qid} Q0 {r['doc_id']} {rank} "
                       f"{r['score']:.6f} irkit_spark")
         return
+    if args.phrase:
+        from irkit_spark.operators.positions import phrase_search
+        rows = phrase_search(idx, args.query, k=args.k).collect()
+        for rank, r in enumerate(rows, 1):
+            print(f"{args.qid} Q0 {r['doc_id']} {rank} "
+                  f"{r['score']:.6f} irkit_spark")
+        return
     local = {"auto": None, "on": True, "off": False}[args.local]
     if args.doc_filter and args.local == "auto":
         local = False           # filtered retrieval runs distributed
@@ -116,6 +123,17 @@ def cmd_verify(args):
     print(json.dumps(r))
     if not r["ok"]:
         sys.exit(2)
+
+
+def cmd_build_positions(args):
+    from irkit_spark.operators.positions import build_positions
+    from irkit_spark.sources.catalog import load_pages
+    spark = _session("irkit-build-positions")
+    src = load_pages(spark, args.pages)
+    m = build_positions(spark, src, args.index, text_col=args.text_col,
+                        doc_id_col=args.doc_id_col, key_col=args.key_col,
+                        table_format=args.table_format)
+    print(json.dumps(m))
 
 
 def cmd_lookup(args):
@@ -196,7 +214,23 @@ def main(argv=None):
                    help="driver-side serving kernel: auto gates on "
                         "query size (irk-query analog), on forces it, "
                         "off forces the distributed path")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase retrieval: --query tokens must "
+                        "occur consecutively (needs build-positions)")
     q.set_defaults(fn=cmd_query)
+
+    bp = sub.add_parser("build-positions",
+                        help="add the positional artifact to an index")
+    bp.add_argument("--pages", required=True,
+                    help="the SAME source text the index tokenized "
+                         "(parquet path or catalog table)")
+    bp.add_argument("--index", required=True)
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--key-col", default="url")
+    bp.add_argument("--doc-id-col", default=None)
+    bp.add_argument("--table-format", default=None,
+                    choices=["parquet", "iceberg"])
+    bp.set_defaults(fn=cmd_build_positions)
 
     v = sub.add_parser("verify", help="check index artifact invariants")
     v.add_argument("--index", required=True)

@@ -1,0 +1,449 @@
+"""Positional postings + exact-phrase retrieval (opt-in artifact).
+
+Extends the fulltext tier beyond the reference surface (SURVEY.md §2
+has no positions row — irkit's index is docID+tf only): an optional
+`positions/` artifact alongside an existing index, holding per
+(term_id, shard) one row of per-doc token-position streams, and
+`phrase_search` — exact-phrase top-k: a doc matches iff the query
+tokens occur at CONSECUTIVE token positions; survivors are ranked by
+the same frozen BM25 over the phrase's unique terms with GLOBAL
+collection stats (selection changes, scoring doesn't — the
+filtered-retrieval contract of operators/query.search(doc_filter=...)
+applied to adjacency).
+
+Layout (all varbyte — self-delimiting, so per-doc streams concatenate
+and a whole row decodes in O(1) codec calls, the same property
+decode_blocks_batch exploits):
+
+    term_id int, partition_id int, n_docs int, cf long,
+    first_doc long,
+    doc_bytes binary   -- delta-gap docIDs (first gap 0 vs first_doc)
+    cnt_bytes binary   -- positions-count (== tf) per doc
+    pos_bytes binary   -- per-doc delta-gap positions, concatenated
+                          (each doc's first gap = absolute first pos)
+
+Invariants vs the core postings artifact (checked by
+operators/validate.verify_index when positions/ exists): per
+(term_id, partition_id) n_docs and cf match postings exactly — the
+positions pass re-tokenizes the same corpus with the same frozen
+tokenizer, so any drift means the source changed under the index.
+
+Scale shape: the build is one tokenize pass (Arrow kernel; the whole
+batch's position gaps are varbyte-encoded in ONE call and sliced per
+group via the byte-offset table — no per-value Python), one
+repartition on hash(term_id, shard) sized from the known collection
+length, and a streaming group-merge. A phrase query is a term_id-
+pruned scan of positions/ (dir-partitioned by shard, term-sorted row
+groups) + a per-shard vectorized numpy kernel + a tiny top-k — the
+exact plan shape of operators/query.search, so everything that makes
+that path 100 TB-safe (no corpus shuffle at query time, dl broadcast
+gate with cogroup fallback above it) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irkit_spark import config
+from irkit_spark.functions.codecs import (varbyte_byte_offsets,
+                                          varbyte_decode, varbyte_encode)
+from irkit_spark.functions.scoring import bm25_tf_norm
+from irkit_spark.functions.tokenize import _flat_tokens, tokenize
+
+POS_SCHEMA = ("term_id int, partition_id int, n_docs int, cf long, "
+              "first_doc long, doc_bytes binary, cnt_bytes binary, "
+              "pos_bytes binary")
+
+PHRASE_SCHEMA = "doc_id long, phrase_tf long, score double"
+
+# doc-local ids (< docs_per_shard < 2^31) are packed with positions
+# into one int64 key: doc << _POS_BITS | (pos - token_offset + m).
+# Bounds: doc length (and so any position) must stay below 2^33 - m —
+# an 8.6-billion-token single document would overflow first elsewhere.
+_POS_BITS = np.int64(33)
+
+
+# ------------------------------------------------------------------ build
+
+def _positions_iter(batches: Iterator[pd.DataFrame], bc_term_ids,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    pre_tokenized: bool = False) -> Iterator[pd.DataFrame]:
+    """Kernel A: (doc_id, text) -> one row per (doc, term) with that
+    term's positions as a varbyte delta-gap stream (0-based tokenizer
+    offsets; first gap = absolute first position).
+
+    bc_term_ids: broadcast {term: term_id} — rows whose term is absent
+    are dropped (shared-lexicon P3 semantics). None = emit the term
+    STRING instead (the above-vocab-gate path; the caller joins to the
+    terms table, no driver dict at web-scale vocabs).
+
+    The WHOLE batch's gaps are encoded in ONE varbyte call and sliced
+    per group via the byte-offset table — the same batch-vectorization
+    the index encode kernel uses; the only per-group Python is a bytes
+    slice."""
+    emit_ids = bc_term_ids is not None
+    tcol = "term_id" if emit_ids else "term"
+    tdtype = "int32" if emit_ids else "object"
+    for pdf in batches:
+        flat, row_idx, lens = _flat_tokens(pdf[text_col], pre_tokenized)
+        if flat.size == 0:
+            yield pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                tcol: pd.Series([], dtype=tdtype),
+                "n": pd.Series([], dtype="int32"),
+                "pos_bytes": pd.Series([], dtype="object")})
+            continue
+        starts_of_rows = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts_of_rows[1:])
+        pos = (np.arange(flat.size, dtype=np.int64)
+               - np.repeat(starts_of_rows, lens))
+        codes, uniq = pd.factorize(flat)
+        nu = len(uniq)
+        key = row_idx * nu + codes
+        order = np.argsort(key, kind="stable")  # stable: positions stay
+        skey = key[order]                       # ascending within group
+        spos = pos[order]
+        gstart = np.flatnonzero(np.concatenate(
+            ([True], skey[1:] != skey[:-1])))
+        gn = np.diff(np.concatenate((gstart, [skey.size])))
+        grows = skey[gstart] // nu
+        gcodes = skey[gstart] % nu
+        if emit_ids:
+            lookup = bc_term_ids.value
+            code_ids = np.fromiter((lookup.get(t, -1) for t in uniq),
+                                   dtype=np.int64, count=nu)
+            gterm = code_ids[gcodes]
+            keep = gterm >= 0
+        else:
+            gterm = np.asarray(uniq, dtype=object)[gcodes]
+            keep = np.ones(gterm.size, dtype=bool)
+        # delta-gap positions: diff everywhere, absolute at group starts
+        gaps = np.empty(spos.size, dtype=np.int64)
+        gaps[1:] = spos[1:] - spos[:-1]
+        gaps[gstart] = spos[gstart]
+        u = gaps.astype(np.uint64)
+        offs = varbyte_byte_offsets(u)
+        wire = varbyte_encode(u, np.diff(offs))
+        gend = gstart + gn
+        blobs = np.empty(int(keep.sum()), dtype=object)
+        out_i = 0
+        for gi in np.flatnonzero(keep):
+            blobs[out_i] = wire[offs[gstart[gi]]:offs[gend[gi]]]
+            out_i += 1
+        yield pd.DataFrame({
+            id_col: pdf[id_col].to_numpy()[grows[keep]],
+            tcol: (gterm[keep].astype("int32") if emit_ids
+                   else pd.Series(gterm[keep], dtype="object")),
+            "n": gn[keep].astype("int32"),
+            "pos_bytes": pd.Series(blobs, dtype="object")})
+
+
+def _merge_groups_iter(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+    """Kernel B: streaming (term_id, shard) group merger over rows
+    sorted by (term_id, partition_id, doc_id) within the partition.
+    A group may span Arrow batches; the last (possibly incomplete)
+    group of each batch is carried into the next — the same carry
+    protocol as the index encode kernel (operators/build._encode_kernel).
+    Per-doc varbyte streams concatenate verbatim (self-delimiting), so
+    the merge is byte joins — no re-encode."""
+    carry: pd.DataFrame | None = None
+
+    def emit(g: pd.DataFrame) -> dict:
+        docs = g["doc_id"].to_numpy().astype(np.int64)
+        ns = g["n"].to_numpy().astype(np.uint64)
+        first = int(docs[0])
+        gaps = np.diff(docs, prepend=first).astype(np.uint64)
+        return {
+            "term_id": int(g["term_id"].iloc[0]),
+            "partition_id": int(g["partition_id"].iloc[0]),
+            "n_docs": len(g),
+            "cf": int(ns.sum()),
+            "first_doc": first,
+            "doc_bytes": varbyte_encode(gaps),
+            "cnt_bytes": varbyte_encode(ns),
+            "pos_bytes": b"".join(bytes(b) for b in g["pos_bytes"]),
+        }
+
+    def flush(pdf: pd.DataFrame, last_open: bool):
+        nonlocal carry
+        # shard count at 10^12 docs is ~10^7 (> 2^20): pack with a
+        # 31-bit shard field so the group key never aliases
+        key = ((pdf["term_id"].to_numpy().astype(np.int64) << np.int64(31))
+               + pdf["partition_id"].to_numpy().astype(np.int64))
+        gstart = np.flatnonzero(np.concatenate(
+            ([True], key[1:] != key[:-1])))
+        bounds = np.concatenate((gstart, [len(pdf)]))
+        rows = []
+        ng = len(gstart)
+        for i in range(ng):
+            g = pdf.iloc[bounds[i]:bounds[i + 1]]
+            if last_open and i == ng - 1:
+                carry = g.copy()
+            else:
+                rows.append(emit(g))
+        return pd.DataFrame(rows) if rows else None
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        out = flush(pdf, last_open=True)
+        if out is not None:
+            yield out
+    if carry is not None:
+        yield pd.DataFrame([emit(carry)])
+
+
+def build_positions(spark: SparkSession, df: DataFrame, index_path: str,
+                    text_col: str = "text", doc_id_col: str | None = None,
+                    key_col: str = "url", n_parts: int | None = None,
+                    table_format: str | None = None) -> dict:
+    """Build the positions artifact for an EXISTING index from the same
+    source rows (the same text the index tokenized — the artifact's
+    n_docs/cf must reconcile with postings; verify_index checks).
+
+    doc_id_col: column already carrying the index's dense doc ids
+    (the documents-table path). Otherwise rows are joined to the docs
+    artifact on key_col (url) to recover the ids the build assigned —
+    a build-time shuffle join, one pass, never at query time.
+
+    Positions are tokenizer-output offsets of the FROZEN tokenizer
+    (functions/tokenize.TOKEN_RE) over `text_col`. Callers who indexed
+    html must pass the same extracted text the build tokenized (the
+    build canonicalizes html before tokenizing — rebuild from the docs
+    you fed it, or index a documents table)."""
+    from irkit_spark.operators.query import Index
+    from irkit_spark.sources.catalog import write_artifact
+    idx = Index(spark, index_path, table_format=table_format)
+
+    if doc_id_col is not None:
+        src = df.select(F.col(doc_id_col).cast("long").alias("doc_id"),
+                        F.col(text_col).alias("text"))
+    else:
+        src = (df.select(F.col(key_col).alias("url"),
+                         F.col(text_col).alias("text"))
+               .join(idx.docs.select("url", "doc_id"), "url")
+               .select("doc_id", "text"))
+
+    # term -> term_id: broadcast dict below the vocab gate (the same
+    # gate the build's pass B uses); above it, kernel A emits term
+    # STRINGS and a shuffle join against the terms table assigns ids —
+    # no driver collect at web-scale vocabs
+    n_vocab = idx.terms.count()
+    if n_vocab <= config.BROADCAST_VOCAB_MAX:
+        tdict = {r["term"]: int(r["term_id"])
+                 for r in idx.terms.select("term", "term_id").collect()}
+        bc = spark.sparkContext.broadcast(tdict)
+        doc_term = src.mapInPandas(
+            lambda it: _positions_iter(it, bc),
+            schema="doc_id long, term_id int, n int, pos_bytes binary")
+    else:
+        by_str = src.mapInPandas(
+            lambda it: _positions_iter(it, None),
+            schema="doc_id long, term string, n int, pos_bytes binary")
+        doc_term = (by_str
+                    .join(idx.terms.select("term", "term_id"), "term")
+                    .select("doc_id", "term_id", "n", "pos_bytes"))
+
+    dps = idx.docs_per_shard
+    doc_term = doc_term.withColumn(
+        "partition_id", (F.col("doc_id") / dps).cast("int"))
+    if n_parts is None:
+        # ~1.3 bytes/token of position payload: size partitions off the
+        # known collection length so an undersized session default
+        # cannot OOM the merge at 100x scale (the ENC_PART_BYTES
+        # pattern from the core build)
+        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions",
+                                         "32")),
+                      math.ceil(idx.coll_len * 1.5
+                                / config.ENC_PART_BYTES))
+    merged = (doc_term
+              .repartition(n_parts, "term_id", "partition_id")
+              .sortWithinPartitions("term_id", "partition_id", "doc_id")
+              .mapInPandas(_merge_groups_iter, schema=POS_SCHEMA))
+    write_artifact(merged, index_path, "positions",
+                   partition_by="partition_id", fmt=table_format)
+    agg = (read_positions(spark, index_path, table_format)
+           .agg(F.count("*").alias("rows"),
+                F.sum("cf").alias("positions")).collect()[0])
+    return {"rows": int(agg["rows"]),
+            "positions": int(agg["positions"] or 0)}
+
+
+def read_positions(spark: SparkSession, index_path: str,
+                   table_format: str | None = None) -> DataFrame:
+    from irkit_spark.sources.catalog import read_artifact
+    return read_artifact(spark, index_path, "positions", POS_SCHEMA,
+                         table_format)
+
+
+def has_positions(index) -> bool:
+    from irkit_spark.sources.catalog import artifact_exists
+    return artifact_exists(index.spark, index.path, "positions")
+
+
+# ------------------------------------------------------------------ query
+
+def decode_positions_row(r):
+    """One positions row -> (docs i64[nd], counts i64[nd],
+    offs i64[nd+1], pos_flat i64[sum counts]): doc j's ABSOLUTE
+    positions are pos_flat[offs[j]:offs[j+1]], strictly increasing."""
+    get = (r.get if isinstance(r, dict) else (lambda k2: r[k2]))
+    nd = int(get("n_docs"))
+    gaps = varbyte_decode(bytes(get("doc_bytes")), nd).astype(np.int64)
+    gaps[0] = int(get("first_doc"))
+    docs = np.cumsum(gaps)
+    cnts = varbyte_decode(bytes(get("cnt_bytes")), nd).astype(np.int64)
+    total = int(cnts.sum())
+    pgaps = varbyte_decode(bytes(get("pos_bytes")), total).astype(np.int64)
+    offs = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(cnts, out=offs[1:])
+    # undo per-doc delta in one pass: global cumsum, then subtract each
+    # doc's running base (the cumsum value just before the doc starts).
+    # Valid because gaps are >= 0, so the global cumsum is
+    # non-decreasing and maximum.accumulate propagates the latest base.
+    flat = np.cumsum(pgaps)
+    base = np.zeros(total, dtype=np.int64)
+    if nd > 1:
+        base[offs[1:-1]] = flat[offs[1:-1] - 1]
+        base = np.maximum.accumulate(base)
+    return docs, cnts, offs, flat - base
+
+
+def _phrase_kernel(pattern: list[int], uniq_meta: list[dict],
+                   avgdl: float, k: int, docs_per_shard: int,
+                   dl_bc=None):
+    """Per-shard exact-phrase scorer, fully vectorized: token i's
+    occurrences become int64 keys (doc_local << 33 | pos - i + m); the
+    phrase's occurrence set is the intersection of the m key arrays
+    (each sorted+unique by construction: docs ascending, positions
+    strictly increasing within doc), so adjacency is m-1
+    np.intersect1d(assume_unique) calls — no per-candidate loop.
+
+    pattern = term_ids in phrase order (duplicates kept); uniq_meta =
+    [{term_id, idf}] ascending term_id — the pinned float add order
+    every scorer in this engine shares (bit-identical scores to
+    search() on the same doc set)."""
+    uniq_ids = [m["term_id"] for m in uniq_meta]
+    idf_by = {m["term_id"]: m["idf"] for m in uniq_meta}
+    need = set(pattern)
+    m_len = len(pattern)
+
+    def run(post_pdf: pd.DataFrame,
+            docs_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "phrase_tf": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64")})
+        if post_pdf.empty:
+            return empty
+        shard = int(post_pdf["partition_id"].iloc[0])
+        base = shard * docs_per_shard
+        rows: dict[int, tuple] = {}
+        # one row per (term, shard) — same iterrows invariant as the
+        # main shard kernel (operators/query.py run()); blocks-per-row
+        # layouts would need a column pull here too
+        for _, r in post_pdf.iterrows():
+            rows[int(r["term_id"])] = decode_positions_row(r)
+        if not need.issubset(rows):
+            return empty  # some phrase term absent from this shard
+        keys = None
+        for i, t in enumerate(pattern):
+            docs, cnts, offs, pos_flat = rows[t]
+            dloc = np.repeat(docs - base, cnts)
+            k_i = (dloc << _POS_BITS) + (pos_flat - i + m_len)
+            keys = k_i if keys is None else np.intersect1d(
+                keys, k_i, assume_unique=True)
+            if keys.size == 0:
+                return empty
+        dloc, ptf = np.unique(keys >> _POS_BITS, return_counts=True)
+        cand = dloc + base
+        # BM25 over the phrase's unique terms, survivors only
+        if dl_bc is not None:
+            arr = dl_bc.value.get(shard)
+            if arr is None:
+                return empty
+            dl = arr.astype(np.float64)[dloc]
+        else:
+            if docs_pdf is None or docs_pdf.empty:
+                return empty
+            dl_arr = np.zeros(docs_per_shard, dtype=np.float64)
+            dl_arr[docs_pdf["doc_id"].to_numpy() - base] = \
+                docs_pdf["doc_len"].to_numpy()
+            dl = dl_arr[dloc]
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in uniq_ids:  # ascending term_id: pinned add order
+            docs, cnts, offs, pos_flat = rows[t]
+            ix = np.searchsorted(docs, cand)  # present by construction
+            score += idf_by[t] * bm25_tf_norm(cnts[ix], dl, avgdl)
+        if cand.size > k:
+            kth = np.partition(score, cand.size - k)[cand.size - k]
+            sel = score >= kth
+            cand, ptf, score = cand[sel], ptf[sel], score[sel]
+        order = np.lexsort((cand, -score))[:k]
+        return pd.DataFrame({"doc_id": cand[order].astype(np.int64),
+                             "phrase_tf": ptf[order].astype(np.int64),
+                             "score": score[order]})
+
+    return run
+
+
+def phrase_search(index, phrase: str, k: int = 10) -> DataFrame:
+    """Exact-phrase top-k (doc_id, phrase_tf, score): docs containing
+    the phrase tokens consecutively, ranked by BM25 over the phrase's
+    unique terms with global collection stats. Requires
+    build_positions to have run on the index.
+
+    Plan: term_id-pruned positions scan -> per-shard numpy kernel ->
+    tiny top-k; doc lengths ride the gated broadcast, cogrouping
+    against the touched shards of the docs table above the cap —
+    identical scale shape to search()."""
+    from irkit_spark.operators.query import _docs_touched
+    spark = index.spark
+    empty = spark.createDataFrame([], PHRASE_SCHEMA)
+    toks = tokenize(phrase)
+    if not toks:
+        return empty
+    if not has_positions(index):
+        raise ValueError(f"index at {index.path} has no positions/ "
+                         "artifact — run build_positions first")
+    if index.docs_per_shard >= (1 << 30):
+        raise ValueError("phrase kernel packs doc-local ids into "
+                         "int64 keys: docs_per_shard must be < 2^30")
+    qmeta = index.lookup_query(" ".join(toks))
+    if len(qmeta) < len(set(toks)):
+        return empty  # an OOV phrase token: no doc can match
+    # token -> term_id in phrase order; prefer the warm driver dict
+    # (zero Spark jobs), fall back to a pruned terms filter
+    td = index._terms_dict()
+    if td is not None:
+        by_term = {t: td[t][0] for t in set(toks)}
+    else:
+        by_term = {r["term"]: int(r["term_id"]) for r in
+                   index.terms.filter(
+                       F.col("term").isin(sorted(set(toks))))
+                   .select("term", "term_id").collect()}
+    pattern = [by_term[t] for t in toks]
+    qpos = read_positions(spark, index.path).filter(
+        F.col("term_id").isin(sorted(set(pattern))))
+    dl_bc = index.doc_len_broadcast()
+    kern = _phrase_kernel(pattern, qmeta, index.avgdl, k,
+                          index.docs_per_shard, dl_bc=dl_bc)
+    if dl_bc is not None:
+        out = (qpos.groupBy("partition_id")
+               .applyInPandas(lambda pdf: kern(pdf), PHRASE_SCHEMA))
+    else:
+        qdocs = _docs_touched(index, qpos)
+        out = (qpos.groupBy("partition_id")
+               .cogroup(qdocs.groupBy("partition_id"))
+               .applyInPandas(lambda lt, rt: kern(lt, rt), PHRASE_SCHEMA))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -109,6 +109,26 @@ def verify_index(spark: SparkSession, path: str,
     bad = sum(int(r["count"]) for r in lin if r["status"] != "done")
     rec("lineage_done", bad == 0, not_done=bad)
 
+    # -- positions (opt-in artifact): per (term, shard) n_docs/cf must
+    # reconcile with postings exactly — positions re-tokenize the same
+    # corpus, so drift means the source changed under the index -------
+    from irkit_spark.sources.catalog import artifact_exists
+    if artifact_exists(spark, path, "positions", fmt=fmt):
+        from irkit_spark.operators.positions import read_positions
+        pos = read_positions(spark, path, fmt) \
+            .select("term_id", "partition_id",
+                    F.col("n_docs").alias("p_nd"),
+                    F.col("cf").alias("p_cf"))
+        pj = (postings.select("term_id", "partition_id", "n_docs", "cf")
+              .join(pos, ["term_id", "partition_id"], "full")
+              .agg(F.sum(F.when(
+                  (F.col("n_docs").isNull() | F.col("p_nd").isNull()
+                   | (F.col("n_docs") != F.col("p_nd"))
+                   | (F.col("cf") != F.col("p_cf"))), 1).otherwise(0))
+                  .alias("bad")).collect()[0])
+        rec("positions_consistent", int(pj["bad"] or 0) == 0,
+            mismatched_rows=int(pj["bad"] or 0))
+
     # -- deep: decode every block (full scan, opt-in) -------------------
     if deep:
         codec = st["codec"]

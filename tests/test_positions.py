@@ -1,0 +1,220 @@
+"""Positional postings + exact-phrase retrieval: brute-force rank/score
+identity, adjacency edge cases (repeated tokens, multi-occurrence,
+phrase at doc edges), single-token phrase == AND search, artifact
+roundtrip + parallelism invariance, verify_index reconciliation."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from irkit_spark.functions.scoring import bm25_tf_norm, idf as idf_fn
+from irkit_spark.functions.tokenize import tokenize
+from irkit_spark.operators.build import build_index
+from irkit_spark.operators.positions import (build_positions,
+                                             decode_positions_row,
+                                             phrase_search,
+                                             read_positions)
+from irkit_spark.operators.query import Index, search
+
+
+DOCS = [
+    # adjacency edge cases: phrase at start, at end, repeated token,
+    # multiple occurrences, near-miss (tokens present, never adjacent)
+    (0, "red fox jumps over the lazy dog"),
+    (1, "the quick red fox red fox again"),          # "red fox" twice
+    (2, "fox red"),                                   # reversed: no match
+    (3, "red red red fox"),                           # "red red" twice
+    (4, "lazy dog"),                                  # phrase at start+end
+    (5, "a b a b a"),                                 # overlapping repeats
+    (6, "the dog is lazy"),                           # near-miss
+    (7, "red fox"),                                   # whole doc = phrase
+]
+
+
+def brute_phrase(docs: dict[int, list[str]], term_ids: dict[str, int],
+                 phrase: str, k: int):
+    """Reference implementation: scan token lists, count adjacency,
+    score BM25 over unique terms in ascending term_id order."""
+    ws = tokenize(phrase)
+    m = len(ws)
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    uniq = sorted(set(ws), key=lambda w: term_ids[w])
+    df = {w: sum(1 for t in docs.values() if w in t) for w in uniq}
+    out = []
+    for did, t in docs.items():
+        ptf = sum(1 for i in range(len(t) - m + 1) if t[i:i + m] == ws)
+        if not ptf:
+            continue
+        s = 0.0
+        for w in uniq:
+            s += (float(idf_fn(np.array([df[w]]), n)[0])
+                  * float(bm25_tf_norm(np.array([t.count(w)], float),
+                                       np.array([len(t)], float),
+                                       avgdl)[0]))
+        out.append((did, ptf, round(s, 9)))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    """Tiny handcrafted corpus across 3 shards, index + positions built
+    through the documents-table path (doc_id_col)."""
+    out = str(tmp_path_factory.mktemp("posidx") / "idx")
+    shutil.rmtree(out, ignore_errors=True)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df, out, docs_per_shard=3, doc_id_col="doc_id",
+                key_col="doc_id", n_parts=4)
+    m = build_positions(spark, df, out, doc_id_col="doc_id", n_parts=4)
+    idx = Index(spark, out)
+    docs = {d: tokenize(t) for d, t in DOCS}
+    tids = {r["term"]: int(r["term_id"]) for r in idx.terms.collect()}
+    assert m["positions"] == sum(len(t) for t in docs.values())
+    return idx, docs, tids
+
+
+@pytest.fixture(scope="module")
+def pos_index_pages(spark, pages_small, tmp_path_factory):
+    """Positions over the synthesized html corpus (url-join path)."""
+    import pandas as pd
+
+    from irkit_spark.functions.extract import EXTRACTORS
+    ext = EXTRACTORS["frozen"]
+    out = str(tmp_path_factory.mktemp("posidx2") / "idx")
+    shutil.rmtree(out, ignore_errors=True)
+    pages = pages_small.limit(400)
+    build_index(spark, pages, out, docs_per_shard=150,
+                text_from_html=True)
+
+    def extr(it):
+        for pdf in it:
+            yield pd.DataFrame({"url": pdf["url"],
+                                "text": [ext(h) for h in pdf["html"]]})
+    src = pages.mapInPandas(extr, "url string, text string")
+    build_positions(spark, src, out)  # url-join path, auto n_parts
+    return Index(spark, out), src
+
+
+@pytest.mark.parametrize("phrase", [
+    "red fox",        # multi-occurrence, multi-doc
+    "lazy dog",       # at start and at end of docs
+    "red red",        # repeated token, overlapping in doc 3
+    "a b a",          # alternating repeats, overlapping candidates
+    "red fox jumps",  # 3-gram
+    "the dog",        # near-miss excluded (doc 6 has both, not adjacent)
+    "fox",            # single token: adjacency degenerates to tf
+])
+def test_phrase_matches_bruteforce(pos_index, phrase):
+    idx, docs, tids = pos_index
+    got = [(r["doc_id"], r["phrase_tf"], round(r["score"], 9))
+           for r in phrase_search(idx, phrase, 10).collect()]
+    assert got == brute_phrase(docs, tids, phrase, 10)
+
+
+def test_phrase_tf_counts(pos_index):
+    idx, docs, tids = pos_index
+    r = {x["doc_id"]: x["phrase_tf"]
+         for x in phrase_search(idx, "red fox", 10).collect()}
+    assert r[1] == 2 and r[0] == 1 and r[7] == 1 and 2 not in r
+    r = {x["doc_id"]: x["phrase_tf"]
+         for x in phrase_search(idx, "red red", 10).collect()}
+    assert r == {3: 2}
+    r = {x["doc_id"]: x["phrase_tf"]
+         for x in phrase_search(idx, "a b a", 10).collect()}
+    assert r == {5: 2}
+
+
+def test_single_token_phrase_equals_and_search(pos_index):
+    idx, docs, tids = pos_index
+    ph = [(r["doc_id"], round(r["score"], 9))
+          for r in phrase_search(idx, "red", 10).collect()]
+    an = [(r["doc_id"], round(r["score"], 9))
+          for r in search(idx, "red", 10, mode="and",
+                          local=False).collect()]
+    assert ph == an
+
+
+def test_oov_and_empty_phrase(pos_index):
+    idx, _, _ = pos_index
+    assert phrase_search(idx, "zzz missing", 5).count() == 0
+    assert phrase_search(idx, "red zzzneverseen", 5).count() == 0
+    assert phrase_search(idx, "", 5).count() == 0
+    assert phrase_search(idx, "?!§", 5).count() == 0
+
+
+def test_positions_roundtrip_and_tokenize_parity(pos_index, spark):
+    """Decode every positions row: per-doc positions strictly
+    increasing, counts consistent, and positions EQUAL the frozen
+    tokenizer's offsets recomputed from the raw text."""
+    idx, docs, tids = pos_index
+    by_tid = {v: k for k, v in tids.items()}
+    for r in read_positions(spark, idx.path).collect():
+        d, c, offs, pos = decode_positions_row(r.asDict())
+        assert (np.diff(d) > 0).all()
+        assert c.sum() == offs[-1] == pos.size
+        term = by_tid[int(r["term_id"])]
+        for j, did in enumerate(d):
+            p = pos[offs[j]:offs[j + 1]]
+            assert (np.diff(p) > 0).all()
+            want = [i for i, t in enumerate(docs[int(did)]) if t == term]
+            assert p.tolist() == want
+
+
+def test_positions_parallelism_invariant(pos_index, spark, tmp_path):
+    """Same artifact content at a different shuffle width — the
+    (term, shard) rows are partitioning-independent."""
+    idx, docs, tids = pos_index
+    out2 = str(tmp_path / "idx2")
+    shutil.copytree(idx.path, out2)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_positions(spark, df, out2, doc_id_col="doc_id", n_parts=1)
+    cols = ["term_id", "partition_id", "n_docs", "cf", "first_doc",
+            "doc_bytes", "cnt_bytes", "pos_bytes"]
+    a = sorted(map(tuple, read_positions(spark, idx.path)
+                   .select(cols).collect()))
+    b = sorted(map(tuple, read_positions(spark, out2)
+                   .select(cols).collect()))
+    assert a == b
+
+
+def test_phrase_on_pages_corpus(pos_index_pages):
+    """url-join build path + a phrase sampled from a real doc; result
+    must contain that doc and every returned doc must really contain
+    the phrase (checked against the raw token lists)."""
+    idx, src = pos_index_pages
+    rows = src.collect()
+    toks0 = tokenize(rows[0]["text"])
+    phrase = " ".join(toks0[2:4])
+    did0 = idx.doc(rows[0]["url"])["doc_id"]
+    got = phrase_search(idx, phrase, 1000).collect()
+    got_ids = {r["doc_id"] for r in got}
+    assert did0 in got_ids
+    ws = phrase.split()
+    by_url = {idx.doc(r["url"])["doc_id"]: tokenize(r["text"])
+              for r in rows}
+    matching = {d for d, t in by_url.items()
+                if any(t[i:i + 2] == ws for i in range(len(t) - 1))}
+    assert got_ids == matching
+
+
+def test_verify_catches_positions_corruption(pos_index, spark, tmp_path):
+    from irkit_spark.operators.validate import verify_index
+    idx, _, _ = pos_index
+    r = verify_index(spark, idx.path)
+    assert r["ok"] and r["checks"]["positions_consistent"]["ok"]
+    out = str(tmp_path / "bad")
+    shutil.copytree(idx.path, out)
+    import os
+    pos = spark.read.parquet(os.path.join(out, "positions")).cache()
+    pos.count()
+    pos.withColumn("cf", F.when(F.col("term_id") == 0,
+                                F.col("cf") + 1).otherwise(F.col("cf"))) \
+        .write.mode("overwrite").parquet(os.path.join(out, "positions"))
+    r2 = verify_index(spark, out)
+    assert not r2["ok"]
+    assert not r2["checks"]["positions_consistent"]["ok"]
