@@ -194,6 +194,41 @@ def main():
     queries["wand_k10_warm"] = round(time.monotonic() - t0, 3)
     idx.unpersist()
 
+    # ---- 2b. positional tier: positions build + phrase latency --------
+    # build_positions re-extracts + re-tokenizes the corpus (that IS
+    # the real cost of adding the artifact); phrase_search then shows
+    # the adjacency kernel's latency on the same job floor as wand_k10
+    if os.environ.get("IRKIT_BENCH_PHRASE", "1") != "0" \
+            and time.monotonic() - t_start < budget * 1.1:
+        import pandas as pd
+
+        from irkit_spark.functions.extract import EXTRACTORS
+        from irkit_spark.functions.tokenize import tokenize
+        from irkit_spark.operators.positions import (build_positions,
+                                                     phrase_search)
+        from irkit_spark.sources.pages import pages_df
+        _ext = EXTRACTORS["frozen"]
+
+        def _extr(it):
+            for pdf in it:
+                yield pd.DataFrame(
+                    {"url": pdf["url"],
+                     "text": [_ext(h) for h in pdf["html"]]})
+        bench_pages = pages_df(spark, BENCH_DOCS)
+        src = bench_pages.mapInPandas(_extr, "url string, text string")
+        t0 = time.monotonic()
+        build_positions(spark, src, os.path.join(base, f"idx{widest}"))
+        queries["positions_build"] = round(time.monotonic() - t0, 3)
+        toks = tokenize(_ext(bench_pages.limit(1)
+                             .collect()[0]["html"]))
+        ph = " ".join(toks[1:3])
+        t0 = time.monotonic()
+        phrase_search(idx, ph, 10).collect()
+        queries["phrase_k10"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        phrase_search(idx, ph, 10).collect()
+        queries["phrase_k10_warm"] = round(time.monotonic() - t0, 3)
+
     # ---- 3. operator benches on the sf documents/embeddings -----------
     import __spark_entry__ as entry
     qs = entry.queries()
