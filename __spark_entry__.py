@@ -408,6 +408,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "phrase_tf",
                         F.round("score", 6).alias("score")))
 
+    def q_index_phrase_slop_top10(spark, sf):
+        # ordered proximity: consecutive tokens within 1+slop positions
+        from irkit_spark.operators.positions import phrase_search
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _positions_for(spark, sf))
+        return (phrase_search(idx, Q_PHRASE, 10, slop=1)
+                .select("doc_id", "phrase_tf",
+                        F.round("score", 6).alias("score")))
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_stats": q_term_stats,
@@ -460,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "index_phrase_top10": q_index_phrase_top10,
         "index_phrase3_top10": q_index_phrase3_top10,
+        "index_phrase_slop_top10": q_index_phrase_slop_top10,
     }
 
 
@@ -508,15 +518,33 @@ SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
-def _phrase_sql(phrase: str, k: int) -> str:
-    """Exact-phrase top-k oracle (operators/positions.phrase_search):
-    adjacency via a list_filter over 1-indexed token offsets (DuckDB
-    range(a, b) is empty when b <= a, so short docs fall out), then
-    the standard BM25 over the phrase's UNIQUE terms restricted to
-    adjacency-passing docs — selection changes, scoring doesn't."""
+def _phrase_sql(phrase: str, k: int, slop: int = 0) -> str:
+    """Phrase / proximity top-k oracle (operators/
+    positions.phrase_search): slop=0 counts exact adjacency via a
+    list_filter over 1-indexed token offsets (DuckDB range(a, b) is
+    empty when b <= a, so short docs fall out); slop>0 counts chain
+    ENDINGS — final-token positions with an ordered predecessor chain
+    where each consecutive pair sits within 1+slop positions (nested
+    list_filter closures, one level per phrase token — the kernel's
+    searchsorted-window sweep re-expressed recursively). Then the
+    standard BM25 over the phrase's UNIQUE terms restricted to
+    matching docs — selection changes, scoring doesn't."""
     ws = phrase.lower().split()
     m = len(ws)
-    cond = " AND ".join(f"toks[i + {j}] = '{w}'" for j, w in enumerate(ws))
+    if slop == 0:
+        cond = " AND ".join(f"toks[i + {j}] = '{w}'"
+                            for j, w in enumerate(ws))
+        ptf = (f"len(list_filter(range(1, len(toks) - {m} + 2), "
+               f"i -> {cond}))")
+    else:
+        def chain(i: int) -> str:
+            if i == 0:
+                return f"toks[i0] = '{ws[0]}'"
+            return (f"toks[i{i}] = '{ws[i]}' AND len(list_filter("
+                    f"range(greatest(1, i{i} - {1 + slop}), i{i}), "
+                    f"i{i - 1} -> {chain(i - 1)})) > 0")
+        ptf = (f"len(list_filter(range(1, len(toks) + 1), "
+               f"i{m - 1} -> {chain(m - 1)}))")
     terms = sorted(set(ws))
     return f"""
 WITH tf AS ({_TF}),
@@ -525,9 +553,7 @@ st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 q(term) AS (VALUES {_values(terms)}),
 ph AS (
-  SELECT doc_id,
-         CAST(len(list_filter(range(1, len(toks) - {m} + 2),
-                              i -> {cond})) AS BIGINT) AS phrase_tf
+  SELECT doc_id, CAST({ptf} AS BIGINT) AS phrase_tf
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
 cand AS (SELECT doc_id, phrase_tf FROM ph WHERE phrase_tf > 0),
 sc AS (
@@ -1153,6 +1179,7 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         "media_features": _media_features_sql(),
         "index_phrase_top10": _phrase_sql(Q_PHRASE, 10),
         "index_phrase3_top10": _phrase_sql(Q_PHRASE3, 10),
+        "index_phrase_slop_top10": _phrase_sql(Q_PHRASE, 10, slop=1),
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

@@ -99,7 +99,8 @@ def cmd_query(args):
         return
     if args.phrase:
         from irkit_spark.operators.positions import phrase_search
-        rows = phrase_search(idx, args.query, k=args.k).collect()
+        rows = phrase_search(idx, args.query, k=args.k,
+                             slop=args.slop).collect()
         for rank, r in enumerate(rows, 1):
             print(f"{args.qid} Q0 {r['doc_id']} {rank} "
                   f"{r['score']:.6f} irkit_spark")
@@ -217,6 +218,9 @@ def main(argv=None):
     q.add_argument("--phrase", action="store_true",
                    help="exact-phrase retrieval: --query tokens must "
                         "occur consecutively (needs build-positions)")
+    q.add_argument("--slop", type=int, default=0,
+                   help="proximity slack with --phrase: consecutive "
+                        "tokens may sit up to 1+slop positions apart")
     q.set_defaults(fn=cmd_query)
 
     bp = sub.add_parser("build-positions",

@@ -321,13 +321,20 @@ def decode_positions_row(r):
 
 def _phrase_kernel(pattern: list[int], uniq_meta: list[dict],
                    avgdl: float, k: int, docs_per_shard: int,
-                   dl_bc=None):
-    """Per-shard exact-phrase scorer, fully vectorized: token i's
-    occurrences become int64 keys (doc_local << 33 | pos - i + m); the
-    phrase's occurrence set is the intersection of the m key arrays
-    (each sorted+unique by construction: docs ascending, positions
-    strictly increasing within doc), so adjacency is m-1
-    np.intersect1d(assume_unique) calls — no per-candidate loop.
+                   dl_bc=None, slop: int = 0):
+    """Per-shard phrase/proximity scorer, fully vectorized: token i's
+    occurrences become int64 keys (doc_local << 33 | pos + PAD) — each
+    key array is sorted+unique by construction (docs ascending,
+    positions strictly increasing within doc) — and the match set is
+    computed by an ORDERED-CHAIN sweep: a token-i occurrence survives
+    iff some surviving token-(i-1) occurrence sits in the position
+    window [p - 1 - slop, p - 1] (two np.searchsorted calls per step —
+    no per-candidate loop). slop=0 degenerates to exact adjacency;
+    phrase_tf = number of chain ENDINGS per doc (== occurrence count
+    for exact phrases; for slop > 0, distinct final-token positions
+    reachable by some chain). PAD = 1 + slop keeps the window's lower
+    bound from crossing the packed doc boundary, so a window can never
+    leak occurrences from the previous doc.
 
     pattern = term_ids in phrase order (duplicates kept); uniq_meta =
     [{term_id, idf}] ascending term_id — the pinned float add order
@@ -336,7 +343,8 @@ def _phrase_kernel(pattern: list[int], uniq_meta: list[dict],
     uniq_ids = [m["term_id"] for m in uniq_meta]
     idf_by = {m["term_id"]: m["idf"] for m in uniq_meta}
     need = set(pattern)
-    m_len = len(pattern)
+    pad = np.int64(1 + slop)
+    step = np.int64(1 + slop)
 
     def run(post_pdf: pd.DataFrame,
             docs_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
@@ -357,12 +365,17 @@ def _phrase_kernel(pattern: list[int], uniq_meta: list[dict],
         if not need.issubset(rows):
             return empty  # some phrase term absent from this shard
         keys = None
-        for i, t in enumerate(pattern):
+        for t in pattern:
             docs, cnts, offs, pos_flat = rows[t]
             dloc = np.repeat(docs - base, cnts)
-            k_i = (dloc << _POS_BITS) + (pos_flat - i + m_len)
-            keys = k_i if keys is None else np.intersect1d(
-                keys, k_i, assume_unique=True)
+            k_i = (dloc << _POS_BITS) + pos_flat + pad
+            if keys is None:
+                keys = k_i
+                continue
+            # survivors: exists q in keys with k - step <= q <= k - 1
+            lo = np.searchsorted(keys, k_i - step, side="left")
+            hi = np.searchsorted(keys, k_i, side="left")
+            keys = k_i[hi > lo]
             if keys.size == 0:
                 return empty
         dloc, ptf = np.unique(keys >> _POS_BITS, return_counts=True)
@@ -397,11 +410,13 @@ def _phrase_kernel(pattern: list[int], uniq_meta: list[dict],
     return run
 
 
-def phrase_search(index, phrase: str, k: int = 10) -> DataFrame:
-    """Exact-phrase top-k (doc_id, phrase_tf, score): docs containing
-    the phrase tokens consecutively, ranked by BM25 over the phrase's
-    unique terms with global collection stats. Requires
-    build_positions to have run on the index.
+def phrase_search(index, phrase: str, k: int = 10,
+                  slop: int = 0) -> DataFrame:
+    """Phrase / proximity top-k (doc_id, phrase_tf, score): docs
+    containing the phrase tokens in order, each consecutive pair at
+    most 1 + slop positions apart (slop=0 = exact phrase), ranked by
+    BM25 over the phrase's unique terms with global collection stats.
+    Requires build_positions to have run on the index.
 
     Plan: term_id-pruned positions scan -> per-shard numpy kernel ->
     tiny top-k; doc lengths ride the gated broadcast, cogrouping
@@ -419,6 +434,8 @@ def phrase_search(index, phrase: str, k: int = 10) -> DataFrame:
     if index.docs_per_shard >= (1 << 30):
         raise ValueError("phrase kernel packs doc-local ids into "
                          "int64 keys: docs_per_shard must be < 2^30")
+    if not (0 <= slop < (1 << 30)):
+        raise ValueError("slop must be a small non-negative int")
     qmeta = index.lookup_query(" ".join(toks))
     if len(qmeta) < len(set(toks)):
         return empty  # an OOV phrase token: no doc can match
@@ -437,7 +454,7 @@ def phrase_search(index, phrase: str, k: int = 10) -> DataFrame:
         F.col("term_id").isin(sorted(set(pattern))))
     dl_bc = index.doc_len_broadcast()
     kern = _phrase_kernel(pattern, qmeta, index.avgdl, k,
-                          index.docs_per_shard, dl_bc=dl_bc)
+                          index.docs_per_shard, dl_bc=dl_bc, slop=slop)
     if dl_bc is not None:
         out = (qpos.groupBy("partition_id")
                .applyInPandas(lambda pdf: kern(pdf), PHRASE_SCHEMA))

@@ -35,19 +35,31 @@ DOCS = [
 ]
 
 
+def chain_ptf(t: list[str], ws: list[str], slop: int) -> int:
+    """Ordered-chain proximity count (endings): token i's occurrence
+    survives iff a surviving token-(i-1) occurrence sits within
+    [p-1-slop, p-1]. slop=0 == exact-phrase occurrence count."""
+    s = [i for i, x in enumerate(t) if x == ws[0]]
+    for w in ws[1:]:
+        s = [p for p, x in enumerate(t) if x == w
+             and any(p - 1 - slop <= q <= p - 1 for q in s)]
+        if not s:
+            return 0
+    return len(s)
+
+
 def brute_phrase(docs: dict[int, list[str]], term_ids: dict[str, int],
-                 phrase: str, k: int):
+                 phrase: str, k: int, slop: int = 0):
     """Reference implementation: scan token lists, count adjacency,
     score BM25 over unique terms in ascending term_id order."""
     ws = tokenize(phrase)
-    m = len(ws)
     n = len(docs)
     avgdl = sum(len(t) for t in docs.values()) / n
     uniq = sorted(set(ws), key=lambda w: term_ids[w])
     df = {w: sum(1 for t in docs.values() if w in t) for w in uniq}
     out = []
     for did, t in docs.items():
-        ptf = sum(1 for i in range(len(t) - m + 1) if t[i:i + m] == ws)
+        ptf = chain_ptf(t, ws, slop)
         if not ptf:
             continue
         s = 0.0
@@ -114,6 +126,46 @@ def test_phrase_matches_bruteforce(pos_index, phrase):
     got = [(r["doc_id"], r["phrase_tf"], round(r["score"], 9))
            for r in phrase_search(idx, phrase, 10).collect()]
     assert got == brute_phrase(docs, tids, phrase, 10)
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("red jumps", 1),      # one word between: matches doc 0 only
+    ("red dog", 4),        # wide window across doc 0
+    ("the lazy", 1),       # "the dog is lazy" now matches too
+    ("a a", 1),            # repeated token within window
+    ("red fox", 1),        # slop superset of the exact matches
+    ("red over lazy", 2),  # 3-token chain with gaps
+])
+def test_phrase_slop_matches_bruteforce(pos_index, phrase, slop):
+    idx, docs, tids = pos_index
+    got = [(r["doc_id"], r["phrase_tf"], round(r["score"], 9))
+           for r in phrase_search(idx, phrase, 10, slop=slop).collect()]
+    assert got == brute_phrase(docs, tids, phrase, 10, slop=slop)
+
+
+def test_phrase_slop_zero_equals_exact(pos_index):
+    idx, docs, tids = pos_index
+    for phrase in ("red fox", "a b a", "lazy dog"):
+        a = phrase_search(idx, phrase, 10, slop=0).collect()
+        b = phrase_search(idx, phrase, 10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_phrase_slop_monotone_and_superset(pos_index):
+    """Growing slop can only add matching docs (ordered-window
+    containment), and a huge slop == ordered containment."""
+    idx, docs, tids = pos_index
+    seen: set[int] = set()
+    for slop in (0, 1, 3, 50):
+        ids = {r["doc_id"] for r in
+               phrase_search(idx, "red lazy", 10, slop=slop).collect()}
+        assert seen <= ids
+        seen = ids
+    ordered = {d for d, t in docs.items()
+               if "red" in t and "lazy" in t
+               and t.index("red") < max(i for i, x in enumerate(t)
+                                        if x == "lazy")}
+    assert seen == ordered
 
 
 def test_phrase_tf_counts(pos_index):
