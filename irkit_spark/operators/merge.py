@@ -238,6 +238,25 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
         write_artifact(terms_final, out_dir, "terms", fmt=fmt)
         _mark_stage("terms")
 
+    # positions (opt-in artifact): merged when EVERY input carries it;
+    # a mixed set would leave the merged index silently phrase-blind
+    # for some batches' docs — fail loudly instead
+    from irkit_spark.sources.catalog import artifact_exists
+    have_pos = [artifact_exists(spark, d, "positions", fmt=fmt)
+                for d in in_dirs]
+    if any(have_pos):
+        if not all(have_pos):
+            missing = [d for d, h in zip(in_dirs, have_pos) if not h]
+            raise ValueError(
+                "some batch indexes carry a positions/ artifact and "
+                f"some do not ({missing!r}): run build_positions on "
+                "the missing batches first, or merge without any")
+        if "positions" not in done:
+            from irkit_spark.operators.positions import merge_positions
+            merge_positions(spark, in_dirs, out_dir,
+                            table_format=table_format)
+            _mark_stage("positions")
+
     wall_ms = int((time.monotonic() - t0) * 1000)
     # one scan: total postings derives from the per-shard aggregation
     shard_m = (postings.groupBy("partition_id")

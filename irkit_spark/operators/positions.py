@@ -279,6 +279,117 @@ def build_positions(spark: SparkSession, df: DataFrame, index_path: str,
             "positions": int(agg["positions"] or 0)}
 
 
+def _merge_positions_iter(batches: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+    """Streaming (term_id, shard) merger over POSITIONS rows sorted by
+    (term_id, partition_id, first_doc) within the partition. A group
+    holding ONE row (the overwhelmingly common case: a (term, shard)
+    that lives in a single batch index) passes through byte-unchanged;
+    multi-row groups — shards straddling batch boundaries — decode,
+    interleave by doc id, and re-encode (deterministic gap streams, so
+    the result is byte-identical to a single-shot build). Duplicate
+    doc ids across inputs mean overlapping batches: fail loudly."""
+    carry: pd.DataFrame | None = None
+    cols = ["term_id", "partition_id", "n_docs", "cf", "first_doc",
+            "doc_bytes", "cnt_bytes", "pos_bytes"]
+
+    def emit(g: pd.DataFrame) -> dict:
+        if len(g) == 1:
+            r = g.iloc[0]
+            return {c: (int(r[c]) if c in ("term_id", "partition_id",
+                                           "n_docs", "cf", "first_doc")
+                        else bytes(r[c])) for c in cols}
+        parts = [decode_positions_row(r) for _, r in g.iterrows()]
+        docs = np.concatenate([p[0] for p in parts])
+        cnts = np.concatenate([p[1] for p in parts])
+        pos = np.concatenate([p[3] for p in parts])
+        # per-doc position slices follow their doc through the reorder
+        srcoff = np.concatenate([p[2][:-1] + off for p, off in zip(
+            parts, np.cumsum([0] + [p[3].size for p in parts[:-1]]))])
+        order = np.argsort(docs, kind="stable")
+        if not (np.diff(docs[order]) > 0).all():
+            raise ValueError(
+                "positions merge: duplicate doc_id across inputs for "
+                f"term {int(g['term_id'].iloc[0])} shard "
+                f"{int(g['partition_id'].iloc[0])} — batch indexes "
+                "must cover disjoint documents")
+        docs_s, cnts_s = docs[order], cnts[order]
+        offs = np.zeros(docs_s.size + 1, dtype=np.int64)
+        np.cumsum(cnts_s, out=offs[1:])
+        pos_s = np.empty(pos.size, dtype=np.int64)
+        src = srcoff[order]
+        for j in range(docs_s.size):
+            pos_s[offs[j]:offs[j + 1]] = pos[src[j]:src[j] + cnts_s[j]]
+        gaps = np.empty(pos_s.size, dtype=np.int64)
+        gaps[1:] = pos_s[1:] - pos_s[:-1]
+        gaps[offs[:-1]] = pos_s[offs[:-1]]
+        first = int(docs_s[0])
+        return {
+            "term_id": int(g["term_id"].iloc[0]),
+            "partition_id": int(g["partition_id"].iloc[0]),
+            "n_docs": int(docs_s.size),
+            "cf": int(cnts_s.sum()),
+            "first_doc": first,
+            "doc_bytes": varbyte_encode(
+                np.diff(docs_s, prepend=first).astype(np.uint64)),
+            "cnt_bytes": varbyte_encode(cnts_s.astype(np.uint64)),
+            "pos_bytes": varbyte_encode(gaps.astype(np.uint64)),
+        }
+
+    def flush(pdf: pd.DataFrame, last_open: bool):
+        nonlocal carry
+        key = ((pdf["term_id"].to_numpy().astype(np.int64) << np.int64(31))
+               + pdf["partition_id"].to_numpy().astype(np.int64))
+        gstart = np.flatnonzero(np.concatenate(
+            ([True], key[1:] != key[:-1])))
+        bounds = np.concatenate((gstart, [len(pdf)]))
+        rows = []
+        ng = len(gstart)
+        for i in range(ng):
+            g = pdf.iloc[bounds[i]:bounds[i + 1]]
+            if last_open and i == ng - 1:
+                carry = g.copy()
+            else:
+                rows.append(emit(g))
+        return pd.DataFrame(rows) if rows else None
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        out = flush(pdf, last_open=True)
+        if out is not None:
+            yield out
+    if carry is not None:
+        yield pd.DataFrame([emit(carry)])
+
+
+def merge_positions(spark: SparkSession, in_dirs: list[str],
+                    out_dir: str, table_format: str | None = None,
+                    n_parts: int | None = None) -> None:
+    """Merge the positions artifacts of batch indexes into out_dir
+    (called by operators/merge.merge_indexes when every input carries
+    one). Pass-through for single-batch (term, shard) rows; boundary
+    groups decode + interleave + re-encode — byte-identical to a
+    single-shot build_positions over the union source."""
+    from irkit_spark.sources.catalog import write_artifact
+    pos = None
+    for d in in_dirs:
+        b = read_positions(spark, d, table_format)
+        pos = b if pos is None else pos.unionByName(b)
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                     "32"))
+    merged = (pos.repartition(n_parts, "term_id", "partition_id")
+              .sortWithinPartitions("term_id", "partition_id",
+                                    "first_doc")
+              .mapInPandas(_merge_positions_iter, schema=POS_SCHEMA))
+    write_artifact(merged, out_dir, "positions",
+                   partition_by="partition_id", fmt=table_format)
+
+
 def read_positions(spark: SparkSession, index_path: str,
                    table_format: str | None = None) -> DataFrame:
     from irkit_spark.sources.catalog import read_artifact

@@ -254,6 +254,88 @@ def test_phrase_on_pages_corpus(pos_index_pages):
     assert got_ids == matching
 
 
+@pytest.fixture(scope="module")
+def split_positions(spark, pages_small, tmp_path_factory):
+    """Odd/even doc-id batches (every shard straddles both batches —
+    the decode+interleave merge path is the COMMON case here), each
+    with positions, merged; plus the single-shot reference."""
+    import os
+
+    from irkit_spark.operators.merge import merge_indexes
+    from irkit_spark.plans.dense_ids import assign_dense_ids
+    base = str(tmp_path_factory.mktemp("posmerge"))
+    ids = assign_dense_ids(pages_small.limit(400), "url", "doc_id",
+                           64).cache()
+    n_docs = ids.count()
+
+    full_dir = os.path.join(base, "full")
+    build_index(spark, ids, full_dir, docs_per_shard=150,
+                doc_id_col="doc_id")
+    build_positions(spark, ids, full_dir, doc_id_col="doc_id")
+    full_idx = Index(spark, full_dir)
+    lexicon = full_idx.terms.select("term", "term_id")
+    stats = (n_docs, full_idx.avgdl)
+
+    dirs = []
+    for name, pred in [("even", F.col("doc_id") % 2 == 0),
+                       ("odd", F.col("doc_id") % 2 == 1)]:
+        d = os.path.join(base, name)
+        build_index(spark, ids.filter(pred), d, docs_per_shard=150,
+                    doc_id_col="doc_id", shared_lexicon=lexicon,
+                    global_stats=stats)
+        build_positions(spark, ids.filter(pred), d, doc_id_col="doc_id")
+        dirs.append(d)
+
+    merged_dir = os.path.join(base, "merged")
+    merge_indexes(spark, dirs, merged_dir)
+    return full_dir, merged_dir, dirs, ids
+
+
+def _positions_canon(spark, path):
+    cols = ["term_id", "partition_id", "n_docs", "cf", "first_doc",
+            "doc_bytes", "cnt_bytes", "pos_bytes"]
+    return sorted((int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                   int(r[4]), bytes(r[5]), bytes(r[6]), bytes(r[7]))
+                  for r in read_positions(spark, path)
+                  .select(cols).collect())
+
+
+def test_merged_positions_byte_identical(spark, split_positions):
+    full_dir, merged_dir, _, _ = split_positions
+    assert _positions_canon(spark, full_dir) == \
+        _positions_canon(spark, merged_dir)
+
+
+def test_merged_phrase_queries_identical(spark, split_positions):
+    full_dir, merged_dir, _, ids = split_positions
+    ia, ib = Index(spark, full_dir), Index(spark, merged_dir)
+    row = ids.limit(1).collect()[0]
+    toks = tokenize(row["text"])
+    for ph, slop in ((" ".join(toks[1:3]), 0), (" ".join(toks[1:4]), 1)):
+        a = [tuple(r) for r in phrase_search(ia, ph, 20, slop).collect()]
+        b = [tuple(r) for r in phrase_search(ib, ph, 20, slop).collect()]
+        assert a == b and a
+
+
+def test_merged_index_verifies(spark, split_positions):
+    from irkit_spark.operators.validate import verify_index
+    _, merged_dir, _, _ = split_positions
+    r = verify_index(spark, merged_dir)
+    assert r["ok"] and r["checks"]["positions_consistent"]["ok"], r
+
+
+def test_merge_refuses_mixed_positions(spark, split_positions, tmp_path):
+    import os
+
+    from irkit_spark.operators.merge import merge_indexes
+    _, _, dirs, _ = split_positions
+    bare = str(tmp_path / "bare")
+    shutil.copytree(dirs[0], bare)
+    shutil.rmtree(os.path.join(bare, "positions"))
+    with pytest.raises(ValueError, match="positions"):
+        merge_indexes(spark, [bare, dirs[1]], str(tmp_path / "m"))
+
+
 def test_verify_catches_positions_corruption(pos_index, spark, tmp_path):
     from irkit_spark.operators.validate import verify_index
     idx, _, _ = pos_index
