@@ -113,7 +113,8 @@ def _grow_lexicon(spark, out_dir: str, batch_terms, counters: dict,
 def process_batch(spark: SparkSession, batch_df, out_dir: str,
                   docs_per_shard: int, codec: str = "varbyte",
                   epoch_id: int | None = None,
-                  extractor: str = "frozen") -> dict:
+                  extractor: str = "frozen",
+                  positions: bool = False) -> dict:
     """One micro-batch -> one batch index with global ids/stats.
 
     Idempotent per epoch: foreachBatch replays a micro-batch when the
@@ -160,6 +161,12 @@ def process_batch(spark: SparkSession, batch_df, out_dir: str,
                 docs_per_shard=docs_per_shard, text_from_html=True,
                 doc_id_col="doc_id", shared_lexicon=lex,
                 global_stats=(n_docs, avgdl), extractor=extractor)
+    if positions:
+        # src already carries the SAME extracted text the build
+        # tokenized (extract_text_udf(extractor)); runs before the
+        # counters commit so a crash replays the whole batch
+        from irkit_spark.operators.positions import build_positions
+        build_positions(spark, src, bdir, doc_id_col="doc_id")
     c.update({"n_docs": n_docs, "coll_len": coll_len,
               "next_doc_id": c["next_doc_id"] + n})
     c["batches"].append(bdir)
@@ -174,12 +181,15 @@ def ingest_available_now(spark: SparkSession, input_dir: str,
                          out_dir: str, docs_per_shard: int = 100000,
                          codec: str = "varbyte",
                          merge: bool = True,
-                         extractor: str = "frozen") -> dict:
+                         extractor: str = "frozen",
+                         positions: bool = False) -> dict:
     """Process every file currently in `input_dir` (exactly-once via the
     stream checkpoint), then merge all batch indexes into
     `out_dir/current`. Re-running after new files arrive ingests only
     the new ones and re-merges. `extractor` must stay the same across
-    every run against one out_dir (merge enforces it via stats)."""
+    every run against one out_dir (merge enforces it via stats); so
+    must `positions` (a mixed batch set fails the merge loudly —
+    backfill with build_positions on the old batches to switch on)."""
     ckpt = os.path.join(_state_dir(out_dir), "checkpoint")
     stream = (spark.readStream.schema(PAGES_SCHEMA)
               .option("maxFilesPerTrigger", "64")
@@ -187,7 +197,7 @@ def ingest_available_now(spark: SparkSession, input_dir: str,
     q = (stream.writeStream
          .foreachBatch(lambda df, epoch: process_batch(
              spark, df, out_dir, docs_per_shard, codec, epoch_id=epoch,
-             extractor=extractor))
+             extractor=extractor, positions=positions))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())

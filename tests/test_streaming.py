@@ -73,6 +73,49 @@ def test_incremental_ingest_and_late_arrivals(spark, stream_dirs):
     assert got2 == daat2
 
 
+def test_streaming_ingest_with_positions(spark, tmp_path):
+    """positions=True: every micro-batch gains a positions artifact,
+    the merge carries them, phrase queries over the merged index match
+    a brute-force scan of everything ingested, and a late arrival
+    re-merges with positions intact."""
+    from irkit_spark.functions.tokenize import tokenize
+    from irkit_spark.operators.positions import phrase_search
+    from irkit_spark.operators.validate import verify_index
+    inp = str(tmp_path / "incoming")
+    out = str(tmp_path / "index")
+    os.makedirs(inp)
+    pdf = pages_pandas(300)
+    for i, sl in enumerate([slice(0, 120), slice(120, 240)]):
+        spark.createDataFrame(pdf.iloc[sl]).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{inp}/part{i}")
+    ingest_available_now(spark, f"{inp}/part*", out,
+                         docs_per_shard=100, positions=True)
+    cur = os.path.join(out, "current")
+    v = verify_index(spark, cur)
+    assert v["ok"] and v["checks"]["positions_consistent"]["ok"], v
+
+    idx = Index(spark, cur)
+    by_url = {r["url"]: r["doc_id"] for r in idx.docs.collect()}
+    toks = {by_url[r.url]: tokenize(r.text)
+            for r in pdf.iloc[:240].itertuples()}
+    ws = toks[0][1:3]
+    got = {r["doc_id"]: r["phrase_tf"] for r in
+           phrase_search(idx, " ".join(ws), 1000).collect()}
+    want = {d: sum(1 for i in range(len(t) - 1) if t[i:i + 2] == ws)
+            for d, t in toks.items()}
+    assert got == {d: c for d, c in want.items() if c}
+
+    # late arrival: the new batch also gets positions, re-merge works
+    spark.createDataFrame(pdf.iloc[240:300]).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{inp}/part2")
+    c2 = ingest_available_now(spark, f"{inp}/part*", out,
+                              docs_per_shard=100, positions=True)
+    assert c2["n_docs"] == 300
+    idx2 = Index(spark, cur)
+    assert verify_index(spark, cur)["ok"]
+    assert phrase_search(idx2, " ".join(ws), 1000).count() >= len(got)
+
+
 def test_streaming_dedup_stateful(spark, tmp_path):
     """applyInPandasWithState cross-batch exact dedup: duplicates
     arriving in LATER micro-batches are dropped (state remembers every
