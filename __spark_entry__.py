@@ -417,6 +417,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "phrase_tf",
                         F.round("score", 6).alias("score")))
 
+    def q_index_snippets_top10(spark, sf):
+        # best keyword-in-context window per top-k doc, from the
+        # positions artifact (operators/snippets.py)
+        from irkit_spark.operators.query import Index
+        from irkit_spark.operators.snippets import snippets
+        idx = Index(spark, _positions_for(spark, sf))
+        return (snippets(idx, Q_BM25_A, _docs(spark, sf), k=10,
+                         window=30)
+                .select("doc_id", "win_start", "n_distinct", "n_occ",
+                        "snippet", F.round("score", 6).alias("score")))
+
+    def q_index_snippets_w5(spark, sf):
+        # tight window forces the distinct-vs-count-vs-start tie-break
+        from irkit_spark.operators.query import Index
+        from irkit_spark.operators.snippets import snippets
+        idx = Index(spark, _positions_for(spark, sf))
+        return (snippets(idx, Q_OR, _docs(spark, sf), k=10, window=5)
+                .select("doc_id", "win_start", "n_distinct", "n_occ",
+                        "snippet", F.round("score", 6).alias("score")))
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_stats": q_term_stats,
@@ -470,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase_top10": q_index_phrase_top10,
         "index_phrase3_top10": q_index_phrase3_top10,
         "index_phrase_slop_top10": q_index_phrase_slop_top10,
+        "index_snippets_top10": q_index_snippets_top10,
+        "index_snippets_w5": q_index_snippets_w5,
     }
 
 
@@ -566,6 +588,61 @@ sc AS (
   GROUP BY 1, 2)
 SELECT doc_id, phrase_tf, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _snippet_sql(query: str, k: int, window: int) -> str:
+    """Best-snippet-window oracle (operators/snippets.py): top-k BM25
+    docs (the engine's rank identity), then per doc every candidate
+    window STARTING at a query-term occurrence, scored by (distinct
+    query terms DESC, total occurrences DESC, smallest start) via an
+    occurrence self-join; snippet text = the window's frozen-tokenizer
+    tokens joined by single spaces. DuckDB list slices are 1-based
+    END-INCLUSIVE, so toks[s+1 : s+window] is exactly the window
+    tokens from 0-based start s (truncated at doc end, like Spark's
+    slice(toks, s+1, window))."""
+    terms = sorted(set(query.lower().split()))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(terms)}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+top AS (SELECT doc_id, round(s, 6) AS score FROM sc
+        ORDER BY s DESC, doc_id LIMIT {k}),
+tk AS (SELECT d.doc_id, {_TOKS} AS toks, top.score
+       FROM documents d JOIN top ON d.doc_id = top.doc_id),
+occ AS (SELECT * FROM (
+          SELECT doc_id, unnest(toks) AS term,
+                 unnest(range(len(toks))) AS pos FROM tk)
+        WHERE term IN ({tlist})),
+win AS (SELECT a.doc_id, a.pos AS win_start,
+               count(DISTINCT b.term) AS nd, count(*) AS no
+        FROM occ a JOIN occ b ON a.doc_id = b.doc_id
+         AND b.pos >= a.pos AND b.pos < a.pos + {window}
+        GROUP BY 1, 2),
+best AS (SELECT doc_id, win_start, nd, no,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY nd DESC, no DESC, win_start ASC) AS rn
+         FROM win)
+SELECT b.doc_id, CAST(b.win_start AS BIGINT) AS win_start,
+       CAST(b.nd AS INTEGER) AS n_distinct,
+       CAST(b.no AS BIGINT) AS n_occ,
+       array_to_string(tk.toks[CAST(b.win_start + 1 AS INT):
+                               CAST(b.win_start + {window} AS INT)],
+                       ' ') AS snippet,
+       tk.score AS score
+FROM best b JOIN tk ON b.doc_id = tk.doc_id
+WHERE b.rn = 1
+ORDER BY tk.score DESC, b.doc_id"""
 
 
 def _bm25_quant_sql(query: str, k: int) -> str:
@@ -1180,6 +1257,8 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         "index_phrase_top10": _phrase_sql(Q_PHRASE, 10),
         "index_phrase3_top10": _phrase_sql(Q_PHRASE3, 10),
         "index_phrase_slop_top10": _phrase_sql(Q_PHRASE, 10, slop=1),
+        "index_snippets_top10": _snippet_sql(Q_BM25_A, 10, 30),
+        "index_snippets_w5": _snippet_sql(Q_OR, 10, 5),
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

@@ -26,6 +26,32 @@ def pages_small(spark):
 
 
 @pytest.fixture(scope="session")
+def pos_index_pages(spark, pages_small, tmp_path_factory):
+    """Index + positions over the synthesized html corpus (url-join
+    build path); shared by the phrase and snippet suites."""
+    import pandas as pd
+
+    from irkit_spark.functions.extract import EXTRACTORS
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.positions import build_positions
+    from irkit_spark.operators.query import Index
+    ext = EXTRACTORS["frozen"]
+    out = str(tmp_path_factory.mktemp("posidx2") / "idx")
+    shutil.rmtree(out, ignore_errors=True)
+    pages = pages_small.limit(400)
+    build_index(spark, pages, out, docs_per_shard=150,
+                text_from_html=True)
+
+    def extr(it):
+        for pdf in it:
+            yield pd.DataFrame({"url": pdf["url"],
+                                "text": [ext(h) for h in pdf["html"]]})
+    src = pages.mapInPandas(extr, "url string, text string")
+    build_positions(spark, src, out)  # url-join path, auto n_parts
+    return Index(spark, out), src
+
+
+@pytest.fixture(scope="session")
 def index_small(spark, pages_small, tmp_path_factory):
     from irkit_spark.operators.build import build_index
     out = str(tmp_path_factory.mktemp("idx") / "small")

@@ -90,28 +90,6 @@ def pos_index(spark, tmp_path_factory):
     return idx, docs, tids
 
 
-@pytest.fixture(scope="module")
-def pos_index_pages(spark, pages_small, tmp_path_factory):
-    """Positions over the synthesized html corpus (url-join path)."""
-    import pandas as pd
-
-    from irkit_spark.functions.extract import EXTRACTORS
-    ext = EXTRACTORS["frozen"]
-    out = str(tmp_path_factory.mktemp("posidx2") / "idx")
-    shutil.rmtree(out, ignore_errors=True)
-    pages = pages_small.limit(400)
-    build_index(spark, pages, out, docs_per_shard=150,
-                text_from_html=True)
-
-    def extr(it):
-        for pdf in it:
-            yield pd.DataFrame({"url": pdf["url"],
-                                "text": [ext(h) for h in pdf["html"]]})
-    src = pages.mapInPandas(extr, "url string, text string")
-    build_positions(spark, src, out)  # url-join path, auto n_parts
-    return Index(spark, out), src
-
-
 @pytest.mark.parametrize("phrase", [
     "red fox",        # multi-occurrence, multi-doc
     "lazy dog",       # at start and at end of docs
