@@ -55,6 +55,16 @@ ID_BROADCAST_MAX = int(os.environ.get("IRKIT_ID_BROADCAST_MAX",
 DL_BROADCAST_MAX = int(os.environ.get("IRKIT_DL_BROADCAST_MAX",
                                       "5000000"))
 
+# Deletion-set gate (operators/delete.py): at or below this many
+# tombstoned docs the Index broadcasts per-shard sorted deleted-id
+# arrays once (int64; ~8MB per 10^6 deletions) and every query kernel
+# masks candidates in-place. Above it (mass deletions at 10^9+ docs —
+# at that point compaction is overdue) queries fall back to the
+# cogrouped docs path with the deletions anti-joined out, which only
+# ships the touched shards.
+DEL_BROADCAST_MAX = int(os.environ.get("IRKIT_DEL_BROADCAST_MAX",
+                                       "5000000"))
+
 # Term-ID assignment gate: at or below this vocab size the lexicon is
 # collected, sorted on the driver, and shipped as a broadcast dict
 # (BASELINE.json:6 "broadcast dictionary"); above it (Common-Crawl-scale

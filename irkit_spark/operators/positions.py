@@ -432,7 +432,8 @@ def decode_positions_row(r):
 
 def _phrase_kernel(pattern: list[int], uniq_meta: list[dict],
                    avgdl: float, k: int, docs_per_shard: int,
-                   dl_bc=None, slop: int = 0):
+                   dl_bc=None, slop: int = 0, del_bc=None,
+                   restrict: bool = False):
     """Per-shard phrase/proximity scorer, fully vectorized: token i's
     occurrences become int64 keys (doc_local << 33 | pos + PAD) — each
     key array is sorted+unique by construction (docs ascending,
@@ -491,6 +492,20 @@ def _phrase_kernel(pattern: list[int], uniq_meta: list[dict],
                 return empty
         dloc, ptf = np.unique(keys >> _POS_BITS, return_counts=True)
         cand = dloc + base
+        # tombstones (operators/delete.py): selection-only mask on the
+        # match set, same contract as the main kernels' `valid` array
+        if del_bc is not None:
+            dels = del_bc.value.get(shard)
+            if dels is not None and dels.size:
+                ix = np.searchsorted(dels, cand)
+                hit = np.zeros(cand.size, dtype=bool)
+                ok = ix < dels.size
+                hit[ok] = dels[ix[ok]] == cand[ok]
+                if hit.any():
+                    sel = ~hit
+                    dloc, cand, ptf = dloc[sel], cand[sel], ptf[sel]
+                    if cand.size == 0:
+                        return empty
         # BM25 over the phrase's unique terms, survivors only
         if dl_bc is not None:
             arr = dl_bc.value.get(shard)
@@ -501,8 +516,18 @@ def _phrase_kernel(pattern: list[int], uniq_meta: list[dict],
             if docs_pdf is None or docs_pdf.empty:
                 return empty
             dl_arr = np.zeros(docs_per_shard, dtype=np.float64)
-            dl_arr[docs_pdf["doc_id"].to_numpy() - base] = \
-                docs_pdf["doc_len"].to_numpy()
+            d_ids = docs_pdf["doc_id"].to_numpy() - base
+            dl_arr[d_ids] = docs_pdf["doc_len"].to_numpy()
+            if restrict:
+                # above-gate deletions: the docs side arrives with the
+                # tombstones anti-joined out — survivors must appear
+                # in it (the main kernels' restrict semantics)
+                valid = np.zeros(docs_per_shard, dtype=bool)
+                valid[d_ids] = True
+                sel = valid[dloc]
+                dloc, cand, ptf = dloc[sel], cand[sel], ptf[sel]
+                if cand.size == 0:
+                    return empty
             dl = dl_arr[dloc]
         score = np.zeros(cand.size, dtype=np.float64)
         for t in uniq_ids:  # ascending term_id: pinned add order
@@ -563,14 +588,19 @@ def phrase_search(index, phrase: str, k: int = 10,
     pattern = [by_term[t] for t in toks]
     qpos = read_positions(spark, index.path).filter(
         F.col("term_id").isin(sorted(set(pattern))))
-    dl_bc = index.doc_len_broadcast()
+    has_del = index.has_deletions()
+    del_bc = index.deletions_broadcast() if has_del else None
+    del_over_gate = has_del and del_bc is None
+    dl_bc = None if del_over_gate else index.doc_len_broadcast()
     kern = _phrase_kernel(pattern, qmeta, index.avgdl, k,
-                          index.docs_per_shard, dl_bc=dl_bc, slop=slop)
+                          index.docs_per_shard, dl_bc=dl_bc, slop=slop,
+                          del_bc=del_bc, restrict=del_over_gate)
     if dl_bc is not None:
         out = (qpos.groupBy("partition_id")
                .applyInPandas(lambda pdf: kern(pdf), PHRASE_SCHEMA))
     else:
-        qdocs = _docs_touched(index, qpos)
+        qdocs = _docs_touched(index, qpos,
+                              exclude_deleted=del_over_gate)
         out = (qpos.groupBy("partition_id")
                .cogroup(qdocs.groupBy("partition_id"))
                .applyInPandas(lambda lt, rt: kern(lt, rt), PHRASE_SCHEMA))

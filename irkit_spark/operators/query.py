@@ -92,7 +92,9 @@ class Index:
         self.stats = d
         self._dl_cap = (dl_broadcast_max if dl_broadcast_max is not None
                         else config.DL_BROADCAST_MAX)
+        self._fmt = table_format
         self._dl_bc = None          # lazy, built on first search
+        self._del_bc = None         # lazy, built on first search
         self._post_local = None     # per-instance cache when unversioned
         self._dec_cache = None      # per-shard decoded blocks (serving)
 
@@ -142,6 +144,54 @@ class Index:
                 Index._dl_bc_cache[key] = (ver, bc)
             self._dl_bc = bc
         return self._dl_bc
+
+    # ---- deletions (operators/delete.py tombstones) ----
+    # versioned like _dl_bc_cache: one broadcast per artifact commit,
+    # replaced (destroyed) when delete_docs rewrites the artifact
+    _del_bc_cache: dict[tuple, tuple[float, object]] = {}
+
+    def has_deletions(self) -> bool:
+        """Checked per query (a filesystem stat): tombstones can land
+        AFTER this handle was constructed and must take effect on the
+        next search — same freshness contract as the versioned
+        broadcast caches."""
+        from irkit_spark.operators.delete import has_deletions
+        return has_deletions(self.spark, self.path, self._fmt)
+
+    def deletions_df(self):
+        from irkit_spark.operators.delete import read_deletions
+        return read_deletions(self.spark, self.path, self._fmt)
+
+    def deletions_broadcast(self):
+        """Per-shard SORTED global-doc-id arrays of the tombstone set
+        as one broadcast, or None when no deletions exist or the set
+        exceeds DEL_BROADCAST_MAX (queries then anti-join on the
+        cogrouped docs path). Version-keyed on the artifact commit so
+        a later delete_docs invalidates every open handle."""
+        if not self.has_deletions():
+            return None
+        key, ver = self._artifact_key("deletions")
+        hit = Index._del_bc_cache.get(key) if ver is not None else None
+        if hit is not None and hit[0] == ver:
+            self._del_bc = hit[1]
+            return self._del_bc
+        df = self.deletions_df()
+        n = df.count()
+        if n > config.DEL_BROADCAST_MAX:
+            return None
+        pdf = df.select("partition_id", "doc_id").toPandas()
+        sh = pdf["partition_id"].to_numpy()
+        ids = pdf["doc_id"].to_numpy().astype(np.int64)
+        arrs: dict[int, np.ndarray] = {}
+        for s in np.unique(sh):
+            arrs[int(s)] = np.sort(ids[sh == s])
+        bc = self.spark.sparkContext.broadcast(arrs)
+        if ver is not None:
+            if hit is not None:
+                hit[1].destroy()
+            Index._del_bc_cache[key] = (ver, bc)
+        self._del_bc = bc
+        return bc
 
     def persist(self):
         """Pin the postings/terms tables in executor memory and
@@ -293,7 +343,7 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                   docs_per_shard: int, mode: str, scorer: str = "bm25",
                   coll_len: int = 1, bound_slack: float = 1.0,
                   quantized: bool = False, dl_bc=None,
-                  restrict: bool = False):
+                  restrict: bool = False, del_bc=None):
     """Per-shard scorer: cogrouped with the docs table, or — when dl_bc
     (the broadcast per-shard doc-length arrays) is set — over postings
     alone. qmeta sorted by term_id ascending.
@@ -304,7 +354,13 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
     subset while scores keep the GLOBAL collection stats (a doc scores
     identically filtered or not — selection changes, scoring doesn't).
     Pruning stays lossless: all-docs block bounds are upper bounds for
-    any subset."""
+    any subset.
+
+    del_bc (tombstones, operators/delete.py): broadcast of per-shard
+    sorted deleted-id arrays — deleted docs are masked out of every
+    mode's candidate set through the same `valid` array restrict uses
+    (selection-only, like restrict: scores of survivors are untouched
+    and pruning bounds remain upper bounds)."""
     idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
     # Dirichlet QL decomposition (SURVEY.md Q2):
     #   sum_t ln((tf + mu*p_t)/(dl + mu))
@@ -431,6 +487,12 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                     "(dl_bc must be None)")
             valid = np.zeros(docs_per_shard, dtype=bool)
             valid[d_ids] = True
+        if del_bc is not None:
+            dels = del_bc.value.get(shard)
+            if dels is not None and dels.size:
+                if valid is None:
+                    valid = np.ones(docs_per_shard, dtype=bool)
+                valid[dels - base] = False
         term_rows: dict[int, list] = {}
         # iterrows is safe ONLY because post_pdf holds one row per
         # (query term, shard) — a handful of rows, each carrying its
@@ -681,7 +743,7 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
 
 
 def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
-                  scorer: str) -> DataFrame:
+                  scorer: str, del_bc=None) -> DataFrame:
     """Driver-side execution of the SAME per-shard kernel: posting
     blocks from the driver cache (_local_postings), doc lengths from
     the (driver-visible) broadcast value, global top-k merged with the
@@ -692,7 +754,7 @@ def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
     kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
                          index.docs_per_shard, mode, scorer,
                          index.coll_len, index.bound_slack,
-                         index.quantized, dl_bc=dl_bc)
+                         index.quantized, dl_bc=dl_bc, del_bc=del_bc)
     per_shard: dict[int, dict[str, list]] = {}
     for tid, lst in by_tid.items():
         for shard, blocks in lst:
@@ -738,7 +800,8 @@ def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
 
 
 def _docs_touched(index: Index, qpost: DataFrame,
-                  doc_filter: str | None = None) -> DataFrame:
+                  doc_filter: str | None = None,
+                  exclude_deleted: bool = False) -> DataFrame:
     """Docs rows restricted to the shards `qpost` touches, via a
     broadcast left-semi join on the distinct shard ids instead of a
     driver `distinct().collect()` + isin rewrite: one fewer fixed
@@ -751,6 +814,13 @@ def _docs_touched(index: Index, qpost: DataFrame,
     docs = index.docs
     if doc_filter is not None:
         docs = docs.filter(F.expr(doc_filter))
+    if exclude_deleted:
+        # tombstones anti-joined out of the docs side: the cogrouped
+        # kernel then restricts candidates to the surviving docs —
+        # the above-DEL_BROADCAST_MAX fallback (only touched shards
+        # of both tables move)
+        docs = docs.join(index.deletions_df().select("doc_id"),
+                         "doc_id", "left_anti")
     return (docs.join(F.broadcast(shard_dim), "partition_id",
                       "left_semi")
             .select("partition_id", "doc_id", "doc_len"))
@@ -800,6 +870,14 @@ def search(index: Index, query: str, k: int = 10,
     if not qmeta:
         return empty
 
+    # tombstones (operators/delete.py): selection-only, like
+    # doc_filter. Below DEL_BROADCAST_MAX the kernels mask candidates
+    # via the broadcast; above it the query routes through the
+    # cogrouped docs path with the deletions anti-joined out.
+    has_del = index.has_deletions()
+    del_bc = index.deletions_broadcast() if has_del else None
+    del_over_gate = has_del and del_bc is None
+
     if doc_filter is not None:
         if mode == "taat":
             raise ValueError("doc_filter needs the per-shard kernel "
@@ -810,11 +888,13 @@ def search(index: Index, query: str, k: int = 10,
                              "table); local=True is not available")
         tids = [m["term_id"] for m in qmeta]
         qpost = index.postings.filter(F.col("term_id").isin(tids))
-        qdocs = _docs_touched(index, qpost, doc_filter)
+        qdocs = _docs_touched(index, qpost, doc_filter,
+                              exclude_deleted=del_over_gate)
         kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
                              index.docs_per_shard, mode, scorer,
                              index.coll_len, index.bound_slack,
-                             index.quantized, restrict=True)
+                             index.quantized, restrict=True,
+                             del_bc=del_bc)
         out = (qpost.groupBy("partition_id")
                .cogroup(qdocs.groupBy("partition_id"))
                .applyInPandas(lambda lt, rt: kern(lt, rt), TOPK_SCHEMA))
@@ -823,14 +903,17 @@ def search(index: Index, query: str, k: int = 10,
     if mode != "taat" and local is not False:
         fits = (sum(m["df"] for m in qmeta)
                 <= config.LOCAL_QUERY_MAX_POSTINGS
-                and index.n_docs <= index._dl_cap)
+                and index.n_docs <= index._dl_cap
+                and not del_over_gate)
         if local and not fits:
             raise ValueError(
                 "local=True but the query exceeds the driver-kernel "
-                "gate (sum df > LOCAL_QUERY_MAX_POSTINGS or doc "
-                "lengths above the broadcast cap)")
+                "gate (sum df > LOCAL_QUERY_MAX_POSTINGS, doc lengths "
+                "above the broadcast cap, or a tombstone set above "
+                "DEL_BROADCAST_MAX)")
         if fits:
-            return _search_local(index, qmeta, k, mode, scorer)
+            return _search_local(index, qmeta, k, mode, scorer,
+                                 del_bc=del_bc)
     elif local:
         raise ValueError("local=True is not available for mode='taat'")
 
@@ -840,11 +923,12 @@ def search(index: Index, query: str, k: int = 10,
     if mode == "taat":
         return _taat_from_index(index, qmeta, qpost, k, scorer)
 
-    dl_bc = index.doc_len_broadcast()
+    dl_bc = None if del_over_gate else index.doc_len_broadcast()
     kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
                          index.docs_per_shard, mode, scorer,
                          index.coll_len, index.bound_slack,
-                         index.quantized, dl_bc=dl_bc)
+                         index.quantized, dl_bc=dl_bc,
+                         restrict=del_over_gate, del_bc=del_bc)
     if dl_bc is not None:
         # gated fast path: doc lengths ride the one-time broadcast, so
         # a query is a pruned postings scan + per-shard kernel + tiny
@@ -852,7 +936,7 @@ def search(index: Index, query: str, k: int = 10,
         local = (qpost.groupBy("partition_id")
                  .applyInPandas(lambda pdf: kern(pdf), TOPK_SCHEMA))
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    qdocs = _docs_touched(index, qpost)
+    qdocs = _docs_touched(index, qpost, exclude_deleted=del_over_gate)
     local = (qpost.groupBy("partition_id")
              .cogroup(qdocs.groupBy("partition_id"))
              .applyInPandas(lambda lt, rt: kern(lt, rt), TOPK_SCHEMA))
@@ -899,12 +983,16 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
     all_tids = sorted({m["term_id"] for qm in qmetas.values()
                        for m in qm})
     qpost = index.postings.filter(F.col("term_id").isin(all_tids))
-    dl_bc = None if doc_filter is not None else index.doc_len_broadcast()
+    has_del = index.has_deletions()
+    del_bc = index.deletions_broadcast() if has_del else None
+    del_over_gate = has_del and del_bc is None
+    restrict = doc_filter is not None or del_over_gate
+    dl_bc = None if restrict else index.doc_len_broadcast()
     kerns = {qid: _shard_kernel(qm, index.avgdl, index.codec, k,
                                 index.docs_per_shard, mode, scorer,
                                 index.coll_len, index.bound_slack,
                                 index.quantized, dl_bc=dl_bc,
-                                restrict=doc_filter is not None)
+                                restrict=restrict, del_bc=del_bc)
              for qid, qm in qmetas.items()}
     tids_by_qid = {qid: {m["term_id"] for m in qm}
                    for qid, qm in qmetas.items()}
@@ -929,7 +1017,8 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
         local = (qpost.groupBy("partition_id")
                  .applyInPandas(lambda pdf: run_all(pdf), out_schema))
     else:
-        qdocs = _docs_touched(index, qpost, doc_filter)
+        qdocs = _docs_touched(index, qpost, doc_filter,
+                              exclude_deleted=del_over_gate)
         local = (qpost.groupBy("partition_id")
                  .cogroup(qdocs.groupBy("partition_id"))
                  .applyInPandas(lambda lt, rt: run_all(lt, rt),
@@ -1053,6 +1142,19 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
 
         return (df.withColumn("doc_len", _dl(F.col("doc_id")))
                 .filter(F.col("doc_len") > 0))
+    def drop_deleted(df: DataFrame) -> DataFrame:
+        """Tombstones out AFTER the per-doc aggregate (selection-only:
+        per-doc sums are untouched, so surviving scores are identical
+        with or without deletions — the same contract as the kernel
+        modes' `valid` mask). Anti-join, broadcast when the set fits
+        the gate."""
+        if not index.has_deletions():
+            return df
+        dels = index.deletions_df().select("doc_id")
+        if index.deletions_broadcast() is not None:
+            dels = F.broadcast(dels)
+        return df.join(dels, "doc_id", "left_anti")
+
     if scorer == "ql":
         nq = len(qmeta)
         ql_k = float(np.sum(np.log(
@@ -1060,8 +1162,9 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
         # fused always holds for ql (the partial needs no doc_len);
         # the per-doc adjustment joins doc_len AFTER the aggregate —
         # distinct docs only
-        return (with_doc_len(flat.groupBy("doc_id")
-                             .agg(F.sum("partial").alias("s")))
+        return (drop_deleted(with_doc_len(
+                    flat.groupBy("doc_id")
+                    .agg(F.sum("partial").alias("s"))))
                 .withColumn("score",
                             F.col("s") + ql_k
                             - nq * F.log(F.col("doc_len") + mu))
@@ -1081,6 +1184,6 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
                               / (F.col("tf") + k1 * (1.0 - b + b
                                                      * F.col("doc_len")
                                                      / avgdl))))
-    return (scored.groupBy("doc_id")
-            .agg(F.sum("partial").alias("score"))
+    return (drop_deleted(scored.groupBy("doc_id")
+                         .agg(F.sum("partial").alias("score")))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
