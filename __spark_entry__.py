@@ -83,6 +83,38 @@ def _positions_for(spark, sf_dir: str) -> str:
     return path
 
 
+DEL_PRED = "doc_id % 7 = 3"     # deterministic tombstone set
+
+
+def _tombstoned_for(spark, sf_dir: str) -> str:
+    """Copy of the cached index with doc_id%7==3 tombstoned
+    (operators/delete.py) — selection-only semantics."""
+    base = _index_for(spark, sf_dir)
+    key = base + "#del"
+    if key not in _IDX_CACHE:
+        from irkit_spark.operators.delete import delete_docs
+        out = base + "_del"
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(base, out)
+        delete_docs(spark, out, predicate=DEL_PRED)
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
+def _compacted_for(spark, sf_dir: str) -> str:
+    """Compaction of the tombstoned copy (operators/compact.py) —
+    deleted docs physically removed, collection stats recomputed."""
+    src = _tombstoned_for(spark, sf_dir)
+    key = src + "#cmp"
+    if key not in _IDX_CACHE:
+        from irkit_spark.operators.compact import compact_index
+        out = src + "_cmp"
+        shutil.rmtree(out, ignore_errors=True)
+        compact_index(spark, src, out)
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
 def _index_search(spark, sf_dir, query, k, mode,
                   scorer="bm25", quantize: bool = False,
                   local: bool | None = False,
@@ -437,6 +469,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "win_start", "n_distinct", "n_occ",
                         "snippet", F.round("score", 6).alias("score")))
 
+    def q_index_deleted_wand_top10(spark, sf):
+        # tombstoned retrieval (operators/delete.py): deleted docs
+        # excluded from selection, global stats frozen at build
+        from irkit_spark.operators.query import Index, search
+        idx = Index(spark, _tombstoned_for(spark, sf))
+        return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
+    def q_index_compacted_wand_top10(spark, sf):
+        # compacted retrieval (operators/compact.py): deleted docs
+        # physically removed, stats RECOMPUTED over the survivors
+        from irkit_spark.operators.query import Index, search
+        idx = Index(spark, _compacted_for(spark, sf))
+        return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_stats": q_term_stats,
@@ -492,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase_slop_top10": q_index_phrase_slop_top10,
         "index_snippets_top10": q_index_snippets_top10,
         "index_snippets_w5": q_index_snippets_w5,
+        "index_deleted_wand_top10": q_index_deleted_wand_top10,
+        "index_compacted_wand_top10": q_index_compacted_wand_top10,
     }
 
 
@@ -587,6 +637,33 @@ sc AS (
        JOIN dl USING (doc_id) JOIN cand USING (doc_id) CROSS JOIN st
   GROUP BY 1, 2)
 SELECT doc_id, phrase_tf, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _bm25_compact_sql(query: str, k: int, keep_where: str) -> str:
+    """Compacted-index oracle (operators/compact.py): BM25 over ONLY
+    the surviving docs with collection stats RECOMPUTED over them —
+    unlike the tombstone oracle (_bm25_sql doc_where=...), where stats
+    stay global. Every CTE reads from the filtered docs relation."""
+    terms = sorted(set(query.lower().split()))
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE {keep_where}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM d) t
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM d),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(terms)}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
@@ -1259,6 +1336,12 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         "index_phrase_slop_top10": _phrase_sql(Q_PHRASE, 10, slop=1),
         "index_snippets_top10": _snippet_sql(Q_BM25_A, 10, 30),
         "index_snippets_w5": _snippet_sql(Q_OR, 10, 5),
+        # tombstones: selection-only (global stats) vs compaction:
+        # stats recomputed over the survivors
+        "index_deleted_wand_top10": _bm25_sql(
+            Q_BM25_A, 10, doc_where=f"NOT ({DEL_PRED})"),
+        "index_compacted_wand_top10": _bm25_compact_sql(
+            Q_BM25_A, 10, keep_where=f"NOT ({DEL_PRED})"),
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

@@ -137,6 +137,28 @@ def cmd_build_positions(args):
     print(json.dumps(m))
 
 
+def cmd_delete(args):
+    from irkit_spark.operators.delete import clear_deletions, delete_docs
+    spark = _session("irkit-delete")
+    if args.clear:
+        clear_deletions(spark, args.index,
+                        table_format=args.table_format)
+        print(json.dumps({"n_deleted": 0, "cleared": True}))
+        return
+    ids = ([int(x) for x in args.ids.split(",")] if args.ids else None)
+    m = delete_docs(spark, args.index, doc_ids=ids,
+                    predicate=args.predicate or None,
+                    table_format=args.table_format)
+    print(json.dumps(m))
+
+
+def cmd_compact(args):
+    from irkit_spark.operators.compact import compact_index
+    spark = _session("irkit-compact")
+    print(json.dumps(compact_index(spark, args.index, args.out,
+                                   table_format=args.table_format)))
+
+
 def cmd_lookup(args):
     from irkit_spark.operators.query import Index
     spark = _session("irkit-lookup")
@@ -243,6 +265,25 @@ def main(argv=None):
     v.add_argument("--table-format", default=None,
                    choices=["parquet", "iceberg"])
     v.set_defaults(fn=cmd_verify)
+
+    dl = sub.add_parser("delete", help="tombstone docs (selection-only;"
+                        " run compact to remove physically)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", help="comma-separated doc ids")
+    dl.add_argument("--predicate",
+                    help="SQL over the docs table, e.g. "
+                    "\"url LIKE 'https://spam.%%'\"")
+    dl.add_argument("--clear", action="store_true",
+                    help="drop every tombstone (un-delete all)")
+    dl.add_argument("--table-format", default=None)
+    dl.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser("compact", help="rewrite the index without "
+                        "tombstoned docs, stats recomputed")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--table-format", default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     lk = sub.add_parser("lookup", help="term/doc/stats lookups")
     lk.add_argument("--index", required=True)

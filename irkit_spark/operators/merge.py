@@ -257,6 +257,21 @@ def merge_indexes(spark: SparkSession, in_dirs: list[str],
                             table_format=table_format)
             _mark_stage("positions")
 
+    # deletions (tombstones): batch doc-id spaces are disjoint, so the
+    # merged tombstone set is the plain union of the inputs'
+    from irkit_spark.operators.delete import has_deletions as _has_del
+    have_del = [_has_del(spark, d, fmt) for d in in_dirs]
+    if any(have_del) and "deletions" not in done:
+        from irkit_spark.operators.delete import read_deletions
+        dels = None
+        for d, h in zip(in_dirs, have_del):
+            if h:
+                b = read_deletions(spark, d, fmt)
+                dels = b if dels is None else dels.unionByName(b)
+        write_artifact(dels.distinct(), out_dir, "deletions",
+                       partition_by="partition_id", fmt=fmt)
+        _mark_stage("deletions")
+
     wall_ms = int((time.monotonic() - t0) * 1000)
     # one scan: total postings derives from the per-shard aggregation
     shard_m = (postings.groupBy("partition_id")

@@ -129,6 +129,30 @@ def verify_index(spark: SparkSession, path: str,
         rec("positions_consistent", int(pj["bad"] or 0) == 0,
             mismatched_rows=int(pj["bad"] or 0))
 
+    # -- deletions (opt-in tombstones): unique, correctly sharded, and
+    # a subset of the docs table (delete_docs guarantees all three; a
+    # hand-edited or crash-corrupted artifact would break queries) ----
+    from irkit_spark.operators.delete import has_deletions
+    if has_deletions(spark, path, fmt):
+        from irkit_spark.operators.delete import read_deletions
+        dels = read_deletions(spark, path, fmt)
+        dg = dels.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.sum(F.when(F.col("partition_id") !=
+                         (F.col("doc_id") /
+                          docs_per_shard).cast("int"), 1)
+                  .otherwise(0)).alias("bad_shard")).collect()[0]
+        orphans = dels.join(docs.select("doc_id"), "doc_id",
+                            "left_anti").count()
+        nd_ = int(dg["n"] or 0)
+        rec("deletions_consistent",
+            nd_ == int(dg["nd"] or 0) and int(dg["bad_shard"] or 0) == 0
+            and orphans == 0,
+            n_deleted=nd_, duplicates=nd_ - int(dg["nd"] or 0),
+            misplaced_rows=int(dg["bad_shard"] or 0),
+            not_in_docs=int(orphans))
+
     # -- deep: decode every block (full scan, opt-in) -------------------
     if deep:
         codec = st["codec"]

@@ -171,6 +171,66 @@ def test_cumulative_idempotent_and_clear(spark, tmp_path):
     assert full >= hits
 
 
+def test_merge_propagates_deletions(spark, tmp_path):
+    """Tombstones on batch indexes survive a merge (disjoint doc
+    spaces -> plain union), and merged queries honor them."""
+    import os
+
+    from irkit_spark.operators.merge import merge_indexes
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    full = str(tmp_path / "full")
+    build_index(spark, df, full, docs_per_shard=25, doc_id_col="doc_id",
+                key_col="doc_id", n_parts=2)
+    fidx = Index(spark, full)
+    lexicon = fidx.terms.select("term", "term_id")
+    dirs = []
+    for name, pred in (("even", "doc_id % 2 = 0"),
+                       ("odd", "doc_id % 2 = 1")):
+        d = str(tmp_path / name)
+        build_index(spark, df.filter(pred), d, docs_per_shard=25,
+                    doc_id_col="doc_id", key_col="doc_id",
+                    shared_lexicon=lexicon,
+                    global_stats=(fidx.n_docs, fidx.avgdl))
+        dirs.append(d)
+    delete_docs(spark, dirs[0], doc_ids=[0, 2])
+    delete_docs(spark, dirs[1], doc_ids=[1])
+    merged = str(tmp_path / "merged")
+    merge_indexes(spark, dirs, merged)
+    got = sorted(r["doc_id"] for r in
+                 read_deletions(spark, merged).collect())
+    assert got == [0, 1, 2]
+    midx = Index(spark, merged)
+    hits = {d for d, _ in rows(search(midx, "red fox", k=40,
+                                      local=False))}
+    assert not (hits & {0, 1, 2})
+    from irkit_spark.operators.validate import verify_index
+    r = verify_index(spark, merged)
+    assert r["ok"] and r["checks"]["deletions_consistent"]["ok"], r
+    assert os.path.exists(os.path.join(merged, "deletions"))
+
+
+def test_verify_catches_corrupt_deletions(spark, del_pair, tmp_path):
+    """An orphan tombstone (id not in docs) fails verify."""
+    from irkit_spark.operators.validate import verify_index
+    _, tomb = del_pair
+    r = verify_index(spark, tomb.path)
+    assert r["ok"] and r["checks"]["deletions_consistent"]["ok"], r
+    bad = str(tmp_path / "bad")
+    shutil.copytree(tomb.path, bad)
+    dels = read_deletions(spark, bad).cache()
+    dels.count()
+    orphan = spark.createDataFrame([(0, 99999)],
+                                   "partition_id int, doc_id long")
+    import os
+    (dels.unionByName(orphan).write.mode("overwrite")
+     .partitionBy("partition_id")
+     .parquet(os.path.join(bad, "deletions")))
+    r2 = verify_index(spark, bad)
+    assert not r2["ok"]
+    assert not r2["checks"]["deletions_consistent"]["ok"]
+    assert r2["checks"]["deletions_consistent"]["not_in_docs"] == 1
+
+
 def test_delete_docs_guards(spark, tmp_path, del_pair):
     _, tomb = del_pair
     with pytest.raises(ValueError, match="exactly one"):
