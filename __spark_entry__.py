@@ -115,6 +115,40 @@ def _compacted_for(spark, sf_dir: str) -> str:
     return _IDX_CACHE[key]
 
 
+UPD_PRED = "doc_id % 13 = 5"   # deterministic update set
+UPD_SUFFIX = " join merge refreshed"
+NEW_TEXT_A = "join hash merge join hash merge refreshed"
+NEW_TEXT_B = "spark window refreshed basin"
+
+
+def _updated_for(spark, sf_dir: str) -> str:
+    """Upsert (operators/update.py) over the cached index: every
+    doc_id%13==5 doc replaced by an appended version (same url, new
+    id = old + max_id + 1, text + UPD_SUFFIX) plus two brand-new docs
+    at 2*(max_id+1)(+1). update_index never mutates in_dir, so the
+    shared cached index stays pristine."""
+    base = _index_for(spark, sf_dir)
+    key = base + "#upd"
+    if key not in _IDX_CACHE:
+        from irkit_spark.operators.update import update_index
+        docs = _docs(spark, sf_dir)
+        mx = int(docs.agg(F.max("doc_id")).collect()[0][0])
+        upd = (docs.filter(UPD_PRED).select(
+            (F.col("doc_id") + mx + 1).alias("new_id"),
+            F.col("doc_id").cast("string").alias("url"),
+            F.concat(F.col("text"), F.lit(UPD_SUFFIX)).alias("text")))
+        extra = spark.createDataFrame(
+            [(2 * (mx + 1), str(2 * (mx + 1)), NEW_TEXT_A),
+             (2 * (mx + 1) + 1, str(2 * (mx + 1) + 1), NEW_TEXT_B)],
+            "new_id long, url string, text string")
+        out = base + "_upd"
+        shutil.rmtree(out, ignore_errors=True)
+        update_index(spark, base, upd.unionByName(extra), out,
+                     doc_id_col="new_id")
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
 def _index_search(spark, sf_dir, query, k, mode,
                   scorer="bm25", quantize: bool = False,
                   local: bool | None = False,
@@ -485,6 +519,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_updated_wand_top10(spark, sf):
+        # upserted retrieval (operators/update.py): superseded docs
+        # tombstoned, replacements + adds appended under fresh ids;
+        # stats frozen over ALL versions until compact
+        from irkit_spark.operators.query import Index, search
+        idx = Index(spark, _updated_for(spark, sf))
+        return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_stats": q_term_stats,
@@ -542,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_snippets_w5": q_index_snippets_w5,
         "index_deleted_wand_top10": q_index_deleted_wand_top10,
         "index_compacted_wand_top10": q_index_compacted_wand_top10,
+        "index_updated_wand_top10": q_index_updated_wand_top10,
     }
 
 
@@ -662,6 +706,44 @@ sc AS (
                         * dl.dl / st.avgdl))) AS s
   FROM tf JOIN q USING (term) JOIN ts USING (term)
        JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _bm25_updated_sql(query: str, k: int) -> str:
+    """Upserted-index oracle (operators/update.py): the corpus is ALL
+    versions (originals + appended replacements + adds — frozen-stats
+    delete contract, so st/ts read the full corpus), while SELECTION
+    excludes the superseded originals (doc_id matches UPD_PRED and is
+    an original, i.e. <= max old id; an appended id can satisfy the
+    modulus too, hence the <= m guard)."""
+    terms = sorted(set(query.lower().split()))
+    return f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + m + 1 AS doc_id, text || '{UPD_SUFFIX}' AS text
+  FROM documents, mx WHERE {UPD_PRED}
+  UNION ALL SELECT 2 * (m + 1), '{NEW_TEXT_A}' FROM mx
+  UNION ALL SELECT 2 * (m + 1) + 1, '{NEW_TEXT_B}' FROM mx),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus) t
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(terms)}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE NOT (tf.doc_id % 13 = 5
+             AND tf.doc_id <= (SELECT m FROM mx))
   GROUP BY 1)
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
@@ -1342,6 +1424,9 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
             Q_BM25_A, 10, doc_where=f"NOT ({DEL_PRED})"),
         "index_compacted_wand_top10": _bm25_compact_sql(
             Q_BM25_A, 10, keep_where=f"NOT ({DEL_PRED})"),
+        # upsert: stats over ALL versions, superseded originals
+        # excluded from selection only
+        "index_updated_wand_top10": _bm25_updated_sql(Q_BM25_A, 10),
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

@@ -159,6 +159,19 @@ def cmd_compact(args):
                                    table_format=args.table_format)))
 
 
+def cmd_update(args):
+    from irkit_spark.operators.update import update_index
+    from irkit_spark.sources.catalog import load_pages
+    spark = _session("irkit-update")
+    batch = load_pages(spark, args.pages)
+    m = update_index(spark, args.index, batch, args.out,
+                     text_from_html=args.from_html,
+                     key_col=args.key_col,
+                     doc_id_col=args.doc_id_col,
+                     table_format=args.table_format)
+    print(json.dumps(m))
+
+
 def cmd_lookup(args):
     from irkit_spark.operators.query import Index
     spark = _session("irkit-lookup")
@@ -284,6 +297,19 @@ def main(argv=None):
     cp.add_argument("--out", required=True)
     cp.add_argument("--table-format", default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    up = sub.add_parser("update", help="upsert a batch of docs: "
+                        "supersede matching keys, append the rest")
+    up.add_argument("--index", required=True)
+    up.add_argument("--pages", required=True,
+                    help="parquet path or catalog table with the batch")
+    up.add_argument("--out", required=True)
+    up.add_argument("--from-html", action="store_true")
+    up.add_argument("--key-col", default="url")
+    up.add_argument("--doc-id-col", default=None,
+                    help="column with explicit new dense doc ids")
+    up.add_argument("--table-format", default=None)
+    up.set_defaults(fn=cmd_update)
 
     lk = sub.add_parser("lookup", help="term/doc/stats lookups")
     lk.add_argument("--index", required=True)
