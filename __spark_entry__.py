@@ -519,6 +519,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_prefix_wand_top10(spark, sf):
+        # prefix/wildcard retrieval (operators/query.prefix_search):
+        # 's*' expands to the top-4 matching terms by (df DESC, term),
+        # then standard disjunctive BM25 over expansion + plain terms
+        from irkit_spark.operators.query import Index, prefix_search
+        idx = Index(spark, _index_for(spark, sf))
+        return (prefix_search(idx, "s* value", k=10, mode="wand",
+                              local=False, max_expansions=4)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_index_updated_wand_top10(spark, sf):
         # upserted retrieval (operators/update.py): superseded docs
         # tombstoned, replacements + adds appended under fresh ids;
@@ -586,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_deleted_wand_top10": q_index_deleted_wand_top10,
         "index_compacted_wand_top10": q_index_compacted_wand_top10,
         "index_updated_wand_top10": q_index_updated_wand_top10,
+        "index_prefix_wand_top10": q_index_prefix_wand_top10,
     }
 
 
@@ -1427,6 +1438,28 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         # upsert: stats over ALL versions, superseded originals
         # excluded from selection only
         "index_updated_wand_top10": _bm25_updated_sql(Q_BM25_A, 10),
+        # wildcard rewrite: 's*' -> top-4 lexicon matches by
+        # (df DESC, term ASC) + the plain term, then standard BM25 OR
+        "index_prefix_wand_top10": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT term FROM (
+    SELECT term FROM ts WHERE term LIKE 's%'
+    ORDER BY df DESC, term LIMIT 4)
+  UNION SELECT 'value' AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 10""",
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

@@ -108,9 +108,17 @@ def cmd_query(args):
     local = {"auto": None, "on": True, "off": False}[args.local]
     if args.doc_filter and args.local == "auto":
         local = False           # filtered retrieval runs distributed
-    rows = search(idx, args.query, k=args.k, mode=args.mode,
-                  scorer=args.scorer, local=local,
-                  doc_filter=args.doc_filter or None).collect()
+    if args.wildcard:
+        from irkit_spark.operators.query import prefix_search
+        rows = prefix_search(idx, args.query, k=args.k, mode=args.mode,
+                             scorer=args.scorer, local=local,
+                             doc_filter=args.doc_filter or None,
+                             max_expansions=args.max_expansions
+                             ).collect()
+    else:
+        rows = search(idx, args.query, k=args.k, mode=args.mode,
+                      scorer=args.scorer, local=local,
+                      doc_filter=args.doc_filter or None).collect()
     for rank, r in enumerate(rows, 1):
         # TREC-ish run output (SURVEY.md O3 [pub:tools/irk-query.cpp])
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
@@ -256,6 +264,11 @@ def main(argv=None):
     q.add_argument("--slop", type=int, default=0,
                    help="proximity slack with --phrase: consecutive "
                         "tokens may sit up to 1+slop positions apart")
+    q.add_argument("--wildcard", action="store_true",
+                   help="expand trailing-* tokens against the lexicon "
+                        "(prefix queries), then score the disjunction")
+    q.add_argument("--max-expansions", type=int, default=32,
+                   help="cap per wildcard, picked by (df DESC, term)")
     q.set_defaults(fn=cmd_query)
 
     bp = sub.add_parser("build-positions",

@@ -1187,3 +1187,86 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
     return (drop_deleted(scored.groupBy("doc_id")
                          .agg(F.sum("partial").alias("score")))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+# §3.3 prefix / wildcard queries (the capability behind irkit's
+# Hu-Tucker-coded prefix map, SURVEY.md §2.8 C5: the reference keeps a
+# prefix-searchable lexicon; here the sorted parquet terms table + a
+# Catalyst StartsWith pushdown — or the vocab-gated driver dict — is
+# that structure, so the n/a-by-design row gets a real query surface).
+
+_WILDCARD_RE = r"^[a-z0-9]+\*?$"
+
+
+def expand_wildcards(index: Index, query: str,
+                     max_expansions: int = 32) -> tuple[str, dict]:
+    """Expand trailing-* tokens ('mer* window') against the index
+    lexicon. Each wildcard becomes its matching terms, capped at
+    `max_expansions` picked by (df DESC, term ASC) — the deterministic
+    Lucene-style rewrite cap (highest-df expansions dominate a
+    disjunctive score, so they are the ones worth keeping; ties break
+    on the term string). Plain tokens pass through; a wildcard
+    matching nothing expands to nothing (dropped like any OOV term).
+
+    Returns (expanded query string, {pattern: [terms...]}).
+
+    Bare '*' is refused: an unanchored expansion is the whole vocab —
+    at web scale that is a full-lexicon disjunction, never what a
+    caller wants. Scale shape: below BROADCAST_VOCAB_MAX expansion is
+    a driver-dict scan (zero Spark jobs, the serving path); above it,
+    one pruned terms-table filter per pattern — StartsWith pushes into
+    the parquet scan, so only matching row groups are read."""
+    import re
+
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    toks = query.lower().split()
+    if not toks:
+        return "", {}
+    plain: list[str] = []
+    patterns: list[str] = []
+    for t in toks:
+        if not re.match(_WILDCARD_RE, t):
+            raise ValueError(
+                f"bad query token {t!r}: tokens are [a-z0-9]+ with an "
+                "optional single trailing '*' (bare '*' would expand "
+                "to the entire lexicon)")
+        (patterns if t.endswith("*") else plain).append(t)
+    expansions: dict[str, list[str]] = {}
+    if patterns:
+        td = index._terms_dict()
+        for pat in sorted(set(patterns)):
+            pre = pat[:-1]
+            if td is not None:
+                hits = [(term, v[1]) for term, v in td.items()
+                        if term.startswith(pre)]
+                hits.sort(key=lambda h: (-h[1], h[0]))
+                expansions[pat] = [t for t, _ in hits[:max_expansions]]
+            else:
+                rows = (index.terms
+                        .filter(F.col("term").startswith(pre))
+                        .orderBy(F.desc("df"), F.asc("term"))
+                        .limit(max_expansions)
+                        .select("term").collect())
+                expansions[pat] = [r["term"] for r in rows]
+    terms = sorted(set(plain).union(
+        t for ts in expansions.values() for t in ts))
+    return " ".join(terms), expansions
+
+
+def prefix_search(index: Index, query: str, k: int = 10,
+                  mode: str = "wand", scorer: str = "bm25",
+                  local: bool | None = None,
+                  doc_filter: str | None = None,
+                  max_expansions: int = 32) -> DataFrame:
+    """search() over a query with trailing-* wildcards: expand against
+    the lexicon (expand_wildcards), then run the standard disjunctive
+    scoring over the expanded term set — the scoring rewrite (all
+    pruning modes stay lossless: expanded terms are ordinary terms
+    with ordinary bounds). A query whose wildcards all miss returns
+    empty, like an all-OOV plain query."""
+    expanded, _ = expand_wildcards(index, query, max_expansions)
+    if not expanded:
+        return index.spark.createDataFrame([], TOPK_SCHEMA)
+    return search(index, expanded, k=k, mode=mode, scorer=scorer,
+                  local=local, doc_filter=doc_filter)
