@@ -519,6 +519,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_not_wand_top10(spark, sf):
+        # boolean NOT (search(exclude_terms=)): docs containing any
+        # excluded term dropped shard-locally, survivors' scores
+        # untouched (global stats)
+        from irkit_spark.operators.query import Index, search
+        idx = Index(spark, _index_for(spark, sf))
+        return (search(idx, Q_BM25_A, k=10, mode="wand", local=False,
+                       exclude_terms="window customer")
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_index_prefix_wand_top10(spark, sf):
         # prefix/wildcard retrieval (operators/query.prefix_search):
         # 's*' expands to the top-4 matching terms by (df DESC, term),
@@ -597,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_compacted_wand_top10": q_index_compacted_wand_top10,
         "index_updated_wand_top10": q_index_updated_wand_top10,
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
+        "index_not_wand_top10": q_index_not_wand_top10,
     }
 
 
@@ -618,15 +629,24 @@ def _values(terms: list[str]) -> str:
 
 
 def _bm25_sql(query: str, k: int, conjunctive: bool = False,
-              doc_where: str | None = None) -> str:
+              doc_where: str | None = None,
+              not_terms: list[str] | None = None) -> str:
     terms = sorted(set(query.lower().split()))
     conj = ""
     if conjunctive:
         conj = """
   HAVING count(*) = (SELECT count(*) FROM ts JOIN q USING (term))"""
-    # doc_where (filtered retrieval): restricts SELECTION only — the
-    # collection stats st/ts stay global, matching search(doc_filter=)
-    where = f"\n  WHERE ({doc_where})" if doc_where else ""
+    # doc_where (filtered retrieval) and not_terms (boolean NOT,
+    # search(exclude_terms=)): both restrict SELECTION only — the
+    # collection stats st/ts stay global, matching the engine
+    conds = []
+    if doc_where:
+        conds.append(f"({doc_where})")
+    if not_terms:
+        nt = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
+        conds.append(f"tf.doc_id NOT IN (SELECT doc_id FROM tf "
+                     f"WHERE term IN ({nt}))")
+    where = ("\n  WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
 WITH tf AS ({_TF}),
 dl AS ({_DL}),
@@ -1438,6 +1458,9 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         # upsert: stats over ALL versions, superseded originals
         # excluded from selection only
         "index_updated_wand_top10": _bm25_updated_sql(Q_BM25_A, 10),
+        # boolean NOT: selection-only exclusion, stats stay global
+        "index_not_wand_top10": _bm25_sql(
+            Q_BM25_A, 10, not_terms=["window", "customer"]),
         # wildcard rewrite: 's*' -> top-4 lexicon matches by
         # (df DESC, term ASC) + the plain term, then standard BM25 OR
         "index_prefix_wand_top10": f"""

@@ -113,12 +113,14 @@ def cmd_query(args):
         rows = prefix_search(idx, args.query, k=args.k, mode=args.mode,
                              scorer=args.scorer, local=local,
                              doc_filter=args.doc_filter or None,
+                             exclude_terms=args.exclude or None,
                              max_expansions=args.max_expansions
                              ).collect()
     else:
         rows = search(idx, args.query, k=args.k, mode=args.mode,
                       scorer=args.scorer, local=local,
-                      doc_filter=args.doc_filter or None).collect()
+                      doc_filter=args.doc_filter or None,
+                      exclude_terms=args.exclude or None).collect()
     for rank, r in enumerate(rows, 1):
         # TREC-ish run output (SURVEY.md O3 [pub:tools/irk-query.cpp])
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
@@ -264,6 +266,9 @@ def main(argv=None):
     q.add_argument("--slop", type=int, default=0,
                    help="proximity slack with --phrase: consecutive "
                         "tokens may sit up to 1+slop positions apart")
+    q.add_argument("--exclude", default=None,
+                   help="boolean NOT: drop docs containing any of "
+                        "these space-separated terms")
     q.add_argument("--wildcard", action="store_true",
                    help="expand trailing-* tokens against the lexicon "
                         "(prefix queries), then score the disjunction")

@@ -343,7 +343,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                   docs_per_shard: int, mode: str, scorer: str = "bm25",
                   coll_len: int = 1, bound_slack: float = 1.0,
                   quantized: bool = False, dl_bc=None,
-                  restrict: bool = False, del_bc=None):
+                  restrict: bool = False, del_bc=None,
+                  neg_tids: frozenset = frozenset()):
     """Per-shard scorer: cogrouped with the docs table, or — when dl_bc
     (the broadcast per-shard doc-length arrays) is set — over postings
     alone. qmeta sorted by term_id ascending.
@@ -360,7 +361,16 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
     sorted deleted-id arrays — deleted docs are masked out of every
     mode's candidate set through the same `valid` array restrict uses
     (selection-only, like restrict: scores of survivors are untouched
-    and pruning bounds remain upper bounds)."""
+    and pruning bounds remain upper bounds).
+
+    neg_tids (boolean NOT, search(exclude_terms=)): postings rows for
+    these term ids arrive in the same shard task as the query's; the
+    kernel decodes them FIRST and masks their docs out of the same
+    `valid` array — shard-local, no global excluded set ever
+    materializes. qmeta carries POSITIVE terms only, so scoring, the
+    QL decomposition, and every pruning bound see just the scored
+    terms (selection-only again: bounds stay upper bounds when docs
+    are removed)."""
     idf_by_tid = {m["term_id"]: m["idf"] for m in qmeta}
     # Dirichlet QL decomposition (SURVEY.md Q2):
     #   sum_t ln((tf + mu*p_t)/(dl + mu))
@@ -507,6 +517,20 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
         # varbyte decode entirely; keys are (term_id, block_ix), unique
         # across queries
         cache: dict = decoded_cache if decoded_cache is not None else {}
+
+        if neg_tids:
+            # NOT terms: full decode of their in-shard postings (the
+            # minimal cost of knowing what to exclude), docs masked
+            # out of `valid` before any mode runs
+            for tid in [t for t in term_rows if t in neg_tids]:
+                blocks = term_rows.pop(tid)
+                d, _t = term_gather(tid, blocks,
+                                    list(range(len(blocks))), cache)
+                if valid is None:
+                    valid = np.ones(docs_per_shard, dtype=bool)
+                valid[d - base] = False
+            if not term_rows:
+                return empty_out
 
         if mode == "and":
             # conjunctive intersection (J1): small-adaptive — decode the
@@ -743,18 +767,24 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
 
 
 def _search_local(index: Index, qmeta: list[dict], k: int, mode: str,
-                  scorer: str, del_bc=None) -> DataFrame:
+                  scorer: str, del_bc=None,
+                  neg_meta: list[dict] | None = None) -> DataFrame:
     """Driver-side execution of the SAME per-shard kernel: posting
     blocks from the driver cache (_local_postings), doc lengths from
     the (driver-visible) broadcast value, global top-k merged with the
     identical (-score, doc_id) order — bit-identical to the distributed
-    path by construction (tested), with zero Spark jobs once warm."""
+    path by construction (tested), with zero Spark jobs once warm.
+    neg_meta (exclude_terms): those terms' blocks ride the same driver
+    cache and mask in-kernel exactly like the distributed path."""
+    neg_meta = neg_meta or []
     dl_bc = index.doc_len_broadcast()
-    by_tid = index._local_postings(qmeta)
+    by_tid = index._local_postings(qmeta + neg_meta)
     kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
                          index.docs_per_shard, mode, scorer,
                          index.coll_len, index.bound_slack,
-                         index.quantized, dl_bc=dl_bc, del_bc=del_bc)
+                         index.quantized, dl_bc=dl_bc, del_bc=del_bc,
+                         neg_tids=frozenset(
+                             m["term_id"] for m in neg_meta))
     per_shard: dict[int, dict[str, list]] = {}
     for tid, lst in by_tid.items():
         for shard, blocks in lst:
@@ -829,7 +859,8 @@ def _docs_touched(index: Index, qpost: DataFrame,
 def search(index: Index, query: str, k: int = 10,
            mode: str = "wand", scorer: str = "bm25",
            local: bool | None = None,
-           doc_filter: str | None = None) -> DataFrame:
+           doc_filter: str | None = None,
+           exclude_terms: str | None = None) -> DataFrame:
     """Top-k (doc_id, score); mode in {taat, daat, wand, maxscore}
     (Q3/Q4/Q5 — wand prunes per block via doc-range-aligned rest
     bounds, maxscore via the Turtle-Flood essential-list partition on
@@ -845,6 +876,16 @@ def search(index: Index, query: str, k: int = 10,
     Catalyst pushes doc_id/partition_id predicates into the
     dir-partitioned docs scan. Runs on the distributed cogroup path
     (daat/wand/maxscore/and; taat and local=True raise).
+
+    exclude_terms: boolean NOT — docs containing ANY of these terms
+    are dropped from selection (Lucene MUST_NOT). Scoring is over the
+    positive terms with global stats, so a surviving doc scores
+    identically with or without the exclusion; pruning stays lossless
+    (removing docs can't raise any bound). Excluded terms absent from
+    the lexicon are no-ops (like OOV query terms); a term appearing on
+    both sides raises. Scale shape: the excluded terms' postings ride
+    the SAME pruned postings scan into each shard task and are masked
+    shard-locally — no global excluded-doc set is ever built.
 
     local: None (default) auto-routes small queries through the
     driver-side kernel (see config.LOCAL_QUERY_MAX_POSTINGS — per-query
@@ -869,6 +910,21 @@ def search(index: Index, query: str, k: int = 10,
     empty = spark.createDataFrame([], TOPK_SCHEMA)
     if not qmeta:
         return empty
+    neg_meta: list[dict] = []
+    if exclude_terms:
+        if "*" in exclude_terms:
+            raise ValueError(
+                "wildcards in exclude_terms need an explicit rewrite "
+                "— use prefix_search(exclude_terms=...), which "
+                "expands them under the same deterministic cap")
+        overlap = set(tokenize(query)) & set(tokenize(exclude_terms))
+        if overlap:
+            raise ValueError(
+                f"terms {sorted(overlap)} appear in both query and "
+                "exclude_terms — a term cannot be required and "
+                "forbidden at once")
+        neg_meta = index.lookup_query(exclude_terms)
+    neg_tids = frozenset(m["term_id"] for m in neg_meta)
 
     # tombstones (operators/delete.py): selection-only, like
     # doc_filter. Below DEL_BROADCAST_MAX the kernels mask candidates
@@ -886,7 +942,7 @@ def search(index: Index, query: str, k: int = 10,
             raise ValueError("doc_filter runs distributed (the "
                              "predicate is evaluated on the docs "
                              "table); local=True is not available")
-        tids = [m["term_id"] for m in qmeta]
+        tids = [m["term_id"] for m in qmeta] + list(neg_tids)
         qpost = index.postings.filter(F.col("term_id").isin(tids))
         qdocs = _docs_touched(index, qpost, doc_filter,
                               exclude_deleted=del_over_gate)
@@ -894,14 +950,14 @@ def search(index: Index, query: str, k: int = 10,
                              index.docs_per_shard, mode, scorer,
                              index.coll_len, index.bound_slack,
                              index.quantized, restrict=True,
-                             del_bc=del_bc)
+                             del_bc=del_bc, neg_tids=neg_tids)
         out = (qpost.groupBy("partition_id")
                .cogroup(qdocs.groupBy("partition_id"))
                .applyInPandas(lambda lt, rt: kern(lt, rt), TOPK_SCHEMA))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     if mode != "taat" and local is not False:
-        fits = (sum(m["df"] for m in qmeta)
+        fits = (sum(m["df"] for m in qmeta + neg_meta)
                 <= config.LOCAL_QUERY_MAX_POSTINGS
                 and index.n_docs <= index._dl_cap
                 and not del_over_gate)
@@ -913,22 +969,32 @@ def search(index: Index, query: str, k: int = 10,
                 "DEL_BROADCAST_MAX)")
         if fits:
             return _search_local(index, qmeta, k, mode, scorer,
-                                 del_bc=del_bc)
+                                 del_bc=del_bc, neg_meta=neg_meta)
     elif local:
         raise ValueError("local=True is not available for mode='taat'")
 
-    tids = [m["term_id"] for m in qmeta]
+    tids = [m["term_id"] for m in qmeta] + list(neg_tids)
     qpost = index.postings.filter(F.col("term_id").isin(tids))
 
     if mode == "taat":
-        return _taat_from_index(index, qmeta, qpost, k, scorer)
+        # NOT on the SQL-shaped path: decoded excluded doc ids
+        # anti-joined out before the final top-k (postings of the
+        # excluded terms only — one pruned scan, no corpus pass)
+        pos_tids = [m["term_id"] for m in qmeta]
+        neg_docs = (_neg_docs_df(index, neg_tids)
+                    if neg_tids else None)
+        return _taat_from_index(
+            index, qmeta,
+            qpost.filter(F.col("term_id").isin(pos_tids)),
+            k, scorer, neg_docs=neg_docs)
 
     dl_bc = None if del_over_gate else index.doc_len_broadcast()
     kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
                          index.docs_per_shard, mode, scorer,
                          index.coll_len, index.bound_slack,
                          index.quantized, dl_bc=dl_bc,
-                         restrict=del_over_gate, del_bc=del_bc)
+                         restrict=del_over_gate, del_bc=del_bc,
+                         neg_tids=neg_tids)
     if dl_bc is not None:
         # gated fast path: doc lengths ride the one-time broadcast, so
         # a query is a pruned postings scan + per-shard kernel + tiny
@@ -1030,8 +1096,31 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
             .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
 
 
+def _neg_docs_df(index: Index, neg_tids: frozenset) -> DataFrame:
+    """Distinct doc ids carrying ANY of the excluded terms — one
+    pruned postings scan of just those terms, decoded in-task (the
+    TAAT-path form of the kernel modes' shard-local NOT mask)."""
+    codec = index.codec
+    npost = index.postings.filter(
+        F.col("term_id").isin(list(neg_tids)))
+
+    def dec(batches):
+        for pdf in batches:
+            outs = [pd.DataFrame(
+                {"doc_id": _decode_row_blocks(
+                    list(r["blocks"]), codec)[0].astype(np.int64)})
+                for _, r in pdf.iterrows()]
+            yield (pd.concat(outs, ignore_index=True) if outs else
+                   pd.DataFrame({"doc_id": pd.Series([],
+                                                     dtype="int64")}))
+
+    return (npost.select("blocks")
+            .mapInPandas(dec, "doc_id long").distinct())
+
+
 def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
-                     k: int, scorer: str = "bm25") -> DataFrame:
+                     k: int, scorer: str = "bm25",
+                     neg_docs: DataFrame | None = None) -> DataFrame:
     """TAAT (Q3/A4): decode -> per-posting partial scores -> JVM-side
     groupBy(doc_id).sum -> top-k. The SQL-shaped path.
 
@@ -1143,11 +1232,13 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
         return (df.withColumn("doc_len", _dl(F.col("doc_id")))
                 .filter(F.col("doc_len") > 0))
     def drop_deleted(df: DataFrame) -> DataFrame:
-        """Tombstones out AFTER the per-doc aggregate (selection-only:
-        per-doc sums are untouched, so surviving scores are identical
-        with or without deletions — the same contract as the kernel
-        modes' `valid` mask). Anti-join, broadcast when the set fits
-        the gate."""
+        """Tombstones (and exclude_terms docs) out AFTER the per-doc
+        aggregate (selection-only: per-doc sums are untouched, so
+        surviving scores are identical with or without the drop — the
+        same contract as the kernel modes' `valid` mask). Anti-join,
+        broadcast when the set fits the gate."""
+        if neg_docs is not None:
+            df = df.join(neg_docs, "doc_id", "left_anti")
         if not index.has_deletions():
             return df
         dels = index.deletions_df().select("doc_id")
@@ -1258,6 +1349,7 @@ def prefix_search(index: Index, query: str, k: int = 10,
                   mode: str = "wand", scorer: str = "bm25",
                   local: bool | None = None,
                   doc_filter: str | None = None,
+                  exclude_terms: str | None = None,
                   max_expansions: int = 32) -> DataFrame:
     """search() over a query with trailing-* wildcards: expand against
     the lexicon (expand_wildcards), then run the standard disjunctive
@@ -1268,5 +1360,9 @@ def prefix_search(index: Index, query: str, k: int = 10,
     expanded, _ = expand_wildcards(index, query, max_expansions)
     if not expanded:
         return index.spark.createDataFrame([], TOPK_SCHEMA)
+    if exclude_terms and "*" in exclude_terms:
+        exclude_terms, _ = expand_wildcards(index, exclude_terms,
+                                            max_expansions)
     return search(index, expanded, k=k, mode=mode, scorer=scorer,
-                  local=local, doc_filter=doc_filter)
+                  local=local, doc_filter=doc_filter,
+                  exclude_terms=exclude_terms or None)
