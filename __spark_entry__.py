@@ -149,6 +149,41 @@ def _updated_for(spark, sf_dir: str) -> str:
     return _IDX_CACHE[key]
 
 
+def _segments_for(spark, sf_dir: str) -> list[str]:
+    """Two batch indexes over a doc-id split of the documents table,
+    built the ingest way (shared lexicon from the cached full index,
+    running global stats) — operators/segments.SegmentedIndex serves
+    them unmerged, value-identical to the full index."""
+    base = _index_for(spark, sf_dir)
+    key = base + "#seg"
+    if key not in _IDX_CACHE:
+        from irkit_spark.operators.build import build_index
+        from irkit_spark.operators.query import Index
+        docs = _docs(spark, sf_dir)
+        mx = int(docs.agg(F.max("doc_id")).collect()[0][0])
+        cut = (mx + 1) // 2
+        lex = Index(spark, base).terms.select("term", "term_id")
+        dirs = []
+        for i, (lo, hi) in enumerate(((0, cut), (cut, mx + 1))):
+            sofar = docs.filter(f"doc_id < {hi}")
+            g = sofar.agg(
+                F.count("*").alias("n"),
+                F.avg(F.size(F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_RE), 0))).alias("a")
+            ).collect()[0]
+            d = base + f"_seg{i}"
+            shutil.rmtree(d, ignore_errors=True)
+            build_index(spark,
+                        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}"),
+                        d, docs_per_shard=200, doc_id_col="doc_id",
+                        key_col="doc_id", n_parts=8,
+                        shared_lexicon=lex,
+                        global_stats=(int(g["n"]), float(g["a"])))
+            dirs.append(d)
+        _IDX_CACHE[key] = dirs
+    return _IDX_CACHE[key]
+
+
 def _index_search(spark, sf_dir, query, k, mode,
                   scorer="bm25", quantize: bool = False,
                   local: bool | None = False,
@@ -519,6 +554,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_segments_wand_top10(spark, sf):
+        # multi-segment (NRT) serving: two unmerged batch indexes,
+        # federated stats == full-corpus stats, so results equal the
+        # single-index build — and the same brute-force BM25 oracle
+        from irkit_spark.operators.query import search
+        from irkit_spark.operators.segments import SegmentedIndex
+        idx = SegmentedIndex(spark, _segments_for(spark, sf))
+        return (search(idx, Q_BM25_B, k=10, mode="wand", local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_index_not_wand_top10(spark, sf):
         # boolean NOT (search(exclude_terms=)): docs containing any
         # excluded term dropped shard-locally, survivors' scores
@@ -608,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_updated_wand_top10": q_index_updated_wand_top10,
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
         "index_not_wand_top10": q_index_not_wand_top10,
+        "index_segments_wand_top10": q_index_segments_wand_top10,
     }
 
 
@@ -1461,6 +1507,9 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         # boolean NOT: selection-only exclusion, stats stay global
         "index_not_wand_top10": _bm25_sql(
             Q_BM25_A, 10, not_terms=["window", "customer"]),
+        # segmented serving == the single-index ranking, so the plain
+        # brute-force BM25 SQL is the oracle
+        "index_segments_wand_top10": _bm25_sql(Q_BM25_B, 10),
         # wildcard rewrite: 's*' -> top-4 lexicon matches by
         # (df DESC, term ASC) + the plain term, then standard BM25 OR
         "index_prefix_wand_top10": f"""

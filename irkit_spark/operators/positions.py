@@ -558,6 +558,12 @@ def phrase_search(index, phrase: str, k: int = 10,
     tiny top-k; doc lengths ride the gated broadcast, cogrouping
     against the touched shards of the docs table above the cap —
     identical scale shape to search()."""
+    from irkit_spark.operators.segments import SegmentedIndex
+    if isinstance(index, SegmentedIndex):
+        raise ValueError(
+            "phrase/snippet retrieval reads the positions artifact, "
+            "which is per-segment — merge_indexes the segments first "
+            "(SegmentedIndex federates the docID+tf tier only)")
     from irkit_spark.operators.query import _docs_touched
     spark = index.spark
     empty = spark.createDataFrame([], PHRASE_SCHEMA)

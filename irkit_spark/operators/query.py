@@ -505,13 +505,26 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 valid[dels - base] = False
         term_rows: dict[int, list] = {}
         # iterrows is safe ONLY because post_pdf holds one row per
-        # (query term, shard) — a handful of rows, each carrying its
-        # whole block array. If the postings layout ever moves to
-        # blocks-per-row, this loop becomes per-block Python and must
-        # be rewritten as a column pull (VERDICT r4 "What's wrong" #4).
+        # (query term, shard) PER SEGMENT — a handful of rows, each
+        # carrying its whole block array. If the postings layout ever
+        # moves to blocks-per-row, this loop becomes per-block Python
+        # and must be rewritten as a column pull (VERDICT r4 "What's
+        # wrong" #4).
+        multi: set = set()
         for _, r in post_pdf.iterrows():
-            term_rows.setdefault(int(r["term_id"]), []).extend(
-                list(r["blocks"]))
+            tid = int(r["term_id"])
+            if tid in term_rows:
+                multi.add(tid)
+                term_rows[tid].extend(list(r["blocks"]))
+            else:
+                term_rows[tid] = list(r["blocks"])
+        # segmented serving (operators/segments.py): a boundary shard
+        # holds one postings row per segment for the same term;
+        # segment doc ranges are disjoint, so sorting the combined
+        # block list by first_doc restores the ascending-docs
+        # invariant every kernel mode relies on
+        for tid in multi:
+            term_rows[tid].sort(key=lambda bb: bb["first_doc"])
         # decoded_cache (driver serving): a per-shard dict that outlives
         # this call, so repeated queries over the same terms skip the
         # varbyte decode entirely; keys are (term_id, block_ix), unique

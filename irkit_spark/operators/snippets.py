@@ -168,6 +168,12 @@ def snippet_spans(index, query: str, k: int = 10, window: int = 30,
     k rows driver-side.  OOV query terms are dropped (P3 semantics);
     every hit doc carries at least one surviving-term occurrence by
     construction, so the span frame covers all k hits."""
+    from irkit_spark.operators.segments import SegmentedIndex
+    if isinstance(index, SegmentedIndex):
+        raise ValueError(
+            "snippets read the positions artifact, which is "
+            "per-segment — merge_indexes the segments first "
+            "(SegmentedIndex federates the docID+tf tier only)")
     spark = index.spark
     empty = spark.createDataFrame([], SNIPPET_SCHEMA)
     toks = tokenize(query)
