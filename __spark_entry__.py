@@ -554,6 +554,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_boost_wand_top10(spark, sf):
+        # term boosts (search('term^2 ...')): w scales the term's
+        # contribution in scores AND pruning bounds (lossless)
+        from irkit_spark.operators.query import Index, search
+        idx = Index(spark, _index_for(spark, sf))
+        return (search(idx, "join^2 hash merge^0.5", k=10,
+                       mode="wand", local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_index_segments_wand_top10(spark, sf):
         # multi-segment (NRT) serving: two unmerged batch indexes,
         # federated stats == full-corpus stats, so results equal the
@@ -654,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
         "index_not_wand_top10": q_index_not_wand_top10,
         "index_segments_wand_top10": q_index_segments_wand_top10,
+        "index_boost_wand_top10": q_index_boost_wand_top10,
     }
 
 
@@ -676,7 +686,8 @@ def _values(terms: list[str]) -> str:
 
 def _bm25_sql(query: str, k: int, conjunctive: bool = False,
               doc_where: str | None = None,
-              not_terms: list[str] | None = None) -> str:
+              not_terms: list[str] | None = None,
+              weights: dict[str, float] | None = None) -> str:
     terms = sorted(set(query.lower().split()))
     conj = ""
     if conjunctive:
@@ -693,15 +704,24 @@ def _bm25_sql(query: str, k: int, conjunctive: bool = False,
         conds.append(f"tf.doc_id NOT IN (SELECT doc_id FROM tf "
                      f"WHERE term IN ({nt}))")
     where = ("\n  WHERE " + " AND ".join(conds)) if conds else ""
+    # weights (term boosts, search('term^2 ...')): w scales the
+    # term's contribution linearly — same formula the engine folds
+    # into idf
+    if weights:
+        qvals = ", ".join(f"('{t}', {float(weights.get(t, 1.0))!r})"
+                          for t in terms)
+        qrel, wmul = f"q(term, w) AS (VALUES {qvals})", "q.w * "
+    else:
+        qrel, wmul = f"q(term) AS (VALUES {_values(terms)})", ""
     return f"""
 WITH tf AS ({_TF}),
 dl AS ({_DL}),
 st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-q(term) AS (VALUES {_values(terms)}),
+{qrel},
 sc AS (
   SELECT tf.doc_id,
-         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         sum({wmul}ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
              * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
                         * dl.dl / st.avgdl))) AS s
   FROM tf JOIN q USING (term) JOIN ts USING (term)
@@ -1510,6 +1530,9 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         # segmented serving == the single-index ranking, so the plain
         # brute-force BM25 SQL is the oracle
         "index_segments_wand_top10": _bm25_sql(Q_BM25_B, 10),
+        # term boosts: w * idf * tf_norm summed
+        "index_boost_wand_top10": _bm25_sql(
+            Q_BM25_A, 10, weights={"join": 2.0, "merge": 0.5}),
         # wildcard rewrite: 's*' -> top-4 lexicon matches by
         # (df DESC, term ASC) + the plain term, then standard BM25 OR
         "index_prefix_wand_top10": f"""

@@ -167,6 +167,18 @@ def main():
         t0 = time.monotonic()
         search(idx, q, k, mode, local=False).collect()
         queries[name] = round(time.monotonic() - t0, 3)
+    # boolean NOT and prefix rewrite ride the same kernel/job floor —
+    # their deltas vs wand_k10 are the cost of the extra masking decode
+    # and the lexicon expansion respectively
+    t0 = time.monotonic()
+    search(idx, "term00000 term00003 term00123", 10, "wand",
+           local=False, exclude_terms="term00777").collect()
+    queries["not_wand_k10"] = round(time.monotonic() - t0, 3)
+    from irkit_spark.operators.query import prefix_search
+    t0 = time.monotonic()
+    prefix_search(idx, "term0000* term00123", 10, "wand",
+                  local=False).collect()
+    queries["prefix_wand_k10"] = round(time.monotonic() - t0, 3)
     # driver-side serving kernel (search local=True): first call pays
     # the one pruned collect per term; the warm number is the true
     # per-query serving latency (zero Spark jobs — the irk-query

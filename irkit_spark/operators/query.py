@@ -311,22 +311,23 @@ class Index:
                 ver)
 
     def lookup_query(self, query: str) -> list[dict]:
-        """Query string -> [{term_id, idf, df, cf}] (OOV dropped, Q6/P3).
-        Zero Spark jobs when the vocab-gated driver dict is warm."""
+        """Query string -> [{term, term_id, idf, df, cf}] (OOV
+        dropped, Q6/P3). Zero Spark jobs when the vocab-gated driver
+        dict is warm."""
         toks = sorted(set(tokenize(query)))
         if not toks:
             return []
         td = self._terms_dict()
         if td is not None:
             hits = [(t, *td[t]) for t in toks if t in td]
-            return [{"term_id": tid, "df": df, "cf": cf,
+            return [{"term": t, "term_id": tid, "df": df, "cf": cf,
                      "idf": float(idf_fn(np.array([df]),
                                          self.n_docs)[0])}
-                    for _, tid, df, cf in
+                    for t, tid, df, cf in
                     sorted(hits, key=lambda h: h[1])]
         rows = (self.terms.filter(F.col("term").isin(toks))
                 .select("term_id", "term", "df", "cf").collect())
-        return [{"term_id": int(r["term_id"]),
+        return [{"term": r["term"], "term_id": int(r["term_id"]),
                  "df": int(r["df"]), "cf": int(r["cf"]),
                  "idf": float(idf_fn(np.array([r["df"]]), self.n_docs)[0])}
                 for r in sorted(rows, key=lambda r: r["term_id"])]
@@ -869,6 +870,50 @@ def _docs_touched(index: Index, qpost: DataFrame,
             .select("partition_id", "doc_id", "doc_len"))
 
 
+def _parse_boosts(query: str) -> tuple[str, dict[str, float]]:
+    """Lucene-style term boosts: 'jaguar^2 speed' ->
+    ('jaguar speed', {'jaguar': 2.0}). A boost applies to every token
+    its clause tokenizes to; repeated terms must agree on their boost
+    (which version wins must not depend on clause order). Parsed
+    BEFORE tokenization — the tokenizer would otherwise read the '2'
+    of 'jaguar^2' as a numeric term."""
+    import re
+    parts: list[str] = []
+    weights: dict[str, float] = {}
+    for clause in query.split():
+        m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", clause)
+        if m:
+            base, w = m.group(1), float(m.group(2))
+            if w <= 0:
+                raise ValueError(f"boost must be > 0: {clause!r}")
+        else:
+            base, w = clause, 1.0
+        parts.append(base)
+        for t in tokenize(base):
+            if t in weights and weights[t] != w:
+                raise ValueError(f"conflicting boosts for term {t!r}")
+            weights[t] = w
+    return " ".join(parts), {t: w for t, w in weights.items()
+                             if w != 1.0}
+
+
+def _boosted(qmeta: list[dict], boosts: dict[str, float],
+             scorer: str) -> list[dict]:
+    """Fold boosts into qmeta's idf — the one number every scoring
+    and bounding path multiplies by: exact scores, TAAT partials,
+    block-max/max-score upper bounds (w > 0 keeps them upper bounds,
+    scaled linearly), quantized impacts. BM25-only: QL's decomposition
+    has no per-term linear factor to scale."""
+    if not boosts:
+        return qmeta
+    if scorer != "bm25":
+        raise ValueError("term boosts are defined for bm25 (QL's "
+                         "Dirichlet decomposition has no per-term "
+                         "linear weight)")
+    return [dict(m, idf=m["idf"] * boosts.get(m["term"], 1.0))
+            for m in qmeta]
+
+
 def search(index: Index, query: str, k: int = 10,
            mode: str = "wand", scorer: str = "bm25",
            local: bool | None = None,
@@ -889,6 +934,11 @@ def search(index: Index, query: str, k: int = 10,
     Catalyst pushes doc_id/partition_id predicates into the
     dir-partitioned docs scan. Runs on the distributed cogroup path
     (daat/wand/maxscore/and; taat and local=True raise).
+
+    query may carry Lucene-style term boosts ('jaguar^2 speed'): the
+    boost scales that term's contribution (w * idf * tf_norm) in both
+    scores and pruning bounds — every mode stays lossless and
+    bit-identical across paths (bm25 only).
 
     exclude_terms: boolean NOT — docs containing ANY of these terms
     are dropped from selection (Lucene MUST_NOT). Scoring is over the
@@ -919,7 +969,8 @@ def search(index: Index, query: str, k: int = 10,
                          "term frequencies; QL needs tf — rebuild with "
                          "quantize=False")
     spark = index.spark
-    qmeta = index.lookup_query(query)
+    query, boosts = _parse_boosts(query)
+    qmeta = _boosted(index.lookup_query(query), boosts, scorer)
     empty = spark.createDataFrame([], TOPK_SCHEMA)
     if not qmeta:
         return empty
@@ -1053,7 +1104,10 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
         raise ValueError("dynamic-pruning bounds are bm25-only")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
-    qmetas = {qid: index.lookup_query(q) for qid, q in queries.items()}
+    qmetas = {}
+    for qid, q in queries.items():
+        qq, boosts = _parse_boosts(q)
+        qmetas[qid] = _boosted(index.lookup_query(qq), boosts, scorer)
     qmetas = {qid: m for qid, m in qmetas.items() if m}
     spark = index.spark
     out_schema = "query_id string, doc_id long, score double"
