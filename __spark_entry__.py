@@ -554,6 +554,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_prf_wand_top10(spark, sf):
+        # pseudo-relevance feedback (operators/prf.py): two-pass
+        # retrieval — BM25 top-5 feedback docs, top-3 integer-tf
+        # expansion terms at beta*tf/max_tf, weighted requery
+        from irkit_spark.operators.prf import prf_search
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _index_for(spark, sf))
+        return (prf_search(idx, Q_BM25_B, _docs(spark, sf), k=10,
+                           fb_docs=5, fb_terms=3, beta=0.5,
+                           local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_index_boost_wand_top10(spark, sf):
         # term boosts (search('term^2 ...')): w scales the term's
         # contribution in scores AND pruning bounds (lossless)
@@ -664,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_not_wand_top10": q_index_not_wand_top10,
         "index_segments_wand_top10": q_index_segments_wand_top10,
         "index_boost_wand_top10": q_index_boost_wand_top10,
+        "index_prf_wand_top10": q_index_prf_wand_top10,
     }
 
 
@@ -841,6 +854,50 @@ sc AS (
        JOIN dl USING (doc_id) CROSS JOIN st
   WHERE NOT (tf.doc_id % 13 = 5
              AND tf.doc_id <= (SELECT m FROM mx))
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _prf_sql(query: str, k: int, fb_docs: int, fb_terms: int,
+             beta: float) -> str:
+    """PRF oracle (operators/prf.py): the whole two-pass loop in one
+    CTE chain — first-pass BM25 top-fb_docs (ties on doc_id),
+    candidate terms ranked by INTEGER total tf over the feedback docs
+    (bit-reproducible selection), expansion weight beta * tf / max_tf
+    (pure IEEE int division — identical floats in any engine),
+    weighted second pass."""
+    terms = sorted(set(query.lower().split()))
+    bm25 = (f"ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))"
+            f" * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + "
+            f"{BM25_B} * dl.dl / st.avgdl))")
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q0(term) AS (VALUES {_values(terms)}),
+sc0 AS (
+  SELECT tf.doc_id, sum({bm25}) AS s
+  FROM tf JOIN q0 USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+fb AS (SELECT doc_id FROM sc0 ORDER BY s DESC, doc_id
+       LIMIT {fb_docs}),
+cand AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS c
+  FROM tf JOIN fb USING (doc_id)
+  WHERE term NOT IN (SELECT term FROM q0)
+  GROUP BY 1),
+mxc AS (SELECT max(c) AS m FROM cand),
+expd AS (SELECT term, {beta} * c / m AS w FROM cand, mxc
+         ORDER BY c DESC, term LIMIT {fb_terms}),
+q AS (SELECT term, 1.0 AS w FROM q0
+      UNION ALL SELECT term, w FROM expd),
+sc AS (
+  SELECT tf.doc_id, sum(q.w * {bm25}) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
   GROUP BY 1)
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
@@ -1533,6 +1590,8 @@ SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         # term boosts: w * idf * tf_norm summed
         "index_boost_wand_top10": _bm25_sql(
             Q_BM25_A, 10, weights={"join": 2.0, "merge": 0.5}),
+        # pseudo-relevance feedback: the full two-pass loop as CTEs
+        "index_prf_wand_top10": _prf_sql(Q_BM25_B, 10, 5, 3, 0.5),
         # wildcard rewrite: 's*' -> top-4 lexicon matches by
         # (df DESC, term ASC) + the plain term, then standard BM25 OR
         "index_prefix_wand_top10": f"""

@@ -108,6 +108,22 @@ def cmd_query(args):
     local = {"auto": None, "on": True, "off": False}[args.local]
     if args.doc_filter and args.local == "auto":
         local = False           # filtered retrieval runs distributed
+    if args.prf:
+        from irkit_spark.operators.prf import prf_search
+        from irkit_spark.sources.catalog import load_pages
+        if not args.pages:
+            raise SystemExit("--prf needs --pages (the corpus text "
+                             "the index was built from)")
+        docs_df = load_pages(spark, args.pages)
+        rows = prf_search(idx, args.query, docs_df, k=args.k,
+                          fb_docs=args.fb_docs,
+                          fb_terms=args.fb_terms, mode=args.mode,
+                          local=local, text_col=args.prf_text_col,
+                          id_col=args.prf_id_col).collect()
+        for rank, r in enumerate(rows, 1):
+            print(f"{args.qid} Q0 {r['doc_id']} {rank} "
+                  f"{r['score']:.6f} irkit_spark")
+        return
     if args.wildcard:
         from irkit_spark.operators.query import prefix_search
         rows = prefix_search(idx, args.query, k=args.k, mode=args.mode,
@@ -269,6 +285,16 @@ def main(argv=None):
     q.add_argument("--exclude", default=None,
                    help="boolean NOT: drop docs containing any of "
                         "these space-separated terms")
+    q.add_argument("--prf", action="store_true",
+                   help="pseudo-relevance feedback: expand the query "
+                        "from the top docs, weighted requery")
+    q.add_argument("--pages", default=None,
+                   help="corpus table/path with the docs' text "
+                        "(required with --prf)")
+    q.add_argument("--fb-docs", type=int, default=10)
+    q.add_argument("--fb-terms", type=int, default=10)
+    q.add_argument("--prf-text-col", default="text")
+    q.add_argument("--prf-id-col", default="doc_id")
     q.add_argument("--wildcard", action="store_true",
                    help="expand trailing-* tokens against the lexicon "
                         "(prefix queries), then score the disjunction")

@@ -918,7 +918,8 @@ def search(index: Index, query: str, k: int = 10,
            mode: str = "wand", scorer: str = "bm25",
            local: bool | None = None,
            doc_filter: str | None = None,
-           exclude_terms: str | None = None) -> DataFrame:
+           exclude_terms: str | None = None,
+           boosts: dict[str, float] | None = None) -> DataFrame:
     """Top-k (doc_id, score); mode in {taat, daat, wand, maxscore}
     (Q3/Q4/Q5 — wand prunes per block via doc-range-aligned rest
     bounds, maxscore via the Turtle-Flood essential-list partition on
@@ -969,8 +970,17 @@ def search(index: Index, query: str, k: int = 10,
                          "term frequencies; QL needs tf — rebuild with "
                          "quantize=False")
     spark = index.spark
-    query, boosts = _parse_boosts(query)
-    qmeta = _boosted(index.lookup_query(query), boosts, scorer)
+    # boosts: programmatic weights (prf_search expansion terms ride
+    # here — no string-formatting round-trip through the ^ syntax);
+    # merged with any parsed ^ boosts, conflicts raise
+    query, parsed = _parse_boosts(query)
+    for t, w in (boosts or {}).items():
+        if w <= 0:
+            raise ValueError(f"boost must be > 0: {t!r}")
+        if parsed.get(t, w) != w:
+            raise ValueError(f"conflicting boosts for term {t!r}")
+        parsed[t] = float(w)
+    qmeta = _boosted(index.lookup_query(query), parsed, scorer)
     empty = spark.createDataFrame([], TOPK_SCHEMA)
     if not qmeta:
         return empty
