@@ -605,6 +605,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               local=False, max_expansions=4)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_fuzzy_wand_top10(spark, sf):
+        # fuzzy retrieval (operators/query.fuzzy_search): each 'tok~'
+        # expands to the lexicon terms within Levenshtein distance 1,
+        # capped at 4 by (df DESC, term) — 'hast~' -> {fast, hash},
+        # 'jon~' -> {join} — then standard disjunctive BM25 over the
+        # expansion + plain terms
+        from irkit_spark.operators.query import Index, fuzzy_search
+        idx = Index(spark, _index_for(spark, sf))
+        return (fuzzy_search(idx, "hast~ jon~ value", k=10, mode="wand",
+                             local=False, max_expansions=4)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
+    def q_fuzzy_suggest(spark, sf):
+        # did-you-mean (operators/query.suggest): lexicon terms within
+        # edit distance 1 of 'hast', most-frequent first
+        from irkit_spark.operators.query import Index, suggest
+        idx = Index(spark, _index_for(spark, sf))
+        return suggest(idx, "hast", n=4)
+
     def q_index_updated_wand_top10(spark, sf):
         # upserted retrieval (operators/update.py): superseded docs
         # tombstoned, replacements + adds appended under fresh ids;
@@ -673,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_compacted_wand_top10": q_index_compacted_wand_top10,
         "index_updated_wand_top10": q_index_updated_wand_top10,
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
+        "index_fuzzy_wand_top10": q_index_fuzzy_wand_top10,
+        "fuzzy_suggest": q_fuzzy_suggest,
         "index_not_wand_top10": q_index_not_wand_top10,
         "index_segments_wand_top10": q_index_segments_wand_top10,
         "index_boost_wand_top10": q_index_boost_wand_top10,
@@ -1614,6 +1635,42 @@ sc AS (
   GROUP BY 1)
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT 10""",
+        # fuzzy rewrite: each 'tok~' -> lexicon terms with
+        # levenshtein <= 1 (classic: insert/delete/substitute — the
+        # exact predicate the engine verifies with), capped at 4 by
+        # (df DESC, term ASC), then standard BM25 OR with the plain
+        # term
+        "index_fuzzy_wand_top10": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT term FROM (
+    SELECT term FROM ts WHERE levenshtein(term, 'hast') <= 1
+    ORDER BY df DESC, term LIMIT 4)
+  UNION
+  SELECT term FROM (
+    SELECT term FROM ts WHERE levenshtein(term, 'jon') <= 1
+    ORDER BY df DESC, term LIMIT 4)
+  UNION SELECT 'value' AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 10""",
+        # did-you-mean: ED<=1 lexicon neighborhood of 'hast',
+        # (df DESC, term ASC), top 4
+        "fuzzy_suggest": f"""
+WITH tf AS ({_TF}),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT term, df FROM ts WHERE levenshtein(term, 'hast') <= 1
+ORDER BY df DESC, term LIMIT 4""",
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

@@ -179,6 +179,14 @@ def main():
     prefix_search(idx, "term0000* term00123", 10, "wand",
                   local=False).collect()
     queries["prefix_wand_k10"] = round(time.monotonic() - t0, 3)
+    # fuzzy rewrite: the ED<=1 expansion adds one vocab-sized
+    # levenshtein scan (or a zero-job dict pass below the vocab gate)
+    # before the same disjunctive kernel
+    from irkit_spark.operators.query import fuzzy_search
+    t0 = time.monotonic()
+    fuzzy_search(idx, "term00000x~ term00123", 10, "wand",
+                 local=False).collect()
+    queries["fuzzy_wand_k10"] = round(time.monotonic() - t0, 3)
     # driver-side serving kernel (search local=True): first call pays
     # the one pruned collect per term; the warm number is the true
     # per-query serving latency (zero Spark jobs — the irk-query

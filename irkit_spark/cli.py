@@ -132,6 +132,14 @@ def cmd_query(args):
                              exclude_terms=args.exclude or None,
                              max_expansions=args.max_expansions
                              ).collect()
+    elif args.fuzzy:
+        from irkit_spark.operators.query import fuzzy_search
+        rows = fuzzy_search(idx, args.query, k=args.k, mode=args.mode,
+                            scorer=args.scorer, local=local,
+                            doc_filter=args.doc_filter or None,
+                            exclude_terms=args.exclude or None,
+                            max_expansions=args.max_expansions
+                            ).collect()
     else:
         rows = search(idx, args.query, k=args.k, mode=args.mode,
                       scorer=args.scorer, local=local,
@@ -298,8 +306,13 @@ def main(argv=None):
     q.add_argument("--wildcard", action="store_true",
                    help="expand trailing-* tokens against the lexicon "
                         "(prefix queries), then score the disjunction")
+    q.add_argument("--fuzzy", action="store_true",
+                   help="expand trailing-~ tokens to their edit-"
+                        "distance-1 lexicon neighborhood, then score "
+                        "the disjunction")
     q.add_argument("--max-expansions", type=int, default=32,
-                   help="cap per wildcard, picked by (df DESC, term)")
+                   help="cap per wildcard/fuzzy pattern, picked by "
+                        "(df DESC, term)")
     q.set_defaults(fn=cmd_query)
 
     bp = sub.add_parser("build-positions",

@@ -1443,3 +1443,161 @@ def prefix_search(index: Index, query: str, k: int = 10,
     return search(index, expanded, k=k, mode=mode, scorer=scorer,
                   local=local, doc_filter=doc_filter,
                   exclude_terms=exclude_terms or None)
+
+
+# §3.3b fuzzy queries (Lucene `term~` syntax): edit-distance-1
+# expansion against the lexicon — the typo-tolerant rewrite Lucene
+# serves with an FST/Levenshtein-automaton intersection. Here the
+# lexicon IS the sorted terms table, so the rewrite is one narrow
+# vocab-sized scan with a JVM-side levenshtein predicate (vocab is
+# bounded by language, not corpus: ~10^7-10^8 terms even at 10^12
+# docs, i.e. a few seconds of executor-parallel scan worst case), or a
+# zero-job driver-dict pass below BROADCAST_VOCAB_MAX — the same two
+# tiers every other lexicon lookup in this file uses. The verify
+# predicate is classic Levenshtein (insert/delete/substitute, NO
+# transposition), identical in Spark (F.levenshtein) and DuckDB
+# (levenshtein()), which is what makes the whole path exactly
+# DuckDB-oracle-able.
+
+_FUZZY_RE = r"^[a-z0-9]+~?$"
+_MAX_FUZZY_LEN = 64     # a "token" longer than this is not a typo fix
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 without the DP table (threshold-1
+    special case): equal lengths -> at most one substitution; lengths
+    off by one -> the longer equals the shorter with one insertion.
+    Semantics pinned to F.levenshtein/DuckDB levenshtein by the
+    property test in tests/test_fuzzy.py."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def expand_fuzzy(index: Index, query: str,
+                 max_expansions: int = 8) -> tuple[str, dict]:
+    """Expand trailing-~ tokens ('jon~ value') to every lexicon term
+    within Levenshtein distance 1, capped at `max_expansions` per
+    pattern picked by (df DESC, term ASC) — the same deterministic
+    rewrite cap the wildcard path uses. An in-vocab fuzzy token keeps
+    itself (distance 0). Plain tokens pass through; a fuzzy token
+    matching nothing expands to nothing (dropped like any OOV term).
+
+    Returns (expanded query string, {pattern: [terms...]}).
+
+    Scale shape: below BROADCAST_VOCAB_MAX the expansion is a driver-
+    dict scan with a length pre-filter (zero Spark jobs warm — the
+    serving path); above it, ONE narrow terms-table scan for the whole
+    query (all patterns ranked in the same pass via a per-pattern
+    window), never a scan per pattern."""
+    import re
+
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    toks = query.lower().split()
+    if not toks:
+        return "", {}
+    plain: list[str] = []
+    patterns: list[str] = []
+    for t in toks:
+        if not re.match(_FUZZY_RE, t) or len(t) > _MAX_FUZZY_LEN:
+            raise ValueError(
+                f"bad query token {t!r}: tokens are [a-z0-9]+ (max "
+                f"{_MAX_FUZZY_LEN} chars) with an optional single "
+                "trailing '~'")
+        (patterns if t.endswith("~") else plain).append(t)
+    expansions: dict[str, list[str]] = {}
+    if patterns:
+        pats = sorted({p[:-1] for p in patterns})
+        td = index._terms_dict()
+        if td is not None:
+            for pre in pats:
+                hits = [(term, v[1]) for term, v in td.items()
+                        if _lev1(pre, term)]
+                hits.sort(key=lambda h: (-h[1], h[0]))
+                expansions[pre + "~"] = [t for t, _ in
+                                         hits[:max_expansions]]
+        else:
+            from pyspark.sql import Window
+            pat_df = F.explode(F.array(
+                *[F.lit(p) for p in pats])).alias("pattern")
+            cand = (index.terms
+                    .select("term", "df", pat_df)
+                    .filter(
+                        (F.abs(F.length("term")
+                               - F.length("pattern")) <= 1)
+                        & (F.levenshtein("term", "pattern") <= 1)))
+            w = Window.partitionBy("pattern").orderBy(
+                F.desc("df"), F.asc("term"))
+            rows = (cand.withColumn("r", F.row_number().over(w))
+                    .filter(F.col("r") <= max_expansions)
+                    .select("pattern", "term", "r").collect())
+            for pre in pats:
+                hits = sorted((r["r"], r["term"]) for r in rows
+                              if r["pattern"] == pre)
+                expansions[pre + "~"] = [t for _, t in hits]
+    terms = sorted(set(plain).union(
+        t for ts in expansions.values() for t in ts))
+    return " ".join(terms), expansions
+
+
+def fuzzy_search(index: Index, query: str, k: int = 10,
+                 mode: str = "wand", scorer: str = "bm25",
+                 local: bool | None = None,
+                 doc_filter: str | None = None,
+                 exclude_terms: str | None = None,
+                 max_expansions: int = 8) -> DataFrame:
+    """search() over a query with trailing-~ fuzzy tokens: expand to
+    the edit-distance-1 lexicon neighborhood (expand_fuzzy), then run
+    the standard disjunctive scoring over the expanded term set.
+    Expansions are ordinary terms with ordinary bounds, so every
+    pruning mode stays lossless; a query whose fuzzy tokens all miss
+    returns empty, like an all-OOV plain query. Expansions are
+    unweighted (rank-deterministic and SQL-reproducible); callers
+    wanting Lucene's similarity-decayed weighting can rewrite the
+    expanded string with explicit `term^w` boosts."""
+    expanded, _ = expand_fuzzy(index, query, max_expansions)
+    if not expanded:
+        return index.spark.createDataFrame([], TOPK_SCHEMA)
+    if exclude_terms and "~" in exclude_terms:
+        exclude_terms, _ = expand_fuzzy(index, exclude_terms,
+                                        max_expansions)
+    return search(index, expanded, k=k, mode=mode, scorer=scorer,
+                  local=local, doc_filter=doc_filter,
+                  exclude_terms=exclude_terms or None)
+
+
+def suggest(index: Index, word: str, n: int = 5) -> DataFrame:
+    """Did-you-mean: the lexicon terms within edit distance 1 of
+    `word`, most-frequent first — (term, df) ordered by (df DESC,
+    term ASC), capped at n. Same two-tier shape as expand_fuzzy;
+    always returns a DataFrame (driver hits are lifted back into one)
+    so callers and the driver contract see one interface."""
+    import re
+
+    if not re.match(r"^[a-z0-9]+$", word) or len(word) > _MAX_FUZZY_LEN:
+        raise ValueError(f"bad word {word!r}: [a-z0-9]+ only, max "
+                         f"{_MAX_FUZZY_LEN} chars")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    td = index._terms_dict()
+    if td is not None:
+        hits = [(term, int(v[1])) for term, v in td.items()
+                if _lev1(word, term)]
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return index.spark.createDataFrame(
+            hits[:n], "term string, df long")
+    return (index.terms
+            .filter((F.abs(F.length("term") - len(word)) <= 1)
+                    & (F.levenshtein("term", F.lit(word)) <= 1))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n))
