@@ -624,6 +624,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = Index(spark, _index_for(spark, sf))
         return suggest(idx, "hast", n=4)
 
+    def q_eval_metrics(spark, sf):
+        # retrieval-effectiveness evaluation (operators/evaluate.py):
+        # the engine's own two-query WAND run scored against graded
+        # qrels (rel = how many of the query's terms a doc contains),
+        # trec_eval definitions at depth 10
+        from irkit_spark.operators.evaluate import evaluate_run
+        from irkit_spark.operators.query import Index, batch_search
+        idx = Index(spark, _index_for(spark, sf))
+        queries = {"qa": Q_BM25_A, "qb": Q_BM25_B}
+        run = (batch_search(idx, queries, k=10, mode="wand")
+               .select(F.col("query_id").alias("qid"), "doc_id",
+                       "score"))
+        tf = sp.term_freqs(_docs(spark, sf))
+        parts = [
+            tf.filter(F.col("term").isin(sorted(set(q.split()))))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").cast("double").alias("rel"))
+            .withColumn("qid", F.lit(qid))
+            .select("qid", "doc_id", "rel")
+            for qid, q in sorted(queries.items())]
+        return evaluate_run(run, parts[0].unionByName(parts[1]), k=10)
+
     def q_index_updated_wand_top10(spark, sf):
         # upserted retrieval (operators/update.py): superseded docs
         # tombstoned, replacements + adds appended under fresh ids;
@@ -694,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
         "index_fuzzy_wand_top10": q_index_fuzzy_wand_top10,
         "fuzzy_suggest": q_fuzzy_suggest,
+        "eval_metrics": q_eval_metrics,
         "index_not_wand_top10": q_index_not_wand_top10,
         "index_segments_wand_top10": q_index_segments_wand_top10,
         "index_boost_wand_top10": q_index_boost_wand_top10,
@@ -1671,6 +1694,66 @@ WITH tf AS ({_TF}),
 ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
 SELECT term, df FROM ts WHERE levenshtein(term, 'hast') <= 1
 ORDER BY df DESC, term LIMIT 4""",
+        # retrieval evaluation (trec_eval definitions at depth 10):
+        # run = the two-query BM25 top-10 recomputed from the corpus,
+        # qrels = graded term-presence counts; same (rel DESC, doc_id)
+        # ideal ordering, same ln(x)/ln2-literal log2 as the engine
+        "eval_metrics": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qt(qid, term) AS (VALUES
+  ('qa','hash'),('qa','join'),('qa','merge'),
+  ('qb','customer'),('qb','spark'),('qb','window')),
+sc AS (
+  SELECT qt.qid, tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN qt USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1, 2),
+runk AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)
+               AS rank
+    FROM sc) WHERE rank <= 10),
+qrels AS (
+  SELECT qt.qid, tf.doc_id,
+         CAST(count(DISTINCT tf.term) AS DOUBLE) AS rel
+  FROM tf JOIN qt USING (term) GROUP BY 1, 2),
+totals AS (
+  SELECT qid, count(*) AS n_rel FROM qrels WHERE rel > 0 GROUP BY 1),
+ideal AS (
+  SELECT qid, sum((pow(2.0, rel) - 1.0)
+                  / (ln(r + 1.0) / 0.6931471805599453)) AS idcg
+  FROM (SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, doc_id) AS r
+        FROM qrels) WHERE r <= 10 GROUP BY 1),
+j AS (
+  SELECT runk.qid, runk.rank, coalesce(qrels.rel, 0.0) AS rel,
+         CASE WHEN coalesce(qrels.rel, 0.0) > 0 THEN 1.0 ELSE 0.0 END
+             AS hit
+  FROM runk LEFT JOIN qrels USING (qid, doc_id)),
+jc AS (SELECT *, sum(hit) OVER (PARTITION BY qid ORDER BY rank)
+           AS cum_hits FROM j),
+pq AS (
+  SELECT qid, sum(hit) AS hits,
+         sum(hit * cum_hits / rank) AS ap_num,
+         max(hit / rank) AS rr,
+         sum((pow(2.0, rel) - 1.0)
+             / (ln(rank + 1.0) / 0.6931471805599453)) AS dcg
+  FROM jc GROUP BY 1)
+SELECT totals.qid, round(coalesce(pq.hits, 0) / 10.0, 6) AS p_at_k,
+       round(coalesce(pq.hits, 0) * 1.0 / totals.n_rel, 6)
+           AS recall_at_k,
+       round(coalesce(pq.ap_num, 0) / totals.n_rel, 6) AS ap,
+       round(coalesce(pq.rr, 0), 6) AS rr,
+       round(coalesce(pq.dcg, 0) / ideal.idcg, 6) AS ndcg
+FROM totals JOIN ideal USING (qid) LEFT JOIN pq USING (qid)""",
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

@@ -150,6 +150,22 @@ def cmd_query(args):
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
 
 
+def cmd_evaluate(args):
+    from irkit_spark.operators.evaluate import (evaluate_trec_file,
+                                                mean_metrics)
+    spark = _session("irkit-evaluate")
+    per_q = evaluate_trec_file(spark, args.run, args.qrels, k=args.k)
+    rows = sorted(per_q.collect(), key=lambda r: r["qid"])
+    for r in rows:
+        print(f"{r['qid']}\tP@{args.k}={r['p_at_k']:.6f}\t"
+              f"R@{args.k}={r['recall_at_k']:.6f}\tAP={r['ap']:.6f}\t"
+              f"RR={r['rr']:.6f}\tnDCG={r['ndcg']:.6f}")
+    m = mean_metrics(spark.createDataFrame(rows)).collect()[0]
+    print(f"all\tqueries={m['n_queries']}\tP@{args.k}={m['p_at_k']:.6f}"
+          f"\tR@{args.k}={m['recall_at_k']:.6f}\tMAP={m['map']:.6f}"
+          f"\tMRR={m['mrr']:.6f}\tnDCG={m['ndcg']:.6f}")
+
+
 def cmd_verify(args):
     from irkit_spark.operators.validate import verify_index
     spark = _session("irkit-verify")
@@ -327,6 +343,16 @@ def main(argv=None):
     bp.add_argument("--table-format", default=None,
                     choices=["parquet", "iceberg"])
     bp.set_defaults(fn=cmd_build_positions)
+
+    ev = sub.add_parser("evaluate",
+                        help="score a TREC run file against qrels "
+                             "(trec_eval metrics at depth k)")
+    ev.add_argument("--run", required=True,
+                    help="TREC run file: qid Q0 doc rank score tag")
+    ev.add_argument("--qrels", required=True,
+                    help="TREC qrels file: qid 0 doc rel")
+    ev.add_argument("--k", type=int, default=10)
+    ev.set_defaults(fn=cmd_evaluate)
 
     v = sub.add_parser("verify", help="check index artifact invariants")
     v.add_argument("--index", required=True)
