@@ -243,6 +243,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ql_top10(spark, sf):
         return sp.ql_topk_text(_docs(spark, sf), Q_BM25_A, 10)
 
+    def q_jm_taat_top10(spark, sf):
+        # Jelinek-Mercer QL over raw text (sqlpath.jm_topk_text)
+        return sp.jm_topk_text(_docs(spark, sf), Q_BM25_A, 10)
+
+    def q_index_jm_top10(spark, sf):
+        # index-backed JM: per-matched-posting decomposition in the
+        # DAAT kernel (functions/scoring.ql_jm)
+        return _index_search(spark, sf, Q_BM25_A, 10, "daat",
+                             scorer="jm")
+
     def q_and(spark, sf):
         return sp.conjunctive_docs(_docs(spark, sf), Q_AND)
 
@@ -664,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_taat_top10": q_bm25_taat_top10,
         "bm25_taat_top100": q_bm25_taat_top100,
         "ql_top10": q_ql_top10,
+        "jm_taat_top10": q_jm_taat_top10,
+        "index_jm_top10": q_index_jm_top10,
         "and_conjunctive": q_and,
         "or_disjunctive": q_or,
         "index_taat_top10": q_index_taat,
@@ -1100,6 +1112,25 @@ _COS_DOUBLE = ("list_aggregate(list_transform(list_zip({a}, {b}), "
                "x -> CAST(x AS DOUBLE) * x), 'sum')))")
 
 
+def _jm_sql(query: str, k: int) -> str:
+    from irkit_spark.config import JM_LAMBDA
+    c = (1.0 - JM_LAMBDA) / JM_LAMBDA
+    terms = sorted(set(query.lower().split()))
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+coll AS (SELECT sum(dl) AS c FROM dl),
+q(term) AS (VALUES {_values(terms)}),
+qs AS (SELECT ts.term, ts.cf FROM ({_TSTATS}) ts JOIN q USING (term)),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + {c!r} * tf.tf / (dl.dl * (qs.cf / coll.c)))) AS s
+  FROM tf JOIN qs USING (term) JOIN dl USING (doc_id) CROSS JOIN coll
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _minhash_sql(threshold: float = 0.5) -> str:
     """DuckDB reproduction of the ENTIRE MinHash-LSH pipeline, bit-for-
     bit: the portable 31-bit Karp-Rabin token hash (base 257 mod
@@ -1468,6 +1499,7 @@ FROM ({_TSTATS}) ts""",
         "bm25_taat_top10": _bm25_sql(Q_BM25_A, 10),
         "bm25_taat_top100": _bm25_sql(Q_BM25_B, 100),
         "ql_top10": _ql_sql(Q_BM25_A, 10),
+        "jm_taat_top10": _jm_sql(Q_BM25_A, 10),
         "and_conjunctive": f"""
 WITH tf AS ({_TF}), q(term) AS (VALUES {_values(and_terms)})
 SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf
@@ -1487,6 +1519,7 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
             Q_BM25_A, 10, doc_where="doc_id % 3 = 0"),
         "index_wand_top1000": _bm25_sql(Q_OR, 1000),
         "index_ql_top10": _ql_sql(Q_BM25_A, 10),
+        "index_jm_top10": _jm_sql(Q_BM25_A, 10),
         "index_and_top10": _bm25_sql(Q_AND, 10, conjunctive=True),
         "index_batch_wand_top10": "\nUNION ALL\n".join(
             f"SELECT '{qid}' AS query_id, doc_id, score FROM "

@@ -289,7 +289,7 @@ def main(argv=None):
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", default="wand",
                    choices=["taat", "daat", "wand", "maxscore", "and"])
-    q.add_argument("--scorer", default="bm25", choices=["bm25", "ql"])
+    q.add_argument("--scorer", default="bm25", choices=["bm25", "ql", "jm"])
     q.add_argument("--qid", default="0")
     q.add_argument("--doc-filter", default=None, dest="doc_filter",
                    help="SQL predicate over the docs table (doc_id, "

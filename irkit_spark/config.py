@@ -20,6 +20,10 @@ BM25_B = 0.4
 # Dirichlet query-likelihood smoothing (SURVEY.md Q2)
 QL_MU = 2000.0
 
+# Jelinek-Mercer query-likelihood smoothing (the Zhai-Lafferty
+# companion to Dirichlet; frozen at the short-query setting)
+JM_LAMBDA = 0.1
+
 # --- Tokenizer (frozen; rank-identity depends on it, SURVEY.md T1) ------
 TOKEN_RE = r"[a-z0-9]+"
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from irkit_spark.config import BM25_B, BM25_K1, QL_MU
+from irkit_spark.config import BM25_B, BM25_K1, JM_LAMBDA, QL_MU
 
 
 def idf(df: np.ndarray, n_docs: float) -> np.ndarray:
@@ -48,6 +48,20 @@ def ql_dirichlet(tf, dl, cf, coll_len: float) -> np.ndarray:
     return np.log((tf + QL_MU * cf / coll_len) / (dl + QL_MU))
 
 
+def ql_jm(tf, dl, cf, coll_len: float) -> np.ndarray:
+    """Jelinek-Mercer smoothed query likelihood in its rank-equivalent
+    per-posting decomposition (Zhai & Lafferty 2001):
+        ln((1-l)*tf/dl + l*p_t) - ln(l*p_t)
+          = ln(1 + ((1-l)/l) * tf / (dl * p_t)),  p_t = cf/C
+    — additive over MATCHED terms only, with no doc-level adjustment
+    (unlike Dirichlet), so it rides every decomposed path unchanged."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    cf = np.asarray(cf, dtype=np.float64)
+    c = (1.0 - JM_LAMBDA) / JM_LAMBDA
+    return np.log1p(c * tf / (dl * (cf / coll_len)))
+
+
 # --- the same formulas as SQL text (DuckDB + Spark SQL dialect-neutral) --
 
 def bm25_sql(tf="tf", df="df", dl="dl", n="n_docs", avgdl="avgdl") -> str:
@@ -61,7 +75,13 @@ def ql_sql(tf="tf", dl="dl", cf="cf", coll="coll_len") -> str:
     return f"ln(({tf} + {mu} * {cf} / {coll}) / ({dl} + {mu}))"
 
 
+def jm_sql(tf="tf", dl="dl", cf="cf", coll="coll_len") -> str:
+    c = (1.0 - JM_LAMBDA) / JM_LAMBDA
+    return f"ln(1 + {c!r} * {tf} / ({dl} * ({cf} / {coll})))"
+
+
 SCORERS = {
     "bm25": bm25,
     "ql": ql_dirichlet,
+    "jm": ql_jm,
 }

@@ -382,6 +382,9 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
     p_by_tid = {m["term_id"]: m["cf"] / coll_len for m in qmeta}
     ql_K = float(sum(np.log(mu * p) for p in p_by_tid.values()))
     nq = len(qmeta)
+    # Jelinek-Mercer decomposition (functions/scoring.ql_jm): additive
+    # per MATCHED posting, no doc-level adjustment
+    jm_c = (1.0 - config.JM_LAMBDA) / config.JM_LAMBDA
 
     def term_gather(tid, blocks, need, decoded_cache):
         """(docs, tfs) int64, concatenated over the `need` block indices
@@ -596,8 +599,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                     {"doc_id": pd.Series([], dtype="int64"),
                      "score": pd.Series([], dtype="float64")})
             sc = exact_scores(term_rows, cand, dl_arr, base, cache)
-            if scorer == "ql":
-                # exact_scores is bm25-only; recompute QL over survivors
+            if scorer in ("ql", "jm"):
+                # exact_scores is bm25-only; recompute over survivors
                 acc = np.zeros(cand.size, dtype=np.float64)
                 for tid in sorted(term_rows):
                     blocks = term_rows[tid]
@@ -611,9 +614,19 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                         m = np.zeros(cand.size, dtype=bool)
                         m[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
                         if m.any():
-                            acc[m] += np.log1p(
-                                t[pos[m]] / (mu * p_by_tid[tid]))
-                sc = acc + ql_K - nq * np.log(dl_arr[cand - base] + mu)
+                            if scorer == "jm":
+                                acc[m] += np.log1p(
+                                    jm_c * t[pos[m]]
+                                    / (dl_arr[cand[m] - base]
+                                       * p_by_tid[tid]))
+                            else:
+                                acc[m] += np.log1p(
+                                    t[pos[m]] / (mu * p_by_tid[tid]))
+                if scorer == "jm":
+                    sc = acc
+                else:
+                    sc = acc + ql_K - nq * np.log(dl_arr[cand - base]
+                                                  + mu)
             return topk_frame(cand, sc)
 
         if mode == "daat":       # exhaustive, Q4
@@ -630,6 +643,9 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 tf = t.astype(np.int64)
                 if scorer == "ql":
                     contrib = np.log1p(tf / (mu * p_by_tid[tid]))
+                elif scorer == "jm":
+                    contrib = np.log1p(jm_c * tf / (dl_arr[off]
+                                                    * p_by_tid[tid]))
                 elif quantized:
                     contrib = idf_by_tid[tid] * (tf / 127.0)
                 else:
@@ -960,15 +976,16 @@ def search(index: Index, query: str, k: int = 10,
     if mode not in ("taat", "daat", "wand", "maxscore", "and"):
         raise ValueError(f"unknown mode {mode!r}: "
                          "taat|daat|wand|maxscore|and")
-    if scorer not in ("bm25", "ql"):
-        raise ValueError(f"unknown scorer {scorer!r}: bm25|ql")
-    if scorer == "ql" and mode in ("wand", "maxscore"):
+    if scorer not in ("bm25", "ql", "jm"):
+        raise ValueError(f"unknown scorer {scorer!r}: bm25|ql|jm")
+    if scorer in ("ql", "jm") and mode in ("wand", "maxscore"):
         raise ValueError("dynamic-pruning bounds are defined for bm25; "
-                         "use mode='daat' or 'taat' with scorer='ql'")
-    if scorer == "ql" and index.quantized:
+                         f"use mode='daat' or 'taat' with "
+                         f"scorer={scorer!r}")
+    if scorer in ("ql", "jm") and index.quantized:
         raise ValueError("quantized indexes store 7-bit impacts, not "
-                         "term frequencies; QL needs tf — rebuild with "
-                         "quantize=False")
+                         "term frequencies; QL/JM need tf — rebuild "
+                         "with quantize=False")
     spark = index.spark
     # boosts: programmatic weights (prf_search expansion terms ride
     # here — no string-formatting round-trip through the ^ syntax);
@@ -1110,7 +1127,7 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
     if mode not in ("daat", "wand", "maxscore", "and"):
         raise ValueError(f"batch_search supports daat|wand|maxscore|"
                          f"and, not {mode!r}")
-    if scorer == "ql" and mode in ("wand", "maxscore"):
+    if scorer in ("ql", "jm") and mode in ("wand", "maxscore"):
         raise ValueError("dynamic-pruning bounds are bm25-only")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
@@ -1223,6 +1240,7 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
     dl_bc = index.doc_len_broadcast()
     mu = config.QL_MU
     p_by_tid = {m["term_id"]: m["cf"] / index.coll_len for m in qmeta}
+    jm_c = (1.0 - config.JM_LAMBDA) / config.JM_LAMBDA
     fused = scorer == "ql" or quantized or dl_bc is not None
 
     def decode_rows(pdf):
@@ -1239,6 +1257,16 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
             for tid, shard, d, t in decode_rows(pdf):
                 if scorer == "ql":
                     part = np.log1p(t / (mu * p_by_tid[tid]))
+                elif scorer == "jm":
+                    arrs = dl_bc.value
+                    a = arrs.get(shard)
+                    if a is None:       # shard absent: inner-join drop
+                        continue
+                    dl = a[d - shard * dps].astype(np.float64)
+                    keep = dl > 0
+                    if not keep.all():
+                        d, t, dl = d[keep], t[keep], dl[keep]
+                    part = np.log1p(jm_c * t / (dl * p_by_tid[tid]))
                 elif quantized:
                     part = idf_by_tid[tid] * t / 127.0
                 else:
@@ -1340,6 +1368,18 @@ def _taat_from_index(index: Index, qmeta, qpost: DataFrame,
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
     if fused:
         scored = flat
+    elif scorer == "jm":
+        # above the doc-length broadcast gate: docs-table join path,
+        # per-term p_t rides a broadcast (query-sized)
+        p_df = index.spark.createDataFrame(
+            [(m["term_id"], p_by_tid[m["term_id"]]) for m in qmeta],
+            "term_id int, p double")
+        scored = (with_doc_len(flat)
+                  .join(F.broadcast(p_df), "term_id")
+                  .withColumn("partial",
+                              F.log1p(jm_c * F.col("tf")
+                                      / (F.col("doc_len")
+                                         * F.col("p")))))
     else:
         # above the doc-length broadcast gate: docs-table join path
         idf_df = index.spark.createDataFrame(

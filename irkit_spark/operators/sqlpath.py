@@ -131,6 +131,34 @@ def ql_topk_text(docs: DataFrame, query: str, k: int = 10,
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def jm_topk_text(docs: DataFrame, query: str, k: int = 10,
+                 round_dp: int | None = 6) -> DataFrame:
+    """Jelinek-Mercer query-likelihood top-k over raw text, in the
+    rank-equivalent per-matched-posting decomposition
+    (functions/scoring.ql_jm): unmatched query terms contribute
+    exactly 0, so no zero-tf grid is needed — one tf join, one
+    doc-length join, one group-sum."""
+    from irkit_spark.config import JM_LAMBDA
+    spark = docs.sparkSession
+    tf = term_freqs(docs)
+    dl = doc_lengths(docs)
+    coll = dl.agg(F.sum("doc_len").alias("c")).collect()[0]["c"]
+    q = _query_terms_df(spark, query)
+    qstats = (term_stats(docs).join(F.broadcast(q), "term")
+              .select("term", "cf"))
+    c = (1.0 - JM_LAMBDA) / JM_LAMBDA
+    scored = (tf.join(F.broadcast(qstats), "term")
+              .join(dl, "doc_id")
+              .withColumn("partial",
+                          F.log1p(c * F.col("tf")
+                                  / (F.col("doc_len")
+                                     * (F.col("cf") / float(coll))))))
+    out = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    if round_dp is not None:
+        out = out.withColumn("score", F.round("score", round_dp))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def bm25_conjunctive_topk_text(docs: DataFrame, query: str, k: int = 10,
                                round_dp: int | None = 6) -> DataFrame:
     """BM25 top-k over docs containing ALL query terms (J1 + Q1): the

@@ -139,6 +139,65 @@ def test_ql_wand_rejected(index_small):
         search(idx, "term00001", 10, "wand", scorer="ql")
 
 
+def test_jm_scorer_matches_text_oracle(spark, index_small, pages_small):
+    """Index-backed Jelinek-Mercer QL (daat kernel, taat fused, taat
+    over-gate join path, local serving, and-mode) == text-path JM
+    oracle (same per-matched-posting decomposition, values to 6dp)."""
+    from irkit_spark.operators.query import Index
+    from irkit_spark.operators.sqlpath import jm_topk_text
+    idx, _ = index_small
+    docs_txt = (idx.docs.select("doc_id", "url")
+                .join(pages_small.select("url", "text"), "url")
+                .select("doc_id", "text"))
+    q = "term00003 term00150"
+    want = [(r["doc_id"], r["score"])
+            for r in jm_topk_text(docs_txt, q, 10).collect()]
+    assert want
+    for mode in ("daat", "taat"):
+        got = [(r["doc_id"], round(r["score"], 6))
+               for r in search(idx, q, 10, mode, scorer="jm",
+                               local=False).collect()]
+        assert got == want, mode
+    loc = [(r["doc_id"], round(r["score"], 6))
+           for r in search(idx, q, 10, "daat", scorer="jm",
+                           local=True).collect()]
+    assert loc == want
+    # over the dl-broadcast gate: taat joins the docs table, daat/and
+    # take the cogrouped kernel — all must agree with the oracle
+    idx_slow = Index(spark, idx.path, dl_broadcast_max=0)
+    for mode in ("taat", "daat"):
+        slow = [(r["doc_id"], round(r["score"], 6))
+                for r in search(idx_slow, q, 10, mode,
+                                scorer="jm").collect()]
+        assert slow == want, mode
+
+
+def test_jm_conjunctive_scores(spark, index_small):
+    """and-mode JM: the intersection's docs score exactly as the
+    disjunctive JM run scores them."""
+    idx, _ = index_small
+    q = "term00000 term00003"
+    daat = {r["doc_id"]: round(r["score"], 9)
+            for r in search(idx, q, 2000, "daat", scorer="jm",
+                            local=False).collect()}
+    conj = [(r["doc_id"], round(r["score"], 9))
+            for r in search(idx, q, 50, "and", scorer="jm",
+                            local=False).collect()]
+    assert conj
+    for d, s in conj:
+        assert daat[d] == s
+
+
+def test_jm_guards(index_small):
+    idx, _ = index_small
+    import pytest as _pt
+    for mode in ("wand", "maxscore"):
+        with _pt.raises(ValueError, match="bm25"):
+            search(idx, "term00001", 10, mode, scorer="jm")
+    with _pt.raises(ValueError, match="term boosts"):
+        search(idx, "term00001^2", 10, "daat", scorer="jm")
+
+
 def test_conjunctive_intersection(spark, index_small, pages_small):
     """mode='and' (J1: posting-list intersection inside mapInPandas)
     == the conjunctive BM25 text oracle."""
