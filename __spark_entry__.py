@@ -393,6 +393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.media_table(_docs(spark, sf)) \
             .select("doc_id", "n_bytes", "digest")
 
+    def q_bigram_pmi(spark, sf):
+        # collocations (pipeline/textstats.bigram_pmi): adjacent-pair
+        # PMI with the min-count guard — phrase-mining primitive
+        return ts.bigram_pmi(_docs(spark, sf), min_count=5)
+
     def q_quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf)) \
             .select("doc_id", "lang", "source", "n_chars")
@@ -697,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_jaccard_pairs": q_shingle_jaccard,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
+        "bigram_pmi": q_bigram_pmi,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "ann_cosine_top10": q_ann_cosine,
@@ -1787,6 +1793,27 @@ SELECT totals.qid, round(coalesce(pq.hits, 0) / 10.0, 6) AS p_at_k,
        round(coalesce(pq.rr, 0), 6) AS rr,
        round(coalesce(pq.dcg, 0) / ideal.idcg, 6) AS ndcg
 FROM totals JOIN ideal USING (qid) LEFT JOIN pq USING (qid)""",
+        # collocations: adjacent-pair PMI; same division text in both
+        # engines (BIGINT / BIGINT -> DOUBLE), so floats match exactly
+        "bigram_pmi": f"""
+WITH toks AS (SELECT {_TOKS} AS ts FROM documents
+              WHERE len({_TOKS}) > 0),
+uc AS (SELECT w, count(*) AS n_w
+       FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+nt AS (SELECT sum(n_w) AS n_toks FROM uc),
+bp AS (SELECT unnest(list_transform(range(1, len(ts)),
+               i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
+       FROM toks WHERE len(ts) >= 2),
+pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+       FROM bp GROUP BY 1, 2 HAVING count(*) >= 5),
+np AS (SELECT sum(len(ts) - 1) AS n_pairs FROM toks
+       WHERE len(ts) >= 2)
+SELECT pc.w1, pc.w2, pc.n_pair,
+       round(ln((pc.n_pair / np.n_pairs)
+                / ((u1.n_w / nt.n_toks) * (u2.n_w / nt.n_toks))), 6)
+           AS pmi
+FROM pc JOIN uc u1 ON u1.w = pc.w1 JOIN uc u2 ON u2.w = pc.w2
+CROSS JOIN np CROSS JOIN nt""",
         "quality_filter": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE len({_TOKS}) >= 20

@@ -182,3 +182,53 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8,
 
     return docs.select("doc_id", "text").mapInPandas(
         run, "doc_id long, fp long")
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = 5,
+               round_dp: int = 6) -> DataFrame:
+    """(w1, w2, n_pair, pmi): corpus collocations — pointwise mutual
+    information over adjacent token pairs,
+
+        pmi = ln( (n_pair / N_pairs) / ((n_w1 / N_toks) * (n_w2 / N_toks)) )
+
+    with n_pair >= min_count (the standard low-count PMI guard: a
+    hapax pair otherwise maxes the statistic). The phrase-mining /
+    tokenizer-vocabulary primitive of a training-data pipeline.
+
+    Scale shape: bigrams are generated JVM-side (one slide over each
+    doc's token array — no Python, no per-doc explode before the
+    count), then ONE groupBy per relation: pair counts (shuffle bounded
+    by distinct-pair count), unigram counts (vocab-sized). The two
+    totals are 1-row frames cross-joined in (the sqlpath stat-frame
+    pattern); unigram counts join back broadcast when they fit. The
+    division text `a / b` is integer-free in both engines, so the
+    DuckDB oracle reproduces the floats exactly."""
+    t = _toks()
+    toks = docs.select(t.alias("ts")).filter(F.size("ts") > 0)
+    uni = (toks.select(F.explode("ts").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n_w")))
+    n_toks = uni.agg(F.sum("n_w").alias("n_toks"))
+    pairs = (toks.filter(F.size("ts") >= 2)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(0), F.size("ts") - 2),
+                 lambda i: F.struct(
+                     F.element_at("ts", i + 1).alias("w1"),
+                     F.element_at("ts", i + 2).alias("w2"))))
+                 .alias("p"))
+             .select("p.w1", "p.w2")
+             .groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+             .filter(F.col("n_pair") >= min_count))
+    # PMI normalizes by the TOTAL bigram count (not the kept sum)
+    n_pairs = (toks.filter(F.size("ts") >= 2)
+               .agg(F.sum(F.size("ts") - 1).alias("n_pairs")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (pairs.join(u1, "w1").join(u2, "w2")
+            .crossJoin(n_pairs).crossJoin(n_toks)
+            .select(
+                "w1", "w2", "n_pair",
+                F.round(F.log(
+                    (F.col("n_pair") / F.col("n_pairs"))
+                    / ((F.col("n_w1") / F.col("n_toks"))
+                       * (F.col("n_w2") / F.col("n_toks")))),
+                    round_dp).alias("pmi")))

@@ -586,3 +586,37 @@ def test_star_components_matches_label_propagation(spark):
     assert star == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
                     (20, 20), (21, 20), (22, 20), (23, 20),
                     (5, 5), (40, 5), (6, 5)}
+
+
+def test_bigram_pmi_matches_reference(spark):
+    """bigram_pmi == a brute-force python PMI over a fixed corpus;
+    min_count guard honored; totals use ALL bigrams (not just kept)."""
+    import math
+    from collections import Counter
+
+    from irkit_spark.pipeline.textstats import bigram_pmi
+
+    texts = ["the quick fox jumps over the lazy dog",
+             "the quick fox sleeps", "quick fox jumps high",
+             "the lazy dog sleeps", "", "dog dog dog"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    uni, pairs, n_pairs = Counter(), Counter(), 0
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        pairs.update(zip(ws, ws[1:]))
+        n_pairs += max(len(ws) - 1, 0)
+    n_toks = sum(uni.values())
+    for mc in (1, 2):
+        want = {(a, b): (c, round(math.log(
+                    (c / n_pairs) / ((uni[a] / n_toks)
+                                     * (uni[b] / n_toks))), 6))
+                for (a, b), c in pairs.items() if c >= mc}
+        got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+               for r in bigram_pmi(docs, min_count=mc).collect()}
+        assert got == want and got
+    # the collocation 'quick fox' (3x) must outscore 'the quick' (2x)
+    got = {(r["w1"], r["w2"]): r["pmi"]
+           for r in bigram_pmi(docs, min_count=2).collect()}
+    assert got[("quick", "fox")] > got[("the", "quick")]
