@@ -639,6 +639,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = Index(spark, _index_for(spark, sf))
         return suggest(idx, "hast", n=4)
 
+    def q_index_mlt_wand_top10(spark, sf):
+        # more-like-this (operators/mlt.py): mine doc 7's top-5 terms
+        # by tf*idf (tie -> term), standard WAND over them, self
+        # excluded
+        from irkit_spark.operators.mlt import mlt_search
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _index_for(spark, sf))
+        return (mlt_search(idx, 7, _docs(spark, sf), k=10, mode="wand",
+                           max_terms=5, local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_eval_metrics(spark, sf):
         # retrieval-effectiveness evaluation (operators/evaluate.py):
         # the engine's own two-query WAND run scored against graded
@@ -735,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_fuzzy_wand_top10": q_index_fuzzy_wand_top10,
         "fuzzy_suggest": q_fuzzy_suggest,
         "eval_metrics": q_eval_metrics,
+        "index_mlt_wand_top10": q_index_mlt_wand_top10,
         "index_not_wand_top10": q_index_not_wand_top10,
         "index_segments_wand_top10": q_index_segments_wand_top10,
         "index_boost_wand_top10": q_index_boost_wand_top10,
@@ -1733,6 +1745,31 @@ WITH tf AS ({_TF}),
 ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
 SELECT term, df FROM ts WHERE levenshtein(term, 'hast') <= 1
 ORDER BY df DESC, term LIMIT 4""",
+        # more-like-this: mine doc 7's top-5 terms by tf*idf (the
+        # engine's own idf formula; tie -> term string), standard BM25
+        # OR over them, source doc excluded
+        "index_mlt_wand_top10": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT tf.term
+  FROM tf JOIN ts USING (term) CROSS JOIN st
+  WHERE tf.doc_id = 7 AND tf.tf >= 1
+  ORDER BY tf.tf * ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           DESC, tf.term
+  LIMIT 5),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc WHERE doc_id <> 7
+ORDER BY score DESC, doc_id LIMIT 10""",
         # retrieval evaluation (trec_eval definitions at depth 10):
         # run = the two-query BM25 top-10 recomputed from the corpus,
         # qrels = graded term-presence counts; same (rel DESC, doc_id)
