@@ -42,6 +42,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 def _query_vec(spark: SparkSession, sf_dir: str):
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
     return [float(x) for x in row["embedding"]]
@@ -398,6 +402,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PMI with the min-count guard — phrase-mining primitive
         return ts.bigram_pmi(_docs(spark, sf), min_count=5)
 
+    def q_event_window_counts(spark, sf):
+        # query-log analytics (pipeline/events.window_counts):
+        # tumbling-hour event counts + value sums; window start
+        # emitted as epoch micros (type-stable across engines)
+        from irkit_spark.pipeline.events import epoch_us, window_counts
+        return (window_counts(_events(spark, sf), "1 hour")
+                .select(epoch_us("window_start")
+                        .alias("window_start_us"),
+                        "event_type", "n_events", "sum_value"))
+
+    def q_event_sessions(spark, sf):
+        # gap-based sessionization (pipeline/events.sessionize): the
+        # standard 30-minute search-session segmentation
+        from irkit_spark.pipeline.events import epoch_us, sessionize
+        return (sessionize(_events(spark, sf), 30)
+                .select("user_id", "session_seq", "n_events",
+                        epoch_us("session_start").alias("start_us"),
+                        "duration_us"))
+
     def q_quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf)) \
             .select("doc_id", "lang", "source", "n_chars")
@@ -714,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
         "bigram_pmi": q_bigram_pmi,
+        "event_window_counts": q_event_window_counts,
+        "event_sessions": q_event_sessions,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "ann_cosine_top10": q_ann_cosine,
@@ -1830,6 +1855,31 @@ SELECT totals.qid, round(coalesce(pq.hits, 0) / 10.0, 6) AS p_at_k,
        round(coalesce(pq.rr, 0), 6) AS rr,
        round(coalesce(pq.dcg, 0) / ideal.idcg, 6) AS ndcg
 FROM totals JOIN ideal USING (qid) LEFT JOIN pq USING (qid)""",
+        # query-log analytics: epoch-aligned tumbling-hour buckets
+        # (date_trunc == F.window for 1-hour tumbling) + gap sessions
+        "event_window_counts": """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "event_sessions": """
+WITH l AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS session_seq
+  FROM l)
+SELECT user_id, session_seq, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY 1, 2""",
         # collocations: adjacent-pair PMI; same division text in both
         # engines (BIGINT / BIGINT -> DOUBLE), so floats match exactly
         "bigram_pmi": f"""

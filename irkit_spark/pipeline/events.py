@@ -1,0 +1,99 @@
+"""Event / query-log analytics over the `events` stream table
+(event_id, ts, user_id, event_type, value, props).
+
+A production search engine's other big table is its own query/click
+log; the canonical analyses over it are time-bucketed load counts and
+gap-based session segmentation (a 30-minute inactivity gap is the
+standard search-session definition in the query-log literature).
+Both are pure DataFrame windows/aggregations with exact DuckDB
+oracles, and the tumbling-window aggregation has a Structured
+Streaming form (watermark + window) that matches the batch result on
+the same input.
+
+Scale shape: window_counts is one groupBy((window, type)) — shuffle
+bounded by bucket-count x type-count; sessionize is one shuffle by
+user_id for the lag/cum-sum window plus the per-session aggregate on
+the same partitioning (no second exchange: both window and groupBy
+key on user_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_us(col_name: str) -> "F.Column":
+    """Epoch microseconds of a TIMESTAMP_NTZ column, timezone-
+    INDEPENDENT (unix_micros requires TIMESTAMP and an NTZ->TIMESTAMP
+    cast shifts by the session zone; a timestampdiff against the NTZ
+    epoch literal does not). Takes a column NAME (it must be
+    resolvable in the expression parser)."""
+    return F.expr(f"timestampdiff(MICROSECOND, "
+                  f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name})")
+
+
+def window_counts(events: DataFrame, window: str = "1 hour",
+                  round_dp: int = 6) -> DataFrame:
+    """(window_start, event_type, n_events, sum_value): tumbling-
+    window event counts + value sums. Window starts are epoch-aligned
+    (Spark F.window and DuckDB time_bucket agree)."""
+    return (events
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), round_dp).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def stream_window_counts(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         round_dp: int = 6) -> DataFrame:
+    """The Structured Streaming form of window_counts: watermarked so
+    state for closed windows is dropped (late events beyond the
+    watermark are discarded — the standard completeness/latency
+    trade). With an availableNow/complete run over a static input it
+    produces exactly the batch window_counts rows (tested).
+
+    Watermarks are defined only on instant-typed event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on TIMESTAMP_NTZ), so an NTZ
+    ts is cast; under a UTC session zone — this engine's session
+    contract, set in config.get_spark and the CLI — the cast is the
+    identity on the underlying micros and the emitted windows equal
+    the batch (NTZ) windows."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), round_dp).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_seq, n_events, session_start, session_end,
+    duration_us): gap-based sessions per user — a new session starts
+    at the first event and whenever the inactivity gap STRICTLY
+    exceeds `gap_minutes`. Event order within a user is (ts, event_id)
+    — fully deterministic under timestamp ties."""
+    if gap_minutes < 1:
+        raise ValueError("gap_minutes must be >= 1")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    wc = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (events
+            .withColumn("__prev", F.lag("ts").over(w))
+            .withColumn("__brk", F.when(
+                F.col("__prev").isNull()
+                | ((epoch_us("ts") - epoch_us("__prev")) > gap_us),
+                1).otherwise(0))
+            .withColumn("session_seq", F.sum("__brk").over(wc))
+            .groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .withColumn("duration_us",
+                        epoch_us("session_end")
+                        - epoch_us("session_start")))

@@ -1,0 +1,142 @@
+"""Event/query-log analytics (pipeline/events.py): window counts and
+sessions vs brute-force pandas references, the Structured Streaming
+windowed form == the batch form on the same input, epoch_us
+timezone-independence, guards."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from irkit_spark.pipeline.events import (epoch_us, sessionize,
+                                         stream_window_counts,
+                                         window_counts)
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, BASE + dt.timedelta(seconds=s), u, t, float(v))
+         for i, (s, u, t, v) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # 3 users, 2 types, spans 3 hours with idle gaps
+    rows = []
+    for u in range(3):
+        for j in range(40):
+            s = u * 7 + j * 200 + (1800 * (j // 15))   # gaps at j=15,30
+            rows.append((s, u, "query" if j % 3 else "click",
+                         (u + 1) * j * 0.25))
+    return _mk_events(spark, rows), rows
+
+
+def test_window_counts_matches_reference(events):
+    ev, rows = events
+    want = {}
+    for i, (s, u, t, v) in enumerate(rows):
+        start = BASE + dt.timedelta(
+            hours=int((s // 3600)))
+        key = (start, t)
+        c, sv = want.get(key, (0, 0.0))
+        want[key] = (c + 1, sv + v)
+    want = {k: (c, round(sv, 6)) for k, (c, sv) in want.items()}
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["sum_value"])
+           for r in window_counts(ev, "1 hour").collect()}
+    assert got == want and len(got) > 2
+
+
+def test_sessionize_matches_reference(events):
+    ev, rows = events
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (s, u, t, v) in enumerate(rows):
+        per_user.setdefault(u, []).append((s, i))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        seq, start, last, n = 0, None, None, 0
+        for s, _ in evs:
+            if last is None or (s - last) * 1_000_000 > 30 * 60 * 1e6:
+                if start is not None:
+                    want[(u, seq)] = (n, start, last - start)
+                seq, start, n = seq + 1, s, 0
+            n += 1
+            last = s
+        want[(u, seq)] = (n, start, last - start)
+    got = {(r["user_id"], r["session_seq"]):
+           (r["n_events"],
+            int((r["session_start"] - BASE).total_seconds()),
+            r["duration_us"] // 1_000_000)
+           for r in sessionize(ev, 30).collect()}
+    assert got == want
+    assert max(seq for _, seq in got) >= 2      # the gaps made sessions
+
+
+def test_session_boundary_is_strict(spark):
+    # exactly 30 minutes apart = SAME session; 30min + 1us = new one
+    ev = _mk_events(spark, [(0, 1, "q", 0), (1800, 1, "q", 0)])
+    assert sessionize(ev, 30).count() == 1
+    ev2 = spark.createDataFrame(
+        [(0, BASE, 1, "q", 0.0),
+         (1, BASE + dt.timedelta(minutes=30, microseconds=1),
+          1, "q", 0.0)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double")
+    assert sessionize(ev2, 30).count() == 2
+
+
+def test_streaming_window_counts_equals_batch(spark, events, tmp_path):
+    ev, _ = events
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_sink")
+    chk = str(tmp_path / "ev_chk")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (stream_window_counts(stream, "1 hour")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", chk)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(out).collect()}
+    want_all = {(r["window_start"], r["event_type"]):
+                (r["n_events"], r["sum_value"])
+                for r in window_counts(ev, "1 hour").collect()}
+    # append mode only emits windows CLOSED by the watermark; every
+    # emitted window must match the batch result exactly, and all but
+    # the open tail must be present
+    assert got and all(want_all[k] == v for k, v in got.items())
+    open_cut = max(ws for ws, _ in want_all)
+    missing = {k for k in want_all if k not in got}
+    assert all(ws >= open_cut - dt.timedelta(hours=2)
+               for ws, _ in missing)
+
+
+def test_epoch_us_timezone_independent(spark, events):
+    ev, _ = events
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    a = ev.select(epoch_us("ts").alias("us")).agg(
+        F.sum("us")).collect()[0][0]
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/New_York")
+        b = ev.select(epoch_us("ts").alias("us")).agg(
+            F.sum("us")).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert a == b
+
+
+def test_guards(events):
+    ev, _ = events
+    with pytest.raises(ValueError, match="gap_minutes"):
+        sessionize(ev, 0)
