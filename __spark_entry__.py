@@ -673,6 +673,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            max_terms=5, local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_facet_lang_counts(spark, sf):
+        # faceting (operators/facets.py): the OR-query's match set
+        # counted per documents.lang — pruned postings scan, one join,
+        # one groupBy
+        from irkit_spark.operators.facets import facet_counts
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _index_for(spark, sf))
+        return facet_counts(idx, Q_OR, _docs(spark, sf), "lang")
+
+    def q_autocomplete_top(spark, sf):
+        # search-box completion (operators/query.autocomplete):
+        # top-5 's...' lexicon terms by (df DESC, term)
+        from irkit_spark.operators.query import Index, autocomplete
+        idx = Index(spark, _index_for(spark, sf))
+        return autocomplete(idx, "s", n=5)
+
     def q_eval_metrics(spark, sf):
         # retrieval-effectiveness evaluation (operators/evaluate.py):
         # the engine's own two-query WAND run scored against graded
@@ -772,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_suggest": q_fuzzy_suggest,
         "eval_metrics": q_eval_metrics,
         "index_mlt_wand_top10": q_index_mlt_wand_top10,
+        "facet_lang_counts": q_facet_lang_counts,
+        "autocomplete_top": q_autocomplete_top,
         "index_not_wand_top10": q_index_not_wand_top10,
         "index_segments_wand_top10": q_index_segments_wand_top10,
         "index_boost_wand_top10": q_index_boost_wand_top10,
@@ -1770,6 +1788,21 @@ WITH tf AS ({_TF}),
 ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
 SELECT term, df FROM ts WHERE levenshtein(term, 'hast') <= 1
 ORDER BY df DESC, term LIMIT 4""",
+        # faceting: distinct any-term match set joined to the lang
+        # column, counted per facet value
+        "facet_lang_counts": f"""
+WITH tf AS ({_TF}),
+q(term) AS (VALUES {_values(sorted(set(Q_OR.split())))}),
+m AS (SELECT DISTINCT doc_id FROM tf JOIN q USING (term))
+SELECT CAST(d.lang AS VARCHAR) AS facet, count(*) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1""",
+        # search-box completion: top-df prefix matches
+        "autocomplete_top": f"""
+WITH tf AS ({_TF}),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT term, df FROM ts WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 5""",
         # more-like-this: mine doc 7's top-5 terms by tf*idf (the
         # engine's own idf formula; tie -> term string), standard BM25
         # OR over them, source doc excluded

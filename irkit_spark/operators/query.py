@@ -1641,3 +1641,29 @@ def suggest(index: Index, word: str, n: int = 5) -> DataFrame:
             .select("term", F.col("df").cast("long").alias("df"))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(n))
+
+
+def autocomplete(index: Index, prefix: str, n: int = 10) -> DataFrame:
+    """Search-box completion: the n most-frequent lexicon terms
+    extending `prefix` — (term, df) by (df DESC, term ASC). Same
+    two-tier shape as expand_wildcards' single-pattern case (driver
+    dict scan, or one StartsWith-pushed terms filter), lifted to a
+    DataFrame for a uniform interface."""
+    import re
+
+    if not re.match(r"^[a-z0-9]+$", prefix):
+        raise ValueError(f"bad prefix {prefix!r}: [a-z0-9]+ only")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    td = index._terms_dict()
+    if td is not None:
+        hits = [(term, int(v[1])) for term, v in td.items()
+                if term.startswith(prefix)]
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return index.spark.createDataFrame(
+            hits[:n], "term string, df long")
+    return (index.terms
+            .filter(F.col("term").startswith(prefix))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n))

@@ -1,0 +1,74 @@
+"""Faceting (operators/facets.py) + autocomplete (operators/query.py):
+counts vs brute-force references over the tokenized corpus, conjunctive
+and NOT variants, OOV behavior, dict-vs-scan parity, guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from irkit_spark.functions.tokenize import tokenize
+from irkit_spark.operators.facets import facet_counts
+from irkit_spark.operators.query import Index, autocomplete
+
+
+@pytest.fixture(scope="module")
+def corpus(index_small, pages_small):
+    idx, _ = index_small
+    rows = (idx.docs.select("doc_id", "url")
+            .join(pages_small.select("url", "text", "lang"), "url")
+            .collect())
+    return idx, [(r["doc_id"], r["text"], r["lang"]) for r in rows]
+
+
+def _ref_counts(rows, terms, conjunctive=False, exclude=()):
+    counts = {}
+    ts, ex = set(terms), set(exclude)
+    for doc_id, text, lang in rows:
+        toks = set(tokenize(text or ""))
+        hit = ts <= toks if conjunctive else bool(ts & toks)
+        if hit and not (ex & toks):
+            counts[lang] = counts.get(lang, 0) + 1
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_facet_counts_matches_reference(corpus, pages_small):
+    idx, rows = corpus
+    docs_df = (idx.docs.select("doc_id", "url")
+               .join(pages_small.select("url", "lang"), "url"))
+    q = "term00000 term00003"
+    got = [(r["facet"], r["n_docs"]) for r in
+           facet_counts(idx, q, docs_df, "lang").collect()]
+    assert got == _ref_counts(rows, q.split()) and got
+    got_c = [(r["facet"], r["n_docs"]) for r in
+             facet_counts(idx, q, docs_df, "lang",
+                          conjunctive=True).collect()]
+    assert got_c == _ref_counts(rows, q.split(), conjunctive=True)
+    got_n = [(r["facet"], r["n_docs"]) for r in
+             facet_counts(idx, q, docs_df, "lang",
+                          exclude_terms="term00007").collect()]
+    assert got_n == _ref_counts(rows, q.split(),
+                                exclude=["term00007"])
+    assert facet_counts(idx, "zzznotaterm", docs_df, "lang").count() == 0
+
+
+def test_autocomplete(corpus):
+    idx, _ = corpus
+    td = idx._terms_dict()
+    want = sorted(((t, v[1]) for t, v in td.items()
+                   if t.startswith("term0000")),
+                  key=lambda h: (-h[1], h[0]))[:5]
+    got = [(r["term"], r["df"]) for r in
+           autocomplete(idx, "term0000", n=5).collect()]
+    assert got == [(t, int(c)) for t, c in want] and len(got) == 5
+    # distributed terms-scan branch agrees
+    idx2 = Index(idx.spark, idx.path)
+    idx2._terms_dict = lambda: None
+    got2 = [(r["term"], r["df"]) for r in
+            autocomplete(idx2, "term0000", n=5).collect()]
+    assert got2 == got
+    assert autocomplete(idx, "zzz").count() == 0
+    with pytest.raises(ValueError, match="bad prefix"):
+        autocomplete(idx, "no spaces")
+    with pytest.raises(ValueError, match="n must be"):
+        autocomplete(idx, "term", n=0)
