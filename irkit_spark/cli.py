@@ -150,6 +150,16 @@ def cmd_query(args):
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
 
 
+def cmd_suggest(args):
+    from irkit_spark.operators.query import Index, autocomplete, suggest
+    spark = _session("irkit-suggest")
+    idx = Index(spark, args.index)
+    df = (autocomplete(idx, args.word, n=args.n) if args.prefix
+          else suggest(idx, args.word, n=args.n))
+    for r in df.collect():
+        print(f"{r['term']}\t{r['df']}")
+
+
 def cmd_evaluate(args):
     from irkit_spark.operators.evaluate import (evaluate_trec_file,
                                                 mean_metrics)
@@ -343,6 +353,16 @@ def main(argv=None):
     bp.add_argument("--table-format", default=None,
                     choices=["parquet", "iceberg"])
     bp.set_defaults(fn=cmd_build_positions)
+
+    sg = sub.add_parser("suggest",
+                        help="did-you-mean (edit-distance-1) or "
+                             "--prefix autocomplete over the lexicon")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--word", required=True)
+    sg.add_argument("--n", type=int, default=5)
+    sg.add_argument("--prefix", action="store_true",
+                    help="prefix completion instead of fuzzy")
+    sg.set_defaults(fn=cmd_suggest)
 
     ev = sub.add_parser("evaluate",
                         help="score a TREC run file against qrels "
