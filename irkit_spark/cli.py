@@ -257,7 +257,7 @@ def main(argv=None):
     b.add_argument("--pages", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--codec", default="varbyte",
-                   choices=["varbyte", "streamvbyte"])
+                   choices=["varbyte", "streamvbyte", "binpack"])
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--docs-per-shard", type=int, default=None)
     b.add_argument("--from-html", action="store_true")

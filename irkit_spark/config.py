@@ -29,7 +29,7 @@ TOKEN_RE = r"[a-z0-9]+"
 
 # --- Index layout --------------------------------------------------------
 BLOCK_SIZE = 128          # postings per compressed block (SURVEY.md C4)
-DEFAULT_CODEC = "varbyte"  # "varbyte" | "streamvbyte" (SURVEY.md C2/C3)
+DEFAULT_CODEC = "varbyte"  # "varbyte" | "streamvbyte" | "binpack" (SURVEY.md C2/C3)
 
 # Doc-shard size: shard(doc_id) = doc_id // DOCS_PER_SHARD. This is the
 # salt of the salted repartition-by-term (BASELINE.json:6): the build

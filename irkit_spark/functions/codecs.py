@@ -147,9 +147,42 @@ def svb_decode(buf: bytes, n: int) -> np.ndarray:
     return vals
 
 
+# --------------------------------------------------------------- binpack
+
+def binpack_encode(values: np.ndarray) -> bytes:
+    """Binary packing (frame-of-reference bit packing, the PISA/
+    simdbp family's scalar form): one width byte w = bit length of the
+    stream max (1..64), then all n values packed LSB-first at w bits
+    each, little-endian bit order. Best for the low-entropy gap
+    streams delta-gap produces: a dense posting run whose gaps are all
+    1-3 packs at 2 bits/posting where LEB128's floor is 8."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    w = max(int(v.max()).bit_length(), 1)
+    bits = ((v[:, None] >> np.arange(w, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.uint8)
+    return bytes([w]) + np.packbits(bits.reshape(-1),
+                                    bitorder="little").tobytes()
+
+
+def binpack_decode(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    w = int(b[0])
+    if not 1 <= w <= 64:
+        raise ValueError(f"binpack: bad width byte {w}")
+    bits = np.unpackbits(b[1:], count=n * w, bitorder="little")
+    return (bits.reshape(n, w).astype(np.uint64)
+            << np.arange(w, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64)
+
+
 CODECS = {
     "varbyte": (varbyte_encode, varbyte_decode),
     "streamvbyte": (svb_encode, svb_decode),
+    "binpack": (binpack_encode, binpack_decode),
 }
 
 

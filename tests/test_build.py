@@ -158,6 +158,37 @@ def test_streamvbyte_build_parity(spark, pages_small, index_small,
     assert decoded(svb) == decoded(vb_idx)
 
 
+def test_binpack_build_parity(spark, pages_small, index_small,
+                              tmp_path):
+    """Full build with the binpack (bit-packing) codec: search results
+    and decoded postings equal the varbyte index's exactly, and the
+    fixed-width gap packing beats LEB128's 1-byte floor on the wire."""
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index, search
+    out = str(tmp_path / "bp")
+    m = build_index(spark, pages_small, out, docs_per_shard=300,
+                    text_from_html=True, codec="binpack")
+    vb_idx, vb_m = index_small
+    assert m["total_postings"] == vb_m["total_postings"]
+    bp = Index(spark, out)
+    for q, mode in [("term00000 term00003 term00123", "wand"),
+                    ("term00001 term00010", "daat"),
+                    ("term00000 term00002", "and")]:
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in search(vb_idx, q, 10, mode,
+                                local=False).collect()]
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in search(bp, q, 10, mode, local=False).collect()]
+        assert got == want and got, (q, mode)
+    vb_bytes = sum(
+        len(bytes(b["doc_bytes"])) + len(bytes(b["tf_bytes"]))
+        for r in vb_idx.postings.collect() for b in r["blocks"])
+    bp_bytes = sum(
+        len(bytes(b["doc_bytes"])) + len(bytes(b["tf_bytes"]))
+        for r in bp.postings.collect() for b in r["blocks"])
+    assert bp_bytes < vb_bytes
+
+
 def test_vocab_gate_paths_byte_identical(spark, pages_small,
                                          tmp_path_factory):
     """Term-ID assignment gate: the huge-vocab path (no driver collect,

@@ -102,3 +102,35 @@ def test_blocks_docids_strictly_increasing():
         assert (np.diff(d.astype(np.int64)) > 0).all()
         assert int(d[0]) > prev
         prev = int(d[-1])
+
+
+def test_binpack_wire_format():
+    from irkit_spark.functions.codecs import binpack_decode, binpack_encode
+
+    # [5, 3, 7] -> width 3, bits LSB-first: 101 110 111 -> packed
+    # little-endian bit order: bits 0..8 = 1,0,1,1,1,0,1,1,1
+    raw = binpack_encode(np.array([5, 3, 7], dtype=np.uint64))
+    assert raw[0] == 3 and len(raw) == 1 + 2      # 9 bits -> 2 bytes
+    assert raw[1] == 0b11011101 and raw[2] == 0b00000001
+    assert np.array_equal(binpack_decode(raw, 3),
+                          np.array([5, 3, 7], dtype=np.uint64))
+    # all-zeros stream packs at width 1
+    z = binpack_encode(np.zeros(16, dtype=np.uint64))
+    assert z[0] == 1 and len(z) == 1 + 2
+    # dense gap stream: 128 gaps of 1 -> 1 + 16 bytes (vs 128 LEB128)
+    ones = binpack_encode(np.ones(128, dtype=np.uint64))
+    assert len(ones) == 1 + 16
+
+
+def test_binpack_64bit_and_guards():
+    from irkit_spark.functions.codecs import binpack_decode, binpack_encode
+
+    arr = np.array(BOUNDARIES64, dtype=np.uint64)
+    assert np.array_equal(binpack_decode(binpack_encode(arr), arr.size),
+                          arr)
+    big = np.array([np.uint64(2 ** 63 + 12345)], dtype=np.uint64)
+    assert np.array_equal(binpack_decode(binpack_encode(big), 1), big)
+    with pytest.raises(ValueError, match="bad width"):
+        binpack_decode(b"\x00\x00", 1)
+    assert binpack_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert binpack_decode(b"", 0).size == 0
