@@ -655,6 +655,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              local=False, max_expansions=4)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_fuzzy2_wand_top10(spark, sf):
+        # explicit-distance fuzzy (Lucene 'term~2'): 'jion' is a
+        # transposition of 'join' — classic Levenshtein 2, invisible
+        # at ~1, found at ~2
+        from irkit_spark.operators.query import Index, fuzzy_search
+        idx = Index(spark, _index_for(spark, sf))
+        return (fuzzy_search(idx, "jion~2 value", k=10, mode="wand",
+                             local=False, max_expansions=4)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_fuzzy_suggest(spark, sf):
         # did-you-mean (operators/query.suggest): lexicon terms within
         # edit distance 1 of 'hast', most-frequent first
@@ -785,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_updated_wand_top10": q_index_updated_wand_top10,
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
         "index_fuzzy_wand_top10": q_index_fuzzy_wand_top10,
+        "index_fuzzy2_wand_top10": q_index_fuzzy2_wand_top10,
         "fuzzy_suggest": q_fuzzy_suggest,
         "eval_metrics": q_eval_metrics,
         "index_mlt_wand_top10": q_index_mlt_wand_top10,
@@ -1769,6 +1780,27 @@ q AS (
   UNION
   SELECT term FROM (
     SELECT term FROM ts WHERE levenshtein(term, 'jon') <= 1
+    ORDER BY df DESC, term LIMIT 4)
+  UNION SELECT 'value' AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 10""",
+        # explicit-distance fuzzy: levenshtein <= 2 rewrite
+        "index_fuzzy2_wand_top10": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT term FROM (
+    SELECT term FROM ts WHERE levenshtein(term, 'jion') <= 2
     ORDER BY df DESC, term LIMIT 4)
   UNION SELECT 'value' AS term),
 sc AS (

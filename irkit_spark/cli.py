@@ -155,7 +155,8 @@ def cmd_suggest(args):
     spark = _session("irkit-suggest")
     idx = Index(spark, args.index)
     df = (autocomplete(idx, args.word, n=args.n) if args.prefix
-          else suggest(idx, args.word, n=args.n))
+          else suggest(idx, args.word, n=args.n,
+                       max_edit=args.max_edit))
     for r in df.collect():
         print(f"{r['term']}\t{r['df']}")
 
@@ -333,9 +334,9 @@ def main(argv=None):
                    help="expand trailing-* tokens against the lexicon "
                         "(prefix queries), then score the disjunction")
     q.add_argument("--fuzzy", action="store_true",
-                   help="expand trailing-~ tokens to their edit-"
-                        "distance-1 lexicon neighborhood, then score "
-                        "the disjunction")
+                   help="expand trailing-~/~1/~2 tokens to their "
+                        "edit-distance lexicon neighborhood, then "
+                        "score the disjunction")
     q.add_argument("--max-expansions", type=int, default=32,
                    help="cap per wildcard/fuzzy pattern, picked by "
                         "(df DESC, term)")
@@ -362,6 +363,8 @@ def main(argv=None):
     sg.add_argument("--n", type=int, default=5)
     sg.add_argument("--prefix", action="store_true",
                     help="prefix completion instead of fuzzy")
+    sg.add_argument("--max-edit", type=int, default=1,
+                    choices=[1, 2], dest="max_edit")
     sg.set_defaults(fn=cmd_suggest)
 
     ev = sub.add_parser("evaluate",

@@ -1485,8 +1485,8 @@ def prefix_search(index: Index, query: str, k: int = 10,
                   exclude_terms=exclude_terms or None)
 
 
-# §3.3b fuzzy queries (Lucene `term~` syntax): edit-distance-1
-# expansion against the lexicon — the typo-tolerant rewrite Lucene
+# §3.3b fuzzy queries (Lucene `term~` / `term~2` syntax):
+# edit-distance-1/2 expansion against the lexicon — the typo-tolerant rewrite Lucene
 # serves with an FST/Levenshtein-automaton intersection. Here the
 # lexicon IS the sorted terms table, so the rewrite is one narrow
 # vocab-sized scan with a JVM-side levenshtein predicate (vocab is
@@ -1499,7 +1499,7 @@ def prefix_search(index: Index, query: str, k: int = 10,
 # (levenshtein()), which is what makes the whole path exactly
 # DuckDB-oracle-able.
 
-_FUZZY_RE = r"^[a-z0-9]+~?$"
+_FUZZY_RE = r"^[a-z0-9]+(~[12]?)?$"
 _MAX_FUZZY_LEN = 64     # a "token" longer than this is not a typo fix
 
 
@@ -1522,16 +1522,51 @@ def _lev1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
+def _lev_le(a: str, b: str, k: int) -> bool:
+    """Exact Levenshtein(a, b) <= k (classic insert/delete/substitute,
+    no transposition) via the k-banded DP row — O(len * k) and early
+    exit when a whole row exceeds k. Pinned to F.levenshtein/DuckDB by
+    the same property test as _lev1."""
+    if k == 1:
+        return _lev1(a, b)
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        best = cur[0] if lo == 1 else k + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            best = min(best, cur[j])
+        if hi < lb:
+            cur[hi + 1:] = [k + 1] * (lb - hi)
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 def expand_fuzzy(index: Index, query: str,
                  max_expansions: int = 8) -> tuple[str, dict]:
     """Expand trailing-~ tokens ('jon~ value') to every lexicon term
-    within Levenshtein distance 1, capped at `max_expansions` per
-    pattern picked by (df DESC, term ASC) — the same deterministic
-    rewrite cap the wildcard path uses. An in-vocab fuzzy token keeps
-    itself (distance 0). Plain tokens pass through; a fuzzy token
-    matching nothing expands to nothing (dropped like any OOV term).
+    within the token's Levenshtein budget — '~'/'~1' = distance 1,
+    '~2' = distance 2 (the Lucene FuzzyQuery syntax) — capped at
+    `max_expansions` per pattern picked by (df DESC, term ASC), the
+    same deterministic rewrite cap the wildcard path uses. An in-vocab
+    fuzzy token keeps itself (distance 0). Plain tokens pass through;
+    a fuzzy token matching nothing expands to nothing (dropped like
+    any OOV term).
 
-    Returns (expanded query string, {pattern: [terms...]}).
+    Returns (expanded query string, {pattern: [terms...]}) with the
+    pattern keys exactly as written in the query.
 
     Scale shape: below BROADCAST_VOCAB_MAX the expansion is a driver-
     dict scan with a length pre-filter (zero Spark jobs warm — the
@@ -1546,44 +1581,54 @@ def expand_fuzzy(index: Index, query: str,
     if not toks:
         return "", {}
     plain: list[str] = []
-    patterns: list[str] = []
+    pats: dict[str, tuple[str, int]] = {}   # written form -> (word, k)
     for t in toks:
-        if not re.match(_FUZZY_RE, t) or len(t) > _MAX_FUZZY_LEN:
+        if not re.match(_FUZZY_RE, t) or len(t) > _MAX_FUZZY_LEN + 2:
             raise ValueError(
                 f"bad query token {t!r}: tokens are [a-z0-9]+ (max "
-                f"{_MAX_FUZZY_LEN} chars) with an optional single "
-                "trailing '~'")
-        (patterns if t.endswith("~") else plain).append(t)
+                f"{_MAX_FUZZY_LEN} chars) with an optional trailing "
+                "'~', '~1' or '~2'")
+        if "~" in t:
+            word, _, suf = t.partition("~")
+            pats[t] = (word, int(suf) if suf else 1)
+        else:
+            plain.append(t)
     expansions: dict[str, list[str]] = {}
-    if patterns:
-        pats = sorted({p[:-1] for p in patterns})
+    if pats:
         td = index._terms_dict()
         if td is not None:
-            for pre in pats:
+            for written in sorted(pats):
+                word, k = pats[written]
                 hits = [(term, v[1]) for term, v in td.items()
-                        if _lev1(pre, term)]
+                        if _lev_le(word, term, k)]
                 hits.sort(key=lambda h: (-h[1], h[0]))
-                expansions[pre + "~"] = [t for t, _ in
-                                         hits[:max_expansions]]
+                expansions[written] = [t for t, _ in
+                                       hits[:max_expansions]]
         else:
             from pyspark.sql import Window
-            pat_df = F.explode(F.array(
-                *[F.lit(p) for p in pats])).alias("pattern")
+            pat_df = F.explode(F.array(*[
+                F.struct(F.lit(w).alias("pattern"),
+                         F.lit(k).alias("maxe"))
+                for w, k in sorted(set(pats.values()))])).alias("p")
             cand = (index.terms
                     .select("term", "df", pat_df)
+                    .select("term", "df", "p.pattern", "p.maxe")
                     .filter(
-                        (F.abs(F.length("term")
-                               - F.length("pattern")) <= 1)
-                        & (F.levenshtein("term", "pattern") <= 1)))
-            w = Window.partitionBy("pattern").orderBy(
+                        (F.abs(F.length("term") - F.length("pattern"))
+                         <= F.col("maxe"))
+                        & (F.levenshtein("term", "pattern")
+                           <= F.col("maxe"))))
+            w = Window.partitionBy("pattern", "maxe").orderBy(
                 F.desc("df"), F.asc("term"))
             rows = (cand.withColumn("r", F.row_number().over(w))
                     .filter(F.col("r") <= max_expansions)
-                    .select("pattern", "term", "r").collect())
-            for pre in pats:
+                    .select("pattern", "maxe", "term", "r").collect())
+            for written in sorted(pats):
+                word, k = pats[written]
                 hits = sorted((r["r"], r["term"]) for r in rows
-                              if r["pattern"] == pre)
-                expansions[pre + "~"] = [t for _, t in hits]
+                              if r["pattern"] == word
+                              and r["maxe"] == k)
+                expansions[written] = [t for _, t in hits]
     terms = sorted(set(plain).union(
         t for ts in expansions.values() for t in ts))
     return " ".join(terms), expansions
@@ -1615,12 +1660,14 @@ def fuzzy_search(index: Index, query: str, k: int = 10,
                   exclude_terms=exclude_terms or None)
 
 
-def suggest(index: Index, word: str, n: int = 5) -> DataFrame:
-    """Did-you-mean: the lexicon terms within edit distance 1 of
-    `word`, most-frequent first — (term, df) ordered by (df DESC,
-    term ASC), capped at n. Same two-tier shape as expand_fuzzy;
-    always returns a DataFrame (driver hits are lifted back into one)
-    so callers and the driver contract see one interface."""
+def suggest(index: Index, word: str, n: int = 5,
+            max_edit: int = 1) -> DataFrame:
+    """Did-you-mean: the lexicon terms within edit distance
+    `max_edit` (1 or 2) of `word`, most-frequent first — (term, df)
+    ordered by (df DESC, term ASC), capped at n. Same two-tier shape
+    as expand_fuzzy; always returns a DataFrame (driver hits are
+    lifted back into one) so callers and the driver contract see one
+    interface."""
     import re
 
     if not re.match(r"^[a-z0-9]+$", word) or len(word) > _MAX_FUZZY_LEN:
@@ -1628,16 +1675,18 @@ def suggest(index: Index, word: str, n: int = 5) -> DataFrame:
                          f"{_MAX_FUZZY_LEN} chars")
     if n < 1:
         raise ValueError("n must be >= 1")
+    if max_edit not in (1, 2):
+        raise ValueError("max_edit must be 1 or 2")
     td = index._terms_dict()
     if td is not None:
         hits = [(term, int(v[1])) for term, v in td.items()
-                if _lev1(word, term)]
+                if _lev_le(word, term, max_edit)]
         hits.sort(key=lambda h: (-h[1], h[0]))
         return index.spark.createDataFrame(
             hits[:n], "term string, df long")
     return (index.terms
-            .filter((F.abs(F.length("term") - len(word)) <= 1)
-                    & (F.levenshtein("term", F.lit(word)) <= 1))
+            .filter((F.abs(F.length("term") - len(word)) <= max_edit)
+                    & (F.levenshtein("term", F.lit(word)) <= max_edit))
             .select("term", F.col("df").cast("long").alias("df"))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(n))

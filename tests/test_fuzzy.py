@@ -142,3 +142,53 @@ def test_guards(fidx):
         suggest(fidx, "not a word")
     with pytest.raises(ValueError, match="n must be"):
         suggest(fidx, "hash", n=0)
+
+
+def test_lev_le_matches_reference_exhaustive():
+    from irkit_spark.operators.query import _lev_le
+    words = ["".join(w) for n in range(5)
+             for w in itertools.product("ab", repeat=n)]
+    for a in words:
+        for b in words:
+            for k in (1, 2):
+                assert _lev_le(a, b, k) == (_lev_ref(a, b) <= k), \
+                    (a, b, k)
+    # transpositions are distance 2 classic: reachable at ~2 only
+    assert not _lev_le("jion", "join", 1) and _lev_le("jion", "join", 2)
+    assert _lev_le("hastt", "fast", 2) and not _lev_le("hastt", "fast", 1)
+
+
+def test_ed2_expansion_and_written_keys(fidx):
+    # 'jion' is a transposition of 'join': invisible at ~1, found at ~2
+    exp1, info1 = expand_fuzzy(fidx, "jion~")
+    assert info1 == {"jion~": []} and exp1 == ""
+    exp2, info2 = expand_fuzzy(fidx, "jion~2 value")
+    assert info2 == {"jion~2": ["join"]}
+    assert exp2.split() == ["join", "value"]
+    assert _hits(fuzzy_search(fidx, "jion~2 value", k=10, local=False)) \
+        == _hits(search(fidx, "join value", k=10, local=False))
+    # '~1' is the explicit spelling of '~'
+    assert expand_fuzzy(fidx, "hast~1")[1]["hast~1"] == \
+        expand_fuzzy(fidx, "hast~")[1]["hast~"]
+
+
+def test_ed2_distributed_path_agrees(fidx):
+    fidx2 = Index(fidx.spark, fidx.path)
+    fidx2._terms_dict = lambda: None     # force the terms-scan branch
+    for q in ("jion~2 hast~ value", "hast~2", "jain~2 jain~"):
+        a = expand_fuzzy(fidx, q)
+        b = expand_fuzzy(fidx2, q)
+        assert a == b, q
+
+
+def test_suggest_max_edit(fidx):
+    dfs = {t: fidx.term_stats(t)["df"] for t in VOCAB}
+    want = sorted(((t, dfs[t]) for t in VOCAB
+                   if _lev_ref("jion", t) <= 2),
+                  key=lambda h: (-h[1], h[0]))
+    got = [(r["term"], r["df"])
+           for r in suggest(fidx, "jion", max_edit=2).collect()]
+    assert got == [(t, int(c)) for t, c in want] and got
+    assert suggest(fidx, "jion", max_edit=1).count() == 0
+    with pytest.raises(ValueError, match="max_edit"):
+        suggest(fidx, "jion", max_edit=3)
