@@ -1640,8 +1640,9 @@ def fuzzy_search(index: Index, query: str, k: int = 10,
                  doc_filter: str | None = None,
                  exclude_terms: str | None = None,
                  max_expansions: int = 8) -> DataFrame:
-    """search() over a query with trailing-~ fuzzy tokens: expand to
-    the edit-distance-1 lexicon neighborhood (expand_fuzzy), then run
+    """search() over a query with trailing ~/~1/~2 fuzzy tokens:
+    expand to the edit-distance lexicon neighborhood (expand_fuzzy),
+    then run
     the standard disjunctive scoring over the expanded term set.
     Expansions are ordinary terms with ordinary bounds, so every
     pruning mode stays lossless; a query whose fuzzy tokens all miss
