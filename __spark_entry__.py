@@ -683,6 +683,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            max_terms=5, local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_hybrid_rrf_top10(spark, sf):
+        # hybrid lexical+dense retrieval (operators/hybrid.py):
+        # RRF fusion of the BM25 top-20 and the cosine top-20
+        # (query vector = embedding 0, excluded from the corpus side —
+        # the ann_cosine convention)
+        from irkit_spark.operators.hybrid import hybrid_search
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _index_for(spark, sf))
+        emb = _emb(spark, sf).filter(F.col("vec_id") != 0)
+        return hybrid_search(idx, Q_BM25_A, emb,
+                             _query_vec(spark, sf), k=10, depth=20)
+
     def q_facet_lang_counts(spark, sf):
         # faceting (operators/facets.py): the OR-query's match set
         # counted per documents.lang — pruned postings scan, one join,
@@ -800,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         "index_mlt_wand_top10": q_index_mlt_wand_top10,
         "facet_lang_counts": q_facet_lang_counts,
+        "hybrid_rrf_top10": q_hybrid_rrf_top10,
         "autocomplete_top": q_autocomplete_top,
         "index_not_wand_top10": q_index_not_wand_top10,
         "index_segments_wand_top10": q_index_segments_wand_top10,
@@ -1708,6 +1721,40 @@ WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
 SELECT a.vec_id, round({cosq}, 6) AS cos
 FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
 ORDER BY cos DESC, a.vec_id LIMIT 10""",
+        # hybrid RRF: integer ranks from each leg's own deterministic
+        # ordering, fused as 1.0/(60+rank) sums — identical division
+        # text in both engines
+        "hybrid_rrf_top10": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qt(term) AS (VALUES {_values(sorted(set(Q_BM25_A.split())))}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN qt USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+    FROM sc) WHERE rank <= 20),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+den AS (
+  SELECT doc_id, rank FROM (
+    SELECT a.vec_id AS doc_id,
+           row_number() OVER (ORDER BY round({cosq}, 6) DESC,
+                              a.vec_id) AS rank
+    FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0)
+  WHERE rank <= 20)
+SELECT doc_id,
+       round(coalesce(1.0 / (60 + lex.rank), 0.0)
+             + coalesce(1.0 / (60 + den.rank), 0.0), 6) AS rrf_score
+FROM lex FULL JOIN den USING (doc_id)
+ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "cosine_pairs": f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cosp}, 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
