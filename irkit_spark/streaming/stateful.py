@@ -75,3 +75,80 @@ def streaming_dedup(pages: DataFrame, prefix_len: int = 2) -> DataFrame:
             .applyInPandasWithState(
                 _dedup_group, _OUT_SCHEMA, _STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+# ------------------------- streaming sessionization ----------------------
+
+_SESS_OUT = ("user_id long, session_start timestamp, "
+             "session_end timestamp, n_events long, duration_us long")
+_SESS_STATE = "start_us long, last_us long, n long"
+
+
+def streaming_sessionize(events: DataFrame,
+                         gap_minutes: int = 30) -> DataFrame:
+    """events readStream -> stream of CLOSED sessions per user_id —
+    the live form of pipeline.events.sessionize (same strict-gap
+    boundary): the per-user state is the one open session
+    (start, last, n — 24 bytes/user); a session emits when a later
+    event proves the gap passed, or when the EVENT-TIME TIMEOUT fires
+    (watermark > last + gap) so idle users flush without waiting for
+    their next visit. Callers must set a watermark on `ts` upstream —
+    it both drives the timeout and drops late events older than any
+    state they could corrupt (the standard stateful-streaming
+    contract); in-gap late events merge into the open session.
+
+    Scale: state shards by user_id across executors (RocksDB provider
+    at 10^9 users), and each group's work per trigger is a sort of its
+    own new events."""
+    if gap_minutes < 1:
+        raise ValueError("gap_minutes must be >= 1")
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _frame(user_id, sessions):
+        return pd.DataFrame(
+            {"user_id": pd.Series([user_id] * len(sessions),
+                                  dtype="int64"),
+             "session_start": pd.to_datetime(
+                 [s for s, _, _ in sessions], unit="us"),
+             "session_end": pd.to_datetime(
+                 [e for _, e, _ in sessions], unit="us"),
+             "n_events": pd.Series([n for _, _, n in sessions],
+                                   dtype="int64"),
+             "duration_us": pd.Series([e - s for s, e, _ in sessions],
+                                      dtype="int64")})
+
+    def run(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _frame(user_id, [(start, last, n)])
+            return
+        start = last = n = None
+        if state.exists:
+            start, last, n = state.get
+        us_all = []
+        for pdf in pdfs:
+            ts = pdf["ts"].astype("datetime64[us]").astype("int64")
+            us_all.extend(ts.tolist())
+        us_all.sort()
+        closed = []
+        for us in us_all:
+            if start is None:
+                start, last, n = us, us, 1
+            elif us - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = us, us, 1
+            else:
+                last = max(last, us)
+                n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000 + 1)
+        if closed:
+            yield _frame(user_id, closed)
+
+    return (events.select("user_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                run, _SESS_OUT, _SESS_STATE,
+                "append", GroupStateTimeout.EventTimeTimeout))

@@ -140,3 +140,57 @@ def test_guards(events):
     ev, _ = events
     with pytest.raises(ValueError, match="gap_minutes"):
         sessionize(ev, 0)
+
+
+def test_streaming_sessionize(spark, events, tmp_path):
+    """The stateful streaming sessionizer emits value-exact subsets of
+    the batch sessionization: every emitted session appears verbatim
+    in sessionize()'s output, every non-final session (its closing
+    event arrives in-stream) is emitted, and the event-time timeout
+    flushes idle users once the watermark passes their gap."""
+    from irkit_spark.pipeline.events import sessionize
+    from irkit_spark.streaming.stateful import streaming_sessionize
+
+    ev, _ = events
+    ev_ts = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {}
+    for r in sessionize(ev, 30).collect():
+        batch.setdefault(r["user_id"], []).append(
+            (int((r["session_start"] - BASE).total_seconds()),
+             r["n_events"], r["duration_us"]))
+    for u in batch:
+        batch[u].sort()
+    # two chronological micro-batches (split at the median epoch)
+    mid = ev_ts.select(F.unix_micros("ts").alias("us")) \
+        .approxQuantile("us", [0.5], 0.0)[0]
+    src = str(tmp_path / "sess_src")
+    ev_ts.filter(F.unix_micros("ts") <= mid).coalesce(1) \
+        .write.parquet(src + "/b1")
+    ev_ts.filter(F.unix_micros("ts") > mid).coalesce(1) \
+        .write.parquet(src + "/b2")
+    stream = (spark.readStream.schema(ev_ts.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/b*")
+              .withWatermark("ts", "0 seconds"))
+    out = str(tmp_path / "sess_out")
+    q = (streaming_sessionize(stream, 30)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "sess_chk"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        assert r["duration_us"] == int(
+            (r["session_end"] - r["session_start"]).total_seconds()
+            * 1_000_000)
+        got.setdefault(r["user_id"], []).append(
+            (int((r["session_start"] - BASE).total_seconds()),
+             r["n_events"], r["duration_us"]))
+    assert got, "nothing emitted"
+    for u, sessions in got.items():
+        for s in sessions:
+            assert s in batch[u], (u, s)          # value-exact subset
+    # every non-final session closes in-stream -> must be emitted
+    for u, sessions in batch.items():
+        for s in sessions[:-1]:
+            assert s in got.get(u, []), (u, s)
