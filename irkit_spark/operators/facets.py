@@ -63,9 +63,16 @@ def facet_counts(index: Index, query: str, docs_df: DataFrame,
     qmeta = index.lookup_query(query)
     if not qmeta:
         return index.spark.createDataFrame(
-            [], f"facet string, n_docs long")
+            [], "facet string, n_docs long")
     matches = _match_docs(index, [m["term_id"] for m in qmeta],
                           conjunctive)
+    if index.has_deletions():
+        # tombstones are selection-only everywhere else (search,
+        # phrase, snippets) — the facet counts must agree
+        dels = index.deletions_df().select("doc_id")
+        if index.deletions_broadcast() is not None:
+            dels = F.broadcast(dels)
+        matches = matches.join(dels, "doc_id", "left_anti")
     if exclude_terms:
         neg = index.lookup_query(exclude_terms)
         if neg:

@@ -72,3 +72,43 @@ def test_autocomplete(corpus):
         autocomplete(idx, "no spaces")
     with pytest.raises(ValueError, match="n must be"):
         autocomplete(idx, "term", n=0)
+
+
+def test_facet_counts_honor_tombstones(spark, pages_small, tmp_path,
+                                       corpus):
+    """Deleted docs leave the facet counts (selection-only, the same
+    contract every query path honors)."""
+    import shutil
+
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.delete import delete_docs
+
+    idx0, rows = corpus
+    out = str(tmp_path / "fidx")
+    shutil.rmtree(out, ignore_errors=True)
+    build_index(spark, pages_small, out, docs_per_shard=300,
+                text_from_html=True)
+    idx = Index(spark, out)
+    docs_df = (idx.docs.select("doc_id", "url")
+               .join(pages_small.select("url", "lang"), "url"))
+    q = "term00000 term00003"
+    before = {r["facet"]: r["n_docs"] for r in
+              facet_counts(idx, q, docs_df, "lang").collect()}
+    # tombstone half the match set
+    from irkit_spark.operators.facets import _match_docs
+    qmeta = idx.lookup_query(q)
+    matched = sorted(r["doc_id"] for r in _match_docs(
+        idx, [m["term_id"] for m in qmeta], False).collect())
+    dead = matched[::2]
+    delete_docs(spark, out, doc_ids=dead)
+    idx2 = Index(spark, out)
+    after = {r["facet"]: r["n_docs"] for r in
+             facet_counts(idx2, q, docs_df, "lang").collect()}
+    assert sum(after.values()) == sum(before.values()) - len(dead)
+    # reference: recount the survivors' languages
+    lang_of = {r["doc_id"]: r["lang"] for r in docs_df.collect()}
+    want = {}
+    for d in matched:
+        if d not in set(dead):
+            want[lang_of[d]] = want.get(lang_of[d], 0) + 1
+    assert after == want
