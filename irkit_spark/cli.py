@@ -150,6 +150,50 @@ def cmd_query(args):
         print(f"{args.qid} Q0 {r['doc_id']} {rank} {r['score']:.6f} irkit_spark")
 
 
+def cmd_mlt(args):
+    from irkit_spark.operators.mlt import mlt_search
+    from irkit_spark.operators.query import Index
+    from irkit_spark.sources.catalog import load_pages
+    spark = _session("irkit-mlt")
+    idx = Index(spark, args.index)
+    docs = load_pages(spark, args.pages)
+    id_col = args.id_col
+    if id_col not in docs.columns:
+        # url-keyed corpus (the html build shape): attach the index's
+        # doc ids through its own docs artifact
+        docs = idx.docs.select("doc_id", "url").join(
+            docs.select("url", args.text_col), "url")
+        id_col = "doc_id"
+    rows = mlt_search(idx, args.doc_id, docs, k=args.k, mode=args.mode,
+                      max_terms=args.max_terms, min_tf=args.min_tf,
+                      text_col=args.text_col,
+                      id_col=id_col).collect()
+    for rank, r in enumerate(rows, 1):
+        print(f"{args.doc_id} Q0 {r['doc_id']} {rank} "
+              f"{r['score']:.6f} irkit_spark")
+
+
+def cmd_facets(args):
+    from irkit_spark.operators.facets import facet_counts
+    from irkit_spark.operators.query import Index
+    from irkit_spark.sources.catalog import load_pages
+    spark = _session("irkit-facets")
+    idx = Index(spark, args.index)
+    docs = load_pages(spark, args.pages)
+    if args.id_col != "doc_id" or args.id_col not in docs.columns:
+        from pyspark.sql import functions as F
+        docs = idx.docs.select("doc_id", "url").join(
+            docs.select("url", args.facet_col), "url")
+        id_col = "doc_id"
+    else:
+        id_col = args.id_col
+    rows = facet_counts(idx, args.query, docs, args.facet_col,
+                        id_col=id_col, conjunctive=args.all,
+                        exclude_terms=args.exclude or None).collect()
+    for r in rows:
+        print(f"{r['facet']}\t{r['n_docs']}")
+
+
 def cmd_suggest(args):
     from irkit_spark.operators.query import Index, autocomplete, suggest
     spark = _session("irkit-suggest")
@@ -354,6 +398,37 @@ def main(argv=None):
     bp.add_argument("--table-format", default=None,
                     choices=["parquet", "iceberg"])
     bp.set_defaults(fn=cmd_build_positions)
+
+    ml = sub.add_parser("mlt", help="more-like-this: docs similar to "
+                                    "a given doc (tf*idf term mining)")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--pages", required=True,
+                    help="the corpus text table, keyed by the index's "
+                         "doc ids (--id-col)")
+    ml.add_argument("--doc-id", type=int, required=True, dest="doc_id")
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--mode", default="wand",
+                    choices=["taat", "daat", "wand", "maxscore", "and"])
+    ml.add_argument("--max-terms", type=int, default=25,
+                    dest="max_terms")
+    ml.add_argument("--min-tf", type=int, default=1, dest="min_tf")
+    ml.add_argument("--text-col", default="text", dest="text_col")
+    ml.add_argument("--id-col", default="doc_id", dest="id_col")
+    ml.set_defaults(fn=cmd_mlt)
+
+    fc = sub.add_parser("facets", help="facet counts over a query's "
+                                       "match set")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--pages", required=True,
+                    help="table carrying the facet column (joined on "
+                         "url when it lacks the index's doc ids)")
+    fc.add_argument("--query", required=True)
+    fc.add_argument("--facet-col", required=True, dest="facet_col")
+    fc.add_argument("--all", action="store_true",
+                    help="require ALL query terms (conjunctive)")
+    fc.add_argument("--exclude", default=None)
+    fc.add_argument("--id-col", default="doc_id", dest="id_col")
+    fc.set_defaults(fn=cmd_facets)
 
     sg = sub.add_parser("suggest",
                         help="did-you-mean (edit-distance-1) or "
