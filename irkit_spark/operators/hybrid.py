@@ -57,20 +57,35 @@ def hybrid_search(index: Index, query: str, emb: DataFrame, query_vec,
                   k: int = 10, depth: int = 100, k_rrf: int = 60,
                   mode: str = "wand", scorer: str = "bm25",
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  round_dp: int = 6) -> DataFrame:
+                  round_dp: int = 6,
+                  ann_dir: str | None = None,
+                  n_probe: int = 4) -> DataFrame:
     """(doc_id, rrf_score): RRF fusion of the BM25 top-`depth` for
     `query` and the cosine top-`depth` for `query_vec` over `emb`
     (whose id_col must carry doc ids). An OOV-only query degrades to
     the dense-only ranking and vice versa for an empty emb — RRF's
-    missing-leg convention."""
+    missing-leg convention.
+
+    ann_dir: serve the dense leg from a persisted ANN index
+    (similarity.build_ann_index) instead of the brute scan — a
+    partition-PRUNED read of the n_probe nearest cluster dirs, the
+    10^9+-vector serving shape (`emb` is then ignored). With
+    n_probe == n_clusters the probe covers every cluster, so the
+    fused ranking equals the brute-leg ranking exactly (tested)."""
     wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lex = (search(index, query, k=depth, mode=mode, scorer=scorer,
                   local=False)
            .withColumn("rank", F.row_number().over(wb)))
+    if ann_dir is not None:
+        from irkit_spark.pipeline.similarity import ann_index_topk
+        dtop = ann_index_topk(index.spark, ann_dir, query_vec, k=depth,
+                              n_probe=n_probe, vec_col=vec_col,
+                              round_dp=round_dp)
+    else:
+        dtop = cosine_topk(emb, query_vec, k=depth, id_col=id_col,
+                           vec_col=vec_col, round_dp=round_dp)
     wd = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    dense = (cosine_topk(emb, query_vec, k=depth, id_col=id_col,
-                         vec_col=vec_col, round_dp=round_dp)
-             .withColumn("rank", F.row_number().over(wd))
+    dense = (dtop.withColumn("rank", F.row_number().over(wd))
              .select(F.col("vec_id").alias("doc_id"), "rank"))
     return rrf_fuse([lex.select("doc_id", "rank"), dense], k=k,
                     k_rrf=k_rrf, round_dp=round_dp)

@@ -76,3 +76,24 @@ def test_hybrid_missing_leg_conventions(index_small, emb50):
                          depth=20).collect()]
     want = [r["vec_id"] for r in cosine_topk(emb50, qv, k=5).collect()]
     assert got == want and got
+
+
+def test_hybrid_ann_leg_full_probe_equals_brute(index_small, emb50,
+                                                tmp_path):
+    """Dense leg from the persisted ANN index with n_probe ==
+    n_clusters (every cluster scanned) fuses identically to the
+    brute-scan leg."""
+    from irkit_spark.pipeline.similarity import build_ann_index
+
+    idx, _ = index_small
+    ann_dir = str(tmp_path / "ann")
+    meta = build_ann_index(emb50, ann_dir, n_clusters=4)
+    q = "term00000 term00003"
+    qv = [0.5, -0.25, 0.3, 0.1, -0.4, 0.2, 0.0, 0.35]
+    brute = [(r["doc_id"], r["rrf_score"]) for r in
+             hybrid_search(idx, q, emb50, qv, k=10, depth=30).collect()]
+    ann = [(r["doc_id"], r["rrf_score"]) for r in
+           hybrid_search(idx, q, None, qv, k=10, depth=30,
+                         ann_dir=ann_dir,
+                         n_probe=meta["n_clusters"]).collect()]
+    assert ann == brute and ann
