@@ -311,7 +311,7 @@ def main():
         queries[f"zipf_build_local{N4_CORES}"] = z4["wall_sec"]
 
     total = round(time.monotonic() - t_start, 3)
-    print(json.dumps({
+    full = {
         "metric": "irkit_spark build+query wall (build throughput and "
                   "N->4N scaling in 'scaling')",
         "value": total,
@@ -343,7 +343,46 @@ def main():
                     f"eff_{N_CORES}_to_{N4_CORES}", 1.0), 1e-9), 3),
             **({"zipf_skew": zipf} if zipf else {}),
         },
-    }))
+    }
+    # Full document -> file; stdout's LAST line stays COMPACT. The
+    # driver captures a bounded stdout tail and r5's full JSON outgrew
+    # it (BENCH_r05.json parsed: null) — so the parseable contract line
+    # carries only the headline numbers and ~a dozen query latencies.
+    with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    sc = full["scaling"]
+    headline_qs = [
+        f"build_local{N_CORES}", f"build_local{N4_CORES}",
+        "wand_k10", "wand_k1000", "daat_k10", "maxscore_k10",
+        "taat_k10", "wand_k10_warm", "batch_wand_20q", "phrase_k10",
+        "prefix_wand_k10", "fuzzy_wand_k10", "bm25_taat_top10",
+        "minhash_lsh_pairs", "ann_cosine_top10",
+    ]
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: queries[k] for k in headline_qs if k in queries},
+        "sf": SF_DIR,
+        "scaling": {
+            "postings": sc["postings"],
+            **{k: sc[k] for k in sc
+               if k.startswith("postings_per_sec_local")},
+            **{k: sc[k] for k in sc
+               if k.startswith("scaling_efficiency_")
+               and isinstance(sc[k], (int, float))},
+            "skew_ratio": sc["skew_ratio"],
+            "bytes_per_posting": sc["bytes_per_posting"],
+            **({"zipf_overall_eff": zipf[
+                    f"scaling_efficiency_{N_CORES}_to_{N4_CORES}"],
+                "zipf_encode_eff": zipf[
+                    f"encode_phase_efficiency_{N_CORES}_to_{N4_CORES}"],
+                "zipf_skew_ratio": zipf["skew_ratio"]}
+               if zipf else {}),
+        },
+        "detail": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

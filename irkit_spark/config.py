@@ -41,8 +41,11 @@ DEFAULT_CODEC = "varbyte"  # "varbyte" | "streamvbyte" | "binpack" (SURVEY.md C2
 DOCS_PER_SHARD = int(os.environ.get("IRKIT_DOCS_PER_SHARD", "100000"))
 
 # Buckets for deterministic dense ID assignment (plans/dense_ids.py).
-# Must be >> max parallelism and << collection size at scale.
-ID_BUCKETS = int(os.environ.get("IRKIT_ID_BUCKETS", "64"))
+# Default None = count-adaptive (one bucket per ~32M keys, floor 64 —
+# identical ids to the historical fixed 64 below 2.048e9 keys, bounded
+# per-bucket sorts above). Set IRKIT_ID_BUCKETS to pin a fixed count.
+_idb = os.environ.get("IRKIT_ID_BUCKETS", "")
+ID_BUCKETS: int | None = int(_idb) if _idb else None
 
 # (url -> doc_id) mapping broadcast gate: below this many docs the
 # build broadcasts the narrow mapping for the id-attach join; above it

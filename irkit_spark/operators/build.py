@@ -599,7 +599,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
                 codec: str = config.DEFAULT_CODEC,
                 block_size: int = config.BLOCK_SIZE,
                 docs_per_shard: int | None = None,
-                n_buckets: int = config.ID_BUCKETS,
+                n_buckets: int | None = config.ID_BUCKETS,
                 text_from_html: bool = False,
                 key_col: str = "url",
                 doc_id_col: str | None = None,

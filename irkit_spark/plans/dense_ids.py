@@ -23,14 +23,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# adaptive bucket sizing: one bucket per ~32M keys, floor 64. The
+# floor matches the historical fixed default, so every input below
+# 64 * 32M = 2.048e9 keys gets EXACTLY the ids it always got; above
+# that the per-bucket window sort stays bounded (~32M rows per task)
+# instead of growing to n/64 (1.5e10 rows/bucket at 1e12 docs).
+_KEYS_PER_BUCKET = 32_000_000
+_MIN_BUCKETS = 64
+
+
+def adaptive_buckets(n_keys: int) -> int:
+    """Bucket count for dense-ID assignment at a given key count.
+
+    Pure function of the count, so ids stay a deterministic function
+    of the key multiset (bucket count is derived from the input, never
+    from parallelism). NOTE: ids are (bucket, key)-ordered, so bucket
+    count is part of the assignment version — two builds of the SAME
+    corpus always agree, but appending enough docs to cross a 32M-key
+    threshold reassigns ids, exactly like any other rebuild."""
+    return max(_MIN_BUCKETS,
+               -(-n_keys // _KEYS_PER_BUCKET))  # ceil div
+
 
 def dense_id_mapping(df: DataFrame, key: str, id_col: str,
-                     n_buckets: int = 64) -> tuple[DataFrame, int]:
+                     n_buckets: int | None = None) -> tuple[DataFrame, int]:
     """Narrow (key -> dense id) mapping + total count. Only the key
     column moves through the bucket shuffle and the per-bucket sort —
-    never the wide payload (html/text)."""
+    never the wide payload (html/text). n_buckets=None (default)
+    derives the count-adaptive bucket count (adaptive_buckets); pass an
+    explicit value to pin a historical assignment."""
     spark = df.sparkSession
     keys = df.select(key)
+    if n_buckets is None:
+        # one extra narrow-column count job; at scale it is a metadata
+        # read next to the bucket shuffle it right-sizes
+        n_buckets = adaptive_buckets(keys.count())
     b = (F.crc32(F.col(key).cast("string")) % n_buckets).cast("int")
     with_bucket = keys.withColumn("__bucket", b)
     counts = (with_bucket.groupBy("__bucket").count()
@@ -81,7 +108,7 @@ def sorted_rank_mapping(df: DataFrame, key: str, id_col: str,
 
 
 def assign_dense_ids(df: DataFrame, key: str, id_col: str,
-                     n_buckets: int = 64,
+                     n_buckets: int | None = None,
                      broadcast_rows: int = 5_000_000) -> DataFrame:
     """Attach dense ids by joining the narrow mapping back: broadcast
     join when the mapping fits (<= broadcast_rows), shuffle join above

@@ -230,6 +230,29 @@ def test_doc_id_assignment_parallelism_invariant(spark, pages_small):
         a["doc_id"] != b["doc_id"]).count() == 0
 
 
+def test_adaptive_buckets_default_preserves_ids(spark, pages_small):
+    """n_buckets=None (count-adaptive default) must assign EXACTLY the
+    ids the historical fixed-64 default assigned for any input below
+    2.048e9 keys, and the bucket-count formula must grow one bucket per
+    ~32M keys above the floor (bounded per-bucket sorts at 1e12 docs —
+    VERDICT r5 item 5)."""
+    from irkit_spark.plans.dense_ids import (adaptive_buckets,
+                                             assign_dense_ids)
+    # formula pins: floor, threshold edges, large-scale growth
+    assert adaptive_buckets(0) == 64
+    assert adaptive_buckets(1000) == 64
+    assert adaptive_buckets(64 * 32_000_000) == 64
+    assert adaptive_buckets(64 * 32_000_000 + 1) == 65
+    assert adaptive_buckets(10**12) == 31250
+    # id-assignment equivalence: adaptive default == explicit 64
+    a = assign_dense_ids(pages_small, "url", "doc_id").select(
+        "url", "doc_id")
+    b = assign_dense_ids(pages_small, "url", "doc_id", 64).select(
+        "url", "doc_id")
+    assert a.join(b, "url").filter(
+        a["doc_id"] != b["doc_id"]).count() == 0
+
+
 def test_sorted_rank_mapping_deterministic(spark, pages_small):
     """sorted_rank_mapping (the huge-vocab id assigner) yields the
     global sorted rank regardless of input partitioning or the number
