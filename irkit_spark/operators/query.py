@@ -380,6 +380,7 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
     # candidate-doc-level adjustment, exactly the oracle's value.
     mu = config.QL_MU
     p_by_tid = {m["term_id"]: m["cf"] / coll_len for m in qmeta}
+    cf_by_tid = {m["term_id"]: m["cf"] for m in qmeta}
     ql_K = float(sum(np.log(mu * p) for p in p_by_tid.values()))
     nq = len(qmeta)
     # Jelinek-Mercer decomposition (functions/scoring.ql_jm): additive
@@ -409,7 +410,8 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
 
     def exact_scores(term_rows, cand: np.ndarray, dl_arr: np.ndarray,
                      base: int, decoded_cache: dict) -> np.ndarray:
-        """Exact BM25 of sorted candidate docs; selective block decode.
+        """Exact scores (scorer-aware: bm25/ql/jm/quantized) of sorted
+        candidate docs; selective block decode.
 
         Blocks containing no candidate are never decoded (the WAND /
         max-score skip guarantee); the needed ones are decoded in one
@@ -438,12 +440,23 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             if not m.any():
                 continue
             tf = t[pos[m]]
-            if quantized:
+            if scorer == "ql":
+                scores[m] += np.log1p(tf / (mu * p_by_tid[tid]))
+            elif scorer == "jm":
+                dl = dl_arr[cand[m] - base]
+                scores[m] += np.log1p(jm_c * tf
+                                      / (dl * p_by_tid[tid]))
+            elif quantized:
                 scores[m] += idf_by_tid[tid] * (tf / 127.0)
             else:
                 dl = dl_arr[cand[m] - base]
                 scores[m] += idf_by_tid[tid] * bm25_tf_norm(tf, dl,
                                                             avgdl)
+        if scorer == "ql":
+            # doc-level Dirichlet adjustment — same expression shape as
+            # the DAAT branch so the two paths stay bit-identical
+            scores = scores + ql_K - nq * np.log(dl_arr[cand - base]
+                                                 + mu)
         return scores
 
     def topk_frame(doc: np.ndarray, score: np.ndarray) -> pd.DataFrame:
@@ -598,35 +611,9 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                 return pd.DataFrame(
                     {"doc_id": pd.Series([], dtype="int64"),
                      "score": pd.Series([], dtype="float64")})
+            # exact_scores is scorer-aware (bm25/ql/jm/quantized) and
+            # reuses the blocks this loop already decoded via `cache`
             sc = exact_scores(term_rows, cand, dl_arr, base, cache)
-            if scorer in ("ql", "jm"):
-                # exact_scores is bm25-only; recompute over survivors
-                acc = np.zeros(cand.size, dtype=np.float64)
-                for tid in sorted(term_rows):
-                    blocks = term_rows[tid]
-                    for b_ix in range(len(blocks)):
-                        key = (tid, b_ix)
-                        if key not in cache:
-                            continue
-                        d, t = cache[key]
-                        pos = np.searchsorted(d, cand)
-                        pos_ok = pos < d.size
-                        m = np.zeros(cand.size, dtype=bool)
-                        m[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
-                        if m.any():
-                            if scorer == "jm":
-                                acc[m] += np.log1p(
-                                    jm_c * t[pos[m]]
-                                    / (dl_arr[cand[m] - base]
-                                       * p_by_tid[tid]))
-                            else:
-                                acc[m] += np.log1p(
-                                    t[pos[m]] / (mu * p_by_tid[tid]))
-                if scorer == "jm":
-                    sc = acc
-                else:
-                    sc = acc + ql_K - nq * np.log(dl_arr[cand - base]
-                                                  + mu)
             return topk_frame(cand, sc)
 
         if mode == "daat":       # exhaustive, Q4
@@ -673,6 +660,37 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                                       np.int64)
             lasts_by[tid] = np.array([b["last_doc"] for b in blocks],
                                      np.int64)
+        # scorer-aware per-block upper-bound arrays (`bub`). bm25: the
+        # stored per-block max tf_norm times idf — true block-max WAND.
+        # ql/jm: a sound TERM-level bound replicated across the term's
+        # blocks (the index stores bm25 tf_norm maxima, which bound
+        # nothing for QL), derived from tf <= dl and tf <= cf:
+        #   jm : log1p(jm_c * min(1, cf/dl_min) / p_t)   (tf/dl <= both)
+        #   ql : log1p(min(cf, dl_max) / (mu * p_t))     (tf <= both)
+        # Pruning degenerates from block-max to plain WAND/max-score
+        # for these scorers but stays lossless. QL's doc-level
+        # adjustment (ql_K - nq*ln(dl+mu), maximized at the shard's
+        # smallest doc length) is folded into the threshold via
+        # theta_adj: prune iff matched_ub + theta_adj < theta.
+        theta_adj = 0.0
+        if scorer in ("ql", "jm"):
+            pos_dl = dl_arr[dl_arr > 0]
+            dl_min = float(pos_dl.min()) if pos_dl.size else 1.0
+            dl_max = float(dl_arr.max()) if dl_arr.size else 1.0
+            bub = {}
+            for tid in term_rows:
+                cf_t = cf_by_tid[tid]
+                if scorer == "ql":
+                    ub_t = float(np.log1p(min(cf_t, dl_max)
+                                          / (mu * p_by_tid[tid])))
+                else:
+                    ub_t = float(np.log1p(jm_c * min(1.0, cf_t / dl_min)
+                                          / p_by_tid[tid]))
+                bub[tid] = np.full(meta[tid].size, ub_t * bound_slack)
+            if scorer == "ql":
+                theta_adj = ql_K - nq * np.log(dl_min + mu)
+        else:
+            bub = {tid: idf_by_tid[tid] * meta[tid] for tid in term_rows}
 
         # phase 1: seed theta from the smallest term's docs (decoded
         # through the shared block cache so exact_scores reuses them);
@@ -710,13 +728,12 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
             # a candidate lands (selective decode). Lossless for the
             # same reason WAND is: pruned docs cannot displace the k
             # docs that produced theta.
-            ub_by = {tid: idf_by_tid[tid]
-                     * (float(meta[tid].max()) if meta[tid].size else 0.0)
+            ub_by = {tid: (float(bub[tid].max()) if bub[tid].size else 0.0)
                      for tid in term_rows}
             order = sorted(term_rows, key=lambda t: ub_by[t])
             acc_ub, n_noness = 0.0, 0
             for tid in order:
-                if acc_ub + ub_by[tid] >= theta:
+                if acc_ub + ub_by[tid] >= theta - theta_adj:
                     break
                 acc_ub += ub_by[tid]
                 n_noness += 1
@@ -771,7 +788,7 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
 
         cand_parts = [seed_docs]
         for tid, blocks in term_rows.items():
-            ub_b = idf_by_tid[tid] * meta[tid]
+            ub_b = bub[tid].copy()
             for tid2 in term_rows:
                 if tid2 == tid:
                     continue
@@ -779,9 +796,9 @@ def _shard_kernel(qmeta: list[dict], avgdl: float, codec: str, k: int,
                                     side="left")
                 b2 = np.searchsorted(firsts_by[tid2], lasts_by[tid],
                                      side="right")
-                ub_b = ub_b + idf_by_tid[tid2] * window_max(
-                    meta[tid2], a, np.maximum(a, b2))
-            keep = np.flatnonzero(ub_b >= theta)
+                ub_b = ub_b + window_max(
+                    bub[tid2], a, np.maximum(a, b2))
+            keep = np.flatnonzero(ub_b >= theta - theta_adj)
             if keep.size:
                 d, _t = term_gather(tid, blocks, keep.tolist(), cache)
                 cand_parts.append(d)
@@ -940,7 +957,11 @@ def search(index: Index, query: str, k: int = 10,
     (Q3/Q4/Q5 — wand prunes per block via doc-range-aligned rest
     bounds, maxscore via the Turtle-Flood essential-list partition on
     term-level bounds; both lossless, both bit-identical to daat),
-    scorer in {bm25, ql} (Q1/Q2; pruning bounds are BM25-only).
+    scorer in {bm25, ql, jm} (Q1/Q2). Pruning bounds are scorer-aware:
+    bm25 uses the stored per-block max tf_norm (block-max WAND); ql/jm
+    use sound term-level bounds from tf <= dl and tf <= cf, with QL's
+    doc-level adjustment folded into the threshold — all lossless
+    (tested bit-identical to exhaustive daat per scorer).
 
     doc_filter: optional SQL boolean expression over the docs table
     (doc_id, url, doc_len, partition_id) — FILTERED retrieval: top-k is
@@ -978,10 +999,6 @@ def search(index: Index, query: str, k: int = 10,
                          "taat|daat|wand|maxscore|and")
     if scorer not in ("bm25", "ql", "jm"):
         raise ValueError(f"unknown scorer {scorer!r}: bm25|ql|jm")
-    if scorer in ("ql", "jm") and mode in ("wand", "maxscore"):
-        raise ValueError("dynamic-pruning bounds are defined for bm25; "
-                         f"use mode='daat' or 'taat' with "
-                         f"scorer={scorer!r}")
     if scorer in ("ql", "jm") and index.quantized:
         raise ValueError("quantized indexes store 7-bit impacts, not "
                          "term frequencies; QL/JM need tf — rebuild "
@@ -1127,8 +1144,6 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
     if mode not in ("daat", "wand", "maxscore", "and"):
         raise ValueError(f"batch_search supports daat|wand|maxscore|"
                          f"and, not {mode!r}")
-    if scorer in ("ql", "jm") and mode in ("wand", "maxscore"):
-        raise ValueError("dynamic-pruning bounds are bm25-only")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
     qmetas = {}

@@ -132,11 +132,28 @@ def test_ql_scorer_matches_text_oracle(spark, index_small, pages_small):
         assert got == want, mode
 
 
-def test_ql_wand_rejected(index_small):
+@pytest.mark.parametrize("scorer", ["ql", "jm"])
+@pytest.mark.parametrize("mode", ["wand", "maxscore"])
+def test_ql_jm_pruning_lossless(index_small, scorer, mode):
+    """QL/JM under dynamic pruning == exhaustive DAAT bit-identically
+    (VERDICT r5 item 6): term-level bounds from tf <= dl and tf <= cf,
+    QL's doc-level adjustment folded into the threshold. Head-heavy and
+    rare-term queries, distributed and local serving paths."""
     idx, _ = index_small
-    import pytest as _pt
-    with _pt.raises(ValueError):
-        search(idx, "term00001", 10, "wand", scorer="ql")
+    for q in ("term00000 term00001 term00002 term00003",
+              "term00003 term00150",
+              "term00150"):
+        want = [(r["doc_id"], r["score"])
+                for r in search(idx, q, 10, "daat", scorer=scorer,
+                                local=False).collect()]
+        got = [(r["doc_id"], r["score"])
+               for r in search(idx, q, 10, mode, scorer=scorer,
+                               local=False).collect()]
+        assert got == want, (scorer, mode, q)
+        loc = [(r["doc_id"], r["score"])
+               for r in search(idx, q, 10, mode, scorer=scorer,
+                               local=True).collect()]
+        assert loc == want, (scorer, mode, q, "local")
 
 
 def test_jm_scorer_matches_text_oracle(spark, index_small, pages_small):
@@ -191,9 +208,6 @@ def test_jm_conjunctive_scores(spark, index_small):
 def test_jm_guards(index_small):
     idx, _ = index_small
     import pytest as _pt
-    for mode in ("wand", "maxscore"):
-        with _pt.raises(ValueError, match="bm25"):
-            search(idx, "term00001", 10, mode, scorer="jm")
     with _pt.raises(ValueError, match="term boosts"):
         search(idx, "term00001^2", 10, "daat", scorer="jm")
 
