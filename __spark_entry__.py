@@ -38,6 +38,57 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _plain_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic URLs over the documents table (the
+    testdata carries no url column): 5 pages per source domain, shared
+    across docs — input for the url-dedup / domain-cap entries. The
+    oracle builds the identical strings."""
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".com/page"),
+                 (F.col("doc_id") % 5).cast("string")).alias("url"))
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """Four deterministic mess variants exercising every canonicalizer
+    branch: casing + default port + tracking params + fragment;
+    userinfo + :80 + trailing slashes; schemeless; bare host."""
+    k = (F.col("doc_id") % 7).cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(
+                F.lit("HTTPS://WWW.Site"), k,
+                F.lit(".Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag")))
+           .when(v == 1, F.concat(
+                F.lit("http://user:pw@site"), k,
+                F.lit(".example.com:80/a//")))
+           .when(v == 2, F.concat(
+                F.lit("site"), k, F.lit(".example.com/x?gclid=1&z=9")))
+           .otherwise(F.concat(
+                F.lit("https://site"), k, F.lit(".example.com"))))
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _pii_docs(docs: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII (the corpus is clean by
+    construction); the oracle concatenates the identical strings."""
+    em = (F.when(F.col("doc_id") % 3 == 0,
+                 F.concat(F.lit(" contact user"),
+                          F.col("doc_id").cast("string"),
+                          F.lit("@example.com")))
+          .otherwise(F.lit("")))
+    ip = (F.when(F.col("doc_id") % 5 == 0,
+                 F.concat(F.lit(" host 10."),
+                          (F.col("doc_id") % 256).cast("string"),
+                          F.lit(".0.1")))
+          .otherwise(F.lit("")))
+    ph = (F.when(F.col("doc_id") % 7 == 0,
+                 F.lit(" call +1 555 0100 42"))
+          .otherwise(F.lit("")))
+    return docs.select("doc_id",
+                       F.concat(F.col("text"), em, ip, ph).alias("text"))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -421,6 +472,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         epoch_us("session_start").alias("start_us"),
                         "duration_us"))
 
+    # ---- round-6 corpus-curation tier -------------------------------
+    def q_hash_sample(spark, sf):
+        # deterministic 1/5 sample via portable 31-bit mix
+        # (pipeline/sampling.hash_sample) — reproducible across reruns,
+        # partitionings, and engines
+        from irkit_spark.pipeline.sampling import hash_sample
+        return hash_sample(_docs(spark, sf), 1, 5).select("doc_id")
+
+    def q_hash_split_counts(spark, sf):
+        # 98/1/1 train/val/test labeling (pipeline/sampling.hash_split):
+        # the counts prove disjoint total coverage
+        from irkit_spark.pipeline.sampling import hash_split
+        return (hash_split(_docs(spark, sf), 100)
+                .groupBy("split").agg(F.count("*").alias("n")))
+
+    def q_lm_quality(spark, sf):
+        return ts.lm_quality(_docs(spark, sf))
+
+    def q_gopher_signals(spark, sf):
+        return ts.gopher_signals(_docs(spark, sf))
+
+    def q_pii_scrub(spark, sf):
+        # synthetic PII appended deterministically (the corpus text is
+        # clean by construction); the oracle builds the same text
+        return ts.pii_scrub(_pii_docs(_docs(spark, sf)))
+
+    def q_url_canonicalize(spark, sf):
+        from irkit_spark.pipeline.urls import canonicalize_url
+        return (_messy_urls(_docs(spark, sf))
+                .select("doc_id",
+                        canonicalize_url(F.col("url"))
+                        .alias("canon_url")))
+
+    def q_dedup_url_keep_first(spark, sf):
+        from irkit_spark.pipeline.urls import dedup_url_keep_first
+        return (dedup_url_keep_first(_plain_urls(_docs(spark, sf)))
+                .select("doc_id", "canon_url"))
+
+    def q_domain_caps(spark, sf):
+        from irkit_spark.pipeline.urls import domain_caps
+        return (domain_caps(_plain_urls(_docs(spark, sf)), 3)
+                .select("doc_id", "domain"))
+
+    def q_contamination(spark, sf):
+        # decontamination scan: docs sharing an 8-token-gram with the
+        # benchmark slice (doc_id % 89 == 0) — portable rolling hash
+        from irkit_spark.pipeline.contamination import contamination
+        d = _docs(spark, sf)
+        return contamination(d, d.filter(F.col("doc_id") % 89 == 0))
+
+    def q_bm25f_title_body(spark, sf):
+        # BM25F (Zaragoza 2004): fields synthesized deterministically
+        # from the token stream (title = first 8 tokens, body = rest;
+        # the testdata has no field columns) — weights 2.5/1.0
+        d = _docs(spark, sf)
+        tcol = F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(TOKEN_RE), 0)
+        fielded = d.select(
+            "doc_id",
+            F.array_join(F.slice(tcol, 1, 8), " ").alias("title"),
+            F.array_join(
+                F.when(F.size(tcol) > 8,
+                       F.slice(tcol, 9, F.size(tcol) - 8))
+                .otherwise(F.array().cast("array<string>")),
+                " ").alias("body"))
+        return sp.bm25f_topk_text(fielded, Q_BM25_A,
+                                  {"title": 2.5, "body": 1.0}, 10)
+
+    def q_index_regex_wand_top10(spark, sf):
+        # Lucene RegexpQuery analog: anchored lexicon expansion by
+        # (df DESC, term), standard disjunctive BM25 WAND over the
+        # expansion set
+        from irkit_spark.operators.query import Index, regex_search
+        idx = Index(spark, _index_for(spark, sf))
+        return (regex_search(idx, "(va|cu)[a-z]{2,}", 10, "wand",
+                             local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf)) \
             .select("doc_id", "lang", "source", "n_chars")
@@ -778,33 +907,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         # --- driver-red r5 (HUGEINT oracle typing, fixed r6) ---
         "event_sessions": q_event_sessions,
-        # --- new round-6 entries go HERE (inside the window) ---
+        # --- new round-6 entries (inside the window) ---
+        "hash_sample": q_hash_sample,
+        "hash_split_counts": q_hash_split_counts,
+        "lm_quality": q_lm_quality,
+        "gopher_signals": q_gopher_signals,
+        "pii_scrub": q_pii_scrub,
+        "url_canonicalize": q_url_canonicalize,
+        "dedup_url_keep_first": q_dedup_url_keep_first,
+        "domain_caps": q_domain_caps,
+        "contamination_8gram": q_contamination,
+        "bm25f_title_body_top10": q_bm25f_title_body,
+        "index_regex_wand_top10": q_index_regex_wand_top10,
         # --- core re-confirmations (driver-green r1-r5) to 50 ---
         "tokenize_tf": q_tokenize_tf,
-        "term_stats": q_term_stats,
-        "doc_lengths": q_doc_lengths,
         "collection_stats": q_collection_stats,
         "lexicon": q_lexicon,
         "bm25_taat_top10": q_bm25_taat_top10,
-        "ql_top10": q_ql_top10,
-        "jm_taat_top10": q_jm_taat_top10,
         "index_jm_top10": q_index_jm_top10,
-        "and_conjunctive": q_and,
-        "or_disjunctive": q_or,
         "index_taat_top10": q_index_taat,
         "index_daat_top10": q_index_daat,
         "index_wand_top10": q_index_wand,
         "index_maxscore_top10": q_index_maxscore_top10,
-        "index_wand_filtered_top10": q_index_wand_filtered_top10,
-        "index_batch_wand_top10": q_index_batch_wand_top10,
-        "index_wand_local_top10": q_index_wand_local_top10,
-        "index_wand_quantized_top10": q_index_wand_quantized,
         "index_ql_top10": q_index_ql_top10,
-        "index_and_top10": q_index_and_top10,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh,
         "event_window_counts": q_event_window_counts,
         # --- past the driver window: driver-green r1-r5, stable ---
+        "term_stats": q_term_stats,
+        "doc_lengths": q_doc_lengths,
+        "ql_top10": q_ql_top10,
+        "jm_taat_top10": q_jm_taat_top10,
+        "and_conjunctive": q_and,
+        "or_disjunctive": q_or,
+        "index_wand_filtered_top10": q_index_wand_filtered_top10,
+        "index_batch_wand_top10": q_index_batch_wand_top10,
+        "index_wand_local_top10": q_index_wand_local_top10,
+        "index_wand_quantized_top10": q_index_wand_quantized,
+        "index_and_top10": q_index_and_top10,
         "bm25_taat_top100": q_bm25_taat_top100,
         "index_wand_top100": q_index_wand_top100,
         "index_wand_top1000": q_index_wand_top1000,
@@ -839,6 +979,34 @@ _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
 _TOK = (f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents")
 _TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOK}) t GROUP BY 1, 2"
 _DL = f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
+
+# round-6 corpus-curation oracle inputs (synthetic url/PII builders —
+# the SQL twins of _plain_urls/_messy_urls/_pii_docs above) and the
+# portable sampling mix
+from irkit_spark.pipeline.sampling import hash_key_sql  # noqa: E402
+from irkit_spark.pipeline.textstats import (  # noqa: E402
+    PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE)
+from irkit_spark.pipeline.urls import (  # noqa: E402
+    canonicalize_url_sql, url_domain_sql)
+
+_HASH_MIX = hash_key_sql("doc_id")
+_PLAIN_URL_SQL = ("('https://www.' || source || '.com/page' || "
+                  "CAST(doc_id % 5 AS VARCHAR))")
+_MESSY_URL_SQL = """(CASE doc_id % 4
+ WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+             || '.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag'
+ WHEN 1 THEN 'http://user:pw@site' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.com:80/a//'
+ WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.com/x?gclid=1&z=9'
+ ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.com' END)"""
+_PII_TEXT_SQL = """lower(text ||
+ CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+      || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+ CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END ||
+ CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 0100 42' ELSE '' END)"""
 # CAST(sum() AS BIGINT) everywhere: DuckDB's sum(BIGINT) is HUGEINT
 # (int128), which value-hash-diverges from Spark's BIGINT in the
 # driver's type-aware canonicalizer even when the values are equal
@@ -2004,6 +2172,155 @@ SELECT user_id, session_seq, count(*) AS n_events,
        epoch_us(min(ts)) AS start_us,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
 FROM s GROUP BY 1, 2""",
+        # --- round-6 corpus-curation tier --------------------------
+        # deterministic sampling: the same portable 31-bit mix text
+        "hash_sample": f"""
+SELECT doc_id FROM documents WHERE {_HASH_MIX} % 5 < 1""",
+        "hash_split_counts": f"""
+WITH r AS (SELECT {_HASH_MIX} % 100 AS r FROM documents)
+SELECT CASE WHEN r < 98 THEN 'train' WHEN r < 99 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n FROM r GROUP BY 1""",
+        # unigram-LM quality: BIGINT/BIGINT divisions -> DOUBLE in both
+        "lm_quality": f"""
+WITH tf AS ({_TF}),
+uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cf) AS BIGINT) AS c_total FROM uni)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(sum(tf.tf * ln(cf / c_total)) / sum(tf.tf), 6)
+           AS avg_logprob
+FROM tf JOIN uni USING (term) CROSS JOIN tot GROUP BY 1""",
+        "gopher_signals": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents
+              WHERE len({_TOKS}) > 0),
+tfc AS (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY 1, 2),
+top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tf,
+               CAST(sum(c) AS BIGINT) AS n FROM tfc GROUP BY 1)
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       round(top_tf / CAST(n AS DOUBLE), 6) AS top_token_frac,
+       round(CASE WHEN len(ts) >= 2 THEN
+             1.0 - len(list_distinct(list_transform(
+                       range(1, len(ts)),
+                       i -> ts[i] || ' ' || ts[i+1])))
+                   / CAST(len(ts) - 1 AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_bigram_frac,
+       round(len(list_filter(ts, x -> regexp_matches(x, '^[0-9]+$')))
+             / CAST(len(ts) AS DOUBLE), 6) AS frac_numeric
+FROM toks JOIN top USING (doc_id)""",
+        # PII scrub: same frozen RE2-subset patterns; DuckDB needs the
+        # explicit 'g' flag (Spark regexp_replace is global by default)
+        "pii_scrub": f"""
+WITH d AS (SELECT doc_id, {_PII_TEXT_SQL} AS s FROM documents),
+c1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(s, '{PII_EMAIL_RE}'))
+                   AS BIGINT) AS n_emails,
+              regexp_replace(s, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS s
+       FROM d),
+c2 AS (SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(s, '{PII_IP_RE}'))
+                   AS BIGINT) AS n_ips,
+              regexp_replace(s, '{PII_IP_RE}', '<IP>', 'g') AS s
+       FROM c1)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(s, '{PII_PHONE_RE}'))
+            AS BIGINT) AS n_phones,
+       regexp_replace(s, '{PII_PHONE_RE}', '<PHONE>', 'g')
+           AS clean_text
+FROM c2""",
+        # URL canonicalizer: the same frozen regex pipeline as SQL text
+        "url_canonicalize": f"""
+WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents)
+SELECT doc_id, {canonicalize_url_sql('url')} AS canon_url FROM u""",
+        "dedup_url_keep_first": f"""
+WITH u AS (SELECT doc_id, {_PLAIN_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {canonicalize_url_sql('url')} AS canon_url
+      FROM u),
+r AS (SELECT doc_id, canon_url,
+             row_number() OVER (PARTITION BY canon_url
+                                ORDER BY doc_id) AS rn FROM c)
+SELECT doc_id, canon_url FROM r WHERE rn = 1""",
+        "domain_caps": f"""
+WITH u AS (SELECT doc_id, {_PLAIN_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {canonicalize_url_sql('url')} AS cu FROM u),
+d AS (SELECT doc_id, {url_domain_sql('cu')} AS domain FROM c),
+r AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY doc_id) AS rn FROM d)
+SELECT doc_id, domain FROM r WHERE rn <= 3""",
+        # decontamination: portable token-hash (base 257) + rolling
+        # 8-gram hash (base 263), both mod 2^31-1 — bit-identical to
+        # the Arrow kernel (pipeline/contamination.py)
+        "contamination_8gram": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+th AS (SELECT doc_id,
+              list_transform(ts, t -> list_reduce(
+                  list_transform(regexp_extract_all(t, '.'),
+                                 c -> CAST(unicode(c) AS BIGINT)),
+                  (a, b) -> (a * 257 + b) % 2147483647)) AS ths
+       FROM toks WHERE len(ts) >= 8),
+gh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, len(ths) - 6),
+                  i -> list_reduce(list_slice(ths, i, i + 7),
+                       (a, b) -> (a * 263 + b) % 2147483647)))) AS gh
+       FROM th),
+bench AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 89 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM gh JOIN bench USING (gh) GROUP BY 1""",
+        # BM25F: title = first 8 tokens (w=2.5), body = rest (w=1.0);
+        # per-field length norms BEFORE the shared saturation, idf over
+        # any-field df — the same expression text as sqlpath.bm25f
+        "bm25f_title_body_top10": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+fl AS (SELECT doc_id, list_slice(ts, 1, 8) AS t_toks,
+              list_slice(ts, 9, len(ts)) AS b_toks FROM base),
+st AS (SELECT count(*) AS n_docs, avg(len(t_toks)) AS avg_t,
+              avg(len(b_toks)) AS avg_b FROM fl),
+tfield AS (SELECT doc_id, unnest(t_toks) AS term, 't' AS fld FROM fl
+           UNION ALL
+           SELECT doc_id, unnest(b_toks) AS term, 'b' AS fld FROM fl),
+q AS (SELECT unnest(['hash', 'join', 'merge']) AS term),
+qt AS (SELECT tfield.* FROM tfield JOIN q USING (term)),
+tf AS (SELECT doc_id, fld, term, count(*) AS tf FROM qt
+       GROUP BY 1, 2, 3),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+lens AS (SELECT doc_id, len(t_toks) AS l_t, len(b_toks) AS l_b
+         FROM fl),
+wtf AS (SELECT doc_id, term,
+               sum(CASE WHEN fld = 't'
+                   THEN 2.5 * tf / (1.0 - {BM25_B} + {BM25_B}
+                                    * l_t / avg_t)
+                   ELSE 1.0 * tf / (1.0 - {BM25_B} + {BM25_B}
+                                    * l_b / avg_b) END) AS wtf
+        FROM tf JOIN lens USING (doc_id) CROSS JOIN st GROUP BY 1, 2),
+sc AS (SELECT doc_id,
+              sum(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                  * wtf / ({BM25_K1} + wtf)) AS s
+       FROM wtf JOIN dfq USING (term) CROSS JOIN st GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 10""",
+        # regex rewrite: anchored lexicon match, (df DESC, term) cap,
+        # then the standard BM25 disjunction
+        "index_regex_wand_top10": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT term FROM (
+        SELECT term FROM ts
+        WHERE regexp_matches(term, '^((va|cu)[a-z]{{2,}})$')
+        ORDER BY df DESC, term LIMIT 32)),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN ts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 10""",
         # collocations: adjacent-pair PMI; same division text in both
         # engines (BIGINT / BIGINT -> DOUBLE), so floats match exactly
         "bigram_pmi": f"""

@@ -140,6 +140,14 @@ def cmd_query(args):
                             exclude_terms=args.exclude or None,
                             max_expansions=args.max_expansions
                             ).collect()
+    elif args.regex:
+        from irkit_spark.operators.query import regex_search
+        rows = regex_search(idx, args.query, k=args.k, mode=args.mode,
+                            scorer=args.scorer, local=local,
+                            doc_filter=args.doc_filter or None,
+                            exclude_terms=args.exclude or None,
+                            max_expansions=args.max_expansions
+                            ).collect()
     else:
         rows = search(idx, args.query, k=args.k, mode=args.mode,
                       scorer=args.scorer, local=local,
@@ -381,6 +389,10 @@ def main(argv=None):
                    help="expand trailing-~/~1/~2 tokens to their "
                         "edit-distance lexicon neighborhood, then "
                         "score the disjunction")
+    q.add_argument("--regex", action="store_true",
+                   help="treat --query as one anchored regex over the "
+                        "lexicon (RE2 subset), score the expansion "
+                        "disjunction")
     q.add_argument("--max-expansions", type=int, default=32,
                    help="cap per wildcard/fuzzy pattern, picked by "
                         "(df DESC, term)")

@@ -1676,6 +1676,60 @@ def fuzzy_search(index: Index, query: str, k: int = 10,
                   exclude_terms=exclude_terms or None)
 
 
+def expand_regex(index: Index, pattern: str,
+                 max_expansions: int = 32) -> list[str]:
+    """Lexicon terms fully matching `pattern` (anchored both ends, the
+    Lucene RegexpQuery convention), picked by (df DESC, term ASC) and
+    capped at `max_expansions`.
+
+    Write patterns in the RE2 / Java-regex / Python-re common subset
+    (character classes, alternation, bounded repeats — no lookaround,
+    no backrefs): below the vocab gate the scan is a driver-dict
+    Python-re pass (zero Spark jobs, the serving path); above it one
+    terms-table rlike filter (vocab-sized scan — regex cannot push
+    into parquet the way StartsWith does, which is why prefix_search
+    stays the preferred rewrite when a prefix suffices)."""
+    import re
+
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    if not pattern or pattern in (".*", ".+"):
+        raise ValueError("pattern would match the entire lexicon — "
+                         "anchor it to something")
+    rx = re.compile(pattern)        # raises on bad syntax, driver-side
+    td = index._terms_dict()
+    if td is not None:
+        hits = [(term, v[1]) for term, v in td.items()
+                if rx.fullmatch(term)]
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return [t for t, _ in hits[:max_expansions]]
+    rows = (index.terms
+            .filter(F.col("term").rlike(f"^({pattern})$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term").collect())
+    return [r["term"] for r in rows]
+
+
+def regex_search(index: Index, pattern: str, k: int = 10,
+                 mode: str = "wand", scorer: str = "bm25",
+                 local: bool | None = None,
+                 doc_filter: str | None = None,
+                 exclude_terms: str | None = None,
+                 max_expansions: int = 32) -> DataFrame:
+    """search() over the terms matching a regex (Lucene RegexpQuery
+    analog): expand_regex, then the standard disjunctive scoring.
+    Expansions are ordinary terms with ordinary bounds, so every
+    pruning mode stays lossless; a pattern matching nothing returns
+    empty, like an all-OOV plain query."""
+    terms = expand_regex(index, pattern, max_expansions)
+    if not terms:
+        return index.spark.createDataFrame([], TOPK_SCHEMA)
+    return search(index, " ".join(sorted(set(terms))), k=k, mode=mode,
+                  scorer=scorer, local=local, doc_filter=doc_filter,
+                  exclude_terms=exclude_terms or None)
+
+
 def suggest(index: Index, word: str, n: int = 5,
             max_edit: int = 1) -> DataFrame:
     """Did-you-mean: the lexicon terms within edit distance

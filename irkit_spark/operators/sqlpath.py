@@ -201,3 +201,77 @@ def disjunctive_docs(docs: DataFrame, query: str) -> DataFrame:
             .agg(F.count("*").alias("n_terms"),
                  F.sum("tf").alias("sum_tf"))
             .orderBy("doc_id"))
+
+
+def bm25f_topk_text(docs: DataFrame, query: str,
+                    fields: dict[str, float], k: int = 10,
+                    round_dp: int | None = 6) -> DataFrame:
+    """BM25F top-k (Zaragoza et al., CIKM 2004) over a docs frame with
+    one text column per field: per-field length-normalized tfs are
+    combined with field weights BEFORE saturation,
+
+        wtf(d,t) = sum_f w_f * tf_f / (1 - b + b * len_f(d)/avglen_f)
+        score    = sum_t idf(t) * wtf / (k1 + wtf)
+
+    with idf over the document frequency in ANY field — weighting a
+    title hit stronger than a body hit without double-counting the
+    saturation the way a naive per-field BM25 sum would.
+
+    Scale shape: one union of per-field token streams -> one groupBy
+    (doc, field, term) pruned to query terms at the scan, per-field
+    lengths in a single projection, scalar avgs collected once; then
+    one groupBy(doc, term) + one groupBy(doc). All JVM-side.
+    """
+    if not fields:
+        raise ValueError("fields must map >= 1 text column to a "
+                         "weight")
+    spark = docs.sparkSession
+    q = _query_terms_df(spark, query)
+    parts = [docs.select("doc_id",
+                         F.explode(F.regexp_extract_all(
+                             F.lower(F.col(fname)), F.lit(TOKEN_RE),
+                             0)).alias("term"),
+                         F.lit(fname).alias("fld"))
+             for fname in fields]
+    toks = parts[0]
+    for p in parts[1:]:
+        toks = toks.unionByName(p)
+    qtoks = toks.join(F.broadcast(q), "term")
+    tf = (qtoks.groupBy("doc_id", "fld", "term")
+          .agg(F.count("*").alias("tf")))
+    lens = docs.select(
+        "doc_id",
+        *[F.size(F.regexp_extract_all(F.lower(F.col(fname)),
+                                      F.lit(TOKEN_RE), 0))
+          .alias(f"len_{fname}") for fname in fields])
+    avgr = lens.agg(
+        F.count("*").alias("n_docs"),
+        *[F.avg(f"len_{fname}").alias(f"avg_{fname}")
+          for fname in fields]).collect()[0]
+    n_docs = float(avgr["n_docs"])
+    # df over ANY field, query terms only
+    dfq = (qtoks.select("doc_id", "term").distinct()
+           .groupBy("term").agg(F.count("*").alias("df")))
+    norm = None
+    for fname, w in fields.items():
+        term_norm = (F.lit(float(w)) * F.col("tf")
+                     / (1.0 - BM25_B + BM25_B
+                        * F.col(f"len_{fname}")
+                        / float(avgr[f"avg_{fname}"])))
+        branch = F.when(F.col("fld") == fname, term_norm)
+        norm = branch if norm is None else norm.when(
+            F.col("fld") == fname, term_norm)
+    wtf = (tf.join(lens, "doc_id")
+           .withColumn("part", norm)
+           .groupBy("doc_id", "term")
+           .agg(F.sum("part").alias("wtf")))
+    scored = (wtf.join(F.broadcast(dfq), "term")
+              .withColumn(
+                  "partial",
+                  F.log1p((F.lit(n_docs) - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5))
+                  * F.col("wtf") / (BM25_K1 + F.col("wtf"))))
+    out = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    if round_dp is not None:
+        out = out.withColumn("score", F.round("score", round_dp))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -184,6 +184,111 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8,
         run, "doc_id long, fp long")
 
 
+def lm_quality(docs: DataFrame,
+               broadcast_vocab_max: int = 2_000_000) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob): mean per-token log-probability
+    under the corpus unigram LM, ln(cf_w / C) averaged over token
+    instances — the CCNet-style LM quality signal (fluent text scores
+    higher than gibberish/rare-token soup) in its engine-portable
+    unigram form.
+
+    Scale shape: per-doc tf (one groupBy bounded by distinct (doc,
+    term) pairs), one vocab-sized unigram aggregate joined back —
+    broadcast below `broadcast_vocab_max` distinct terms, shuffle
+    hash join on term above it — then one groupBy(doc). The division
+    text cf / C is BIGINT/BIGINT -> DOUBLE in both engines, so the
+    DuckDB oracle reproduces the floats exactly."""
+    t = _toks()
+    tf = (docs.select("doc_id", F.explode(t).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    uni = tf.groupBy("w").agg(F.sum("tf").alias("cf"))
+    n_toks = uni.agg(F.sum("cf").alias("c_total"))
+    n_vocab = uni.count()
+    u = F.broadcast(uni) if n_vocab <= broadcast_vocab_max else uni
+    return (tf.join(u, "w").crossJoin(F.broadcast(n_toks))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.round(
+                     F.sum(F.col("tf")
+                           * F.log(F.col("cf") / F.col("c_total")))
+                     / F.sum("tf"), 6).alias("avg_logprob")))
+
+
+def gopher_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top_token_frac, dup_bigram_frac,
+    frac_numeric): the Gopher/MassiveText repetition + symbol signals
+    a pretraining filter thresholds on.
+
+      top_token_frac  — share of the most frequent token (repetition)
+      dup_bigram_frac — 1 - distinct_bigrams / total_bigrams
+      frac_numeric    — share of all-digit tokens
+
+    dup_bigram_frac and frac_numeric are per-doc JVM array ops (no
+    shuffle); top_token_frac needs the per-(doc, term) count, one
+    groupBy — the same shape as term_freqs. Empty docs are dropped
+    (no tokens -> no signals), matching the oracle."""
+    t = _toks()
+    base = (docs.select("doc_id", t.alias("ts"))
+            .filter(F.size("ts") > 0))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 2),
+        lambda i: F.concat_ws(" ",
+                              F.element_at("ts", i + 1),
+                              F.element_at("ts", i + 2)))
+    per_doc = base.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.round(F.when(
+            F.size("ts") >= 2,
+            1.0 - F.size(F.array_distinct(bigrams))
+            / (F.size("ts") - 1).cast("double")).otherwise(0.0), 6)
+        .alias("dup_bigram_frac"),
+        F.round(F.size(F.filter(F.col("ts"),
+                                lambda x: x.rlike("^[0-9]+$")))
+                / F.size("ts").cast("double"), 6)
+        .alias("frac_numeric"))
+    top = (base.select("doc_id", F.explode("ts").alias("w"))
+           .groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+           .groupBy("doc_id")
+           .agg(F.max("tf").alias("top_tf"),
+                F.sum("tf").alias("n")))
+    topf = top.select(
+        "doc_id",
+        F.round(F.col("top_tf") / F.col("n").cast("double"), 6)
+        .alias("top_token_frac"))
+    return (per_doc.join(topf, "doc_id")
+            .select("doc_id", "n_tokens", "top_token_frac",
+                    "dup_bigram_frac", "frac_numeric"))
+
+
+# PII patterns, frozen in the RE2 / Java-regex common subset so Spark
+# and the DuckDB oracle match byte-for-byte (no lookaround, no \b).
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, clean_text): count and
+    redact emails / IPv4s / international-format phone numbers —
+    the privacy pass a published training corpus runs. Redaction
+    order is frozen (email, ip, phone) since the patterns can nest.
+    One codegen'd projection; no UDF, no shuffle."""
+    s = F.lower(F.col(text_col))
+    n_email = F.size(F.regexp_extract_all(s, F.lit(PII_EMAIL_RE), 0))
+    c1 = F.regexp_replace(s, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(c1, F.lit(PII_IP_RE), 0))
+    c2 = F.regexp_replace(c1, PII_IP_RE, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(c2, F.lit(PII_PHONE_RE), 0))
+    c3 = F.regexp_replace(c2, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_phone.cast("long").alias("n_phones"),
+        c3.alias("clean_text"))
+
+
 def bigram_pmi(docs: DataFrame, min_count: int = 5,
                round_dp: int = 6) -> DataFrame:
     """(w1, w2, n_pair, pmi): corpus collocations — pointwise mutual

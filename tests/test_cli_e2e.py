@@ -84,6 +84,12 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert _trec_lines(_run(capsys, ["query", "--index", idx,
                                      "--query", "term00001~1",
                                      "--fuzzy", "--k", "5"]))
+    reg = _run(capsys, ["query", "--index", idx,
+                        "--query", "term0000[13]", "--regex",
+                        "--k", "5"])
+    exp = _run(capsys, ["query", "--index", idx,
+                        "--query", "term00001 term00003", "--k", "5"])
+    assert reg == exp and _trec_lines(reg)
 
     # boolean NOT: excluded term's docs are gone
     out = _run(capsys, ["query", "--index", idx, "--query", q,

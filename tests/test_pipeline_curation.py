@@ -1,0 +1,149 @@
+"""Round-6 corpus-curation tier: deterministic sampling, URL
+canonicalization/dedup/caps, LM quality, Gopher signals, PII scrub,
+benchmark contamination. Cross-engine value equality is the oracle
+gate's job (__spark_entry__); these pin the operator semantics and
+the properties the oracles can't see (partitioning invariance,
+split disjointness, canonicalizer branch cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [Row(doc_id=i, text=f"alpha beta w{i % 7} gamma " * 3)
+            for i in range(200)]
+    return spark.createDataFrame(rows)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, docs):
+    from irkit_spark.pipeline.sampling import hash_sample
+    a = sorted(r.doc_id for r in
+               hash_sample(docs.repartition(3), 1, 5).collect())
+    b = sorted(r.doc_id for r in
+               hash_sample(docs.repartition(17), 1, 5).collect())
+    assert a == b and 0 < len(a) < 200
+    # monotone nesting: a 2/5 sample contains the 1/5 sample
+    c = sorted(r.doc_id for r in hash_sample(docs, 2, 5).collect())
+    assert set(a) <= set(c)
+
+
+def test_hash_split_disjoint_total(spark, docs):
+    from irkit_spark.pipeline.sampling import hash_split
+    out = hash_split(docs, 100).select("doc_id", "split").collect()
+    assert len(out) == 200                       # every row labeled
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    counts = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert counts["train"] > counts.get("val", 0)
+
+
+@pytest.mark.parametrize("raw,want", [
+    ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+     "https://example.com/a/b?a=1&b=2"),
+    ("http://user:pw@site.example.com:80/a//",
+     "http://site.example.com/a"),
+    ("site.example.com/x?gclid=1&z=9", "http://site.example.com/x?z=9"),
+    ("https://site.example.com", "https://site.example.com/"),
+    ("http://h.co:8080/p", "http://h.co:8080/p"),   # non-default port
+    ("https://h.co:80/p", "https://h.co:80/p"),     # :80 not https dflt
+])
+def test_canonicalize_url_cases(spark, raw, want):
+    from irkit_spark.pipeline.urls import canonicalize_url
+    got = (spark.createDataFrame([Row(url=raw)])
+           .select(canonicalize_url(F.col("url")).alias("c"))
+           .collect()[0]["c"])
+    assert got == want, raw
+
+
+def test_dedup_url_keep_first(spark):
+    from irkit_spark.pipeline.urls import dedup_url_keep_first
+    rows = [Row(doc_id=0, url="http://A.com/x?utm_source=1"),
+            Row(doc_id=1, url="http://a.com/x"),
+            Row(doc_id=2, url="https://a.com/x"),   # scheme differs
+            Row(doc_id=3, url="http://www.a.com/x/")]
+    out = {r.doc_id: r.canon_url for r in
+           dedup_url_keep_first(spark.createDataFrame(rows)).collect()}
+    # 0,1,3 canonicalize identically -> doc 0 wins; 2 is distinct
+    assert set(out) == {0, 2}
+    assert out[0] == "http://a.com/x"
+
+
+def test_domain_caps(spark):
+    from irkit_spark.pipeline.urls import domain_caps
+    rows = [Row(doc_id=i, url=f"https://s{i % 2}.d.com/p{i}")
+            for i in range(20)]
+    out = domain_caps(spark.createDataFrame(rows), 3).collect()
+    assert len(out) == 3                 # both hosts share domain d.com
+    assert sorted(r.doc_id for r in out) == [0, 1, 2]
+    assert {r.domain for r in out} == {"d.com"}
+
+
+def test_lm_quality_orders_fluency(spark):
+    from irkit_spark.pipeline.textstats import lm_quality
+    rows = ([Row(doc_id=i, text="the cat sat on the mat")
+             for i in range(20)]
+            + [Row(doc_id=100, text="qzx jvw kpf qzx")])
+    out = {r.doc_id: r.avg_logprob for r in
+           lm_quality(spark.createDataFrame(rows)).collect()}
+    assert out[0] > out[100]     # common-token doc scores higher
+    assert all(v < 0 for v in out.values())
+
+
+def test_gopher_signals(spark):
+    from irkit_spark.pipeline.textstats import gopher_signals
+    rows = [Row(doc_id=0, text="spam spam spam spam"),
+            Row(doc_id=1, text="a b c d e f 1 2"),
+            Row(doc_id=2, text="")]
+    out = {r.doc_id: r for r in
+           gopher_signals(spark.createDataFrame(rows)).collect()}
+    assert 2 not in out                       # empty doc dropped
+    assert out[0].top_token_frac == 1.0
+    assert out[0].dup_bigram_frac == pytest.approx(1 - 1 / 3)
+    assert out[1].frac_numeric == 0.25
+    assert out[1].dup_bigram_frac == 0.0
+
+
+def test_pii_scrub(spark):
+    from irkit_spark.pipeline.textstats import pii_scrub
+    rows = [Row(doc_id=0, text="Mail a.b@x.org or c@d.io, "
+                               "ip 10.0.0.1, call +1 (202) 555-0100!"),
+            Row(doc_id=1, text="clean text only")]
+    out = {r.doc_id: r for r in
+           pii_scrub(spark.createDataFrame(rows)).collect()}
+    assert (out[0].n_emails, out[0].n_ips, out[0].n_phones) == (2, 1, 1)
+    for tok in ("a.b@x.org", "10.0.0.1", "555"):
+        assert tok not in out[0].clean_text
+    assert out[0].clean_text.count("<EMAIL>") == 2
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (0, 0, 0)
+    assert out[1].clean_text == "clean text only"
+
+
+def test_contamination(spark):
+    from irkit_spark.pipeline.contamination import contamination
+    bench_text = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    rows = [Row(doc_id=0, text=bench_text),               # benchmark
+            Row(doc_id=1, text="x " + bench_text),        # contains it
+            Row(doc_id=2, text="clean doc " + " ".join(
+                f"w{i}" for i in range(12))),             # clean
+            Row(doc_id=3, text="b0 b1 b2 b3 b4 b5 b6")]   # only 7-gram
+    docs = spark.createDataFrame(rows)
+    out = {r.doc_id: r.n_hits for r in
+           contamination(docs, docs.filter("doc_id = 0"), 8).collect()}
+    assert 0 in out and 1 in out        # benchmark + superstring hit
+    assert 2 not in out and 3 not in out
+    assert out[1] == 3                  # 3 shared 8-grams of 10 tokens
+
+
+def test_contamination_partition_invariant(spark, docs):
+    from irkit_spark.pipeline.contamination import contamination
+    bench = docs.filter("doc_id % 50 = 0")
+    a = sorted((r.doc_id, r.n_hits) for r in
+               contamination(docs.repartition(2), bench).collect())
+    b = sorted((r.doc_id, r.n_hits) for r in
+               contamination(docs.repartition(13), bench).collect())
+    assert a == b and a
