@@ -199,18 +199,25 @@ def lm_quality(docs: DataFrame,
     text cf / C is BIGINT/BIGINT -> DOUBLE in both engines, so the
     DuckDB oracle reproduces the floats exactly."""
     t = _toks()
-    tf = (docs.select("doc_id", F.explode(t).alias("w"))
-          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
-    uni = tf.groupBy("w").agg(F.sum("tf").alias("cf"))
-    n_toks = uni.agg(F.sum("cf").alias("c_total"))
-    n_vocab = uni.count()
-    u = F.broadcast(uni) if n_vocab <= broadcast_vocab_max else uni
-    return (tf.join(u, "w").crossJoin(F.broadcast(n_toks))
+    toks = docs.select("doc_id", F.explode(t).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # unigram counts straight off the token stream (NOT off tf): the
+    # tf subtree would be recomputed per consumer without a persist,
+    # and groupBy(w) with map-side partial aggregation is the cheaper
+    # aggregate anyway
+    uni = toks.groupBy("w").agg(F.count("*").alias("cf"))
+    # scalar stats collected once (the sqlpath stat-frame pattern): a
+    # crossJoin'd 1-row frame would recompute the uni subtree
+    st = uni.agg(F.count("*").alias("v"),
+                 F.sum("cf").alias("c")).collect()[0]
+    c_total = int(st["c"] or 0)
+    u = F.broadcast(uni) if int(st["v"]) <= broadcast_vocab_max else uni
+    return (tf.join(u, "w")
             .groupBy("doc_id")
             .agg(F.sum("tf").cast("long").alias("n_tokens"),
                  F.round(
                      F.sum(F.col("tf")
-                           * F.log(F.col("cf") / F.col("c_total")))
+                           * F.log(F.col("cf") / F.lit(c_total)))
                      / F.sum("tf"), 6).alias("avg_logprob")))
 
 
