@@ -550,6 +550,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_index_boolean_top10(spark, sf):
+        # boolean query language (operators/boolean.py): DNF rewrite
+        # onto mode="and" + exclude_terms; doc score = max over
+        # matching clauses (round commutes with max — monotone)
+        from irkit_spark.operators.boolean import boolean_search
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _index_for(spark, sf))
+        return (boolean_search(idx,
+                               "(join AND hash) OR (merge NOT window)",
+                               10)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
+    def q_facet_range_nchars(spark, sf):
+        # numeric-range faceting (operators/facets.facet_ranges):
+        # match-set histogram over n_chars, cut at 200/400/800
+        from irkit_spark.operators.facets import facet_ranges
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _index_for(spark, sf))
+        return facet_ranges(idx, Q_OR, _docs(spark, sf), "n_chars",
+                            [200.0, 400.0, 800.0])
+
+    def q_cross_dedup_pairs(spark, sf):
+        # incremental-ingest dedup (pipeline/dedup.cross_dup_pairs):
+        # a "new batch" of 300 docs (ids shifted +100000, same texts)
+        # against the full corpus — every new doc must link back to
+        # its original, plus any genuine near-dups
+        d = _docs(spark, sf)
+        new = (d.filter(F.col("doc_id") < 300)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       "text"))
+        return dd.cross_dup_pairs(new, d).select(
+            "new_id", "old_id", "jac")
+
     def q_quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf)) \
             .select("doc_id", "lang", "source", "n_chars")
@@ -919,9 +952,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_8gram": q_contamination,
         "bm25f_title_body_top10": q_bm25f_title_body,
         "index_regex_wand_top10": q_index_regex_wand_top10,
+        "index_boolean_top10": q_index_boolean_top10,
+        "facet_range_nchars": q_facet_range_nchars,
+        "cross_dedup_pairs": q_cross_dedup_pairs,
         # --- core re-confirmations (driver-green r1-r5) to 50 ---
         "tokenize_tf": q_tokenize_tf,
-        "collection_stats": q_collection_stats,
         "lexicon": q_lexicon,
         "bm25_taat_top10": q_bm25_taat_top10,
         "index_jm_top10": q_index_jm_top10,
@@ -930,10 +965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wand_top10": q_index_wand,
         "index_maxscore_top10": q_index_maxscore_top10,
         "index_ql_top10": q_index_ql_top10,
-        "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh,
-        "event_window_counts": q_event_window_counts,
         # --- past the driver window: driver-green r1-r5, stable ---
+        "dedup_exact": q_dedup_exact,
+        "event_window_counts": q_event_window_counts,
+        "collection_stats": q_collection_stats,
         "term_stats": q_term_stats,
         "doc_lengths": q_doc_lengths,
         "ql_top10": q_ql_top10,
@@ -1413,10 +1449,11 @@ FROM v WHERE round(CAST(inter AS DOUBLE)/(na+nb-inter), 6) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(src: str = "documents") -> str:
     """The shared CTE chain for the MinHash-LSH oracles (see
     _minhash_sql): ends at `v` = candidate pairs with exact-Jaccard
-    ingredients.
+    ingredients. `src` = the (doc_id, text) relation to hash — the
+    cross-corpus oracle passes a combined UNION view.
 
     Case-fold caveat: the Spark side lowercases via Python str.lower()
     and hashes UTF-32 code points (ord); the oracle uses DuckDB
@@ -1433,7 +1470,7 @@ def _minhash_ctes() -> str:
     sig_exprs = ",\n    ".join(
         f"list_min(list_transform(shs, h -> (h*{int(a)}+{int(b)}) % {P}))"
         for a, b in zip(_MH_A, _MH_B))
-    return f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    return f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
 th AS (
   SELECT doc_id, list_transform(toks, t ->
     list_reduce(list_transform(range(1, length(t)+1), j ->
@@ -2321,6 +2358,58 @@ sc AS (
   GROUP BY 1)
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT 10""",
+        # boolean DNF: per-clause conjunctive BM25 (+ NOT) over the
+        # FULL clause match sets, max-merged — equals the engine's
+        # per-clause top-k merge (max commutes with monotone round)
+        "index_boolean_top10": f"""
+WITH u AS (
+  SELECT doc_id, score FROM (
+    {_bm25_sql('hash join', 1000000, conjunctive=True)}) c1
+  UNION ALL
+  SELECT doc_id, score FROM (
+    {_bm25_sql('merge', 1000000, conjunctive=True,
+               not_terms=['window'])}) c2)
+SELECT doc_id, max(score) AS score FROM u GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT 10""",
+        # numeric-range facets: bucket = count of boundaries <= x (the
+        # same CASE-sum expression the engine compiles)
+        "facet_range_nchars": f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf
+      WHERE term IN ('spark', 'window')),
+b AS (SELECT doc_id,
+             CAST((CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM documents),
+g AS (SELECT bucket, count(*) AS n_docs FROM m JOIN b USING (doc_id)
+      GROUP BY 1)
+SELECT bucket,
+       CASE bucket WHEN 0 THEN CAST('-infinity' AS DOUBLE)
+            WHEN 1 THEN 200.0 WHEN 2 THEN 400.0 ELSE 800.0 END AS lo,
+       CASE bucket WHEN 0 THEN 200.0 WHEN 1 THEN 400.0
+            WHEN 2 THEN 800.0
+            ELSE CAST('infinity' AS DOUBLE) END AS hi,
+       n_docs
+FROM g ORDER BY bucket""",
+        # cross-corpus dedup: the combined UNION view makes the shared
+        # minhash CTE chain produce exactly the cross-side pairs (a
+        # signature is a pure per-doc function, so old<100000 /
+        # new>=100000 filtering recovers the two-corpus join)
+        "cross_dedup_pairs": f"""
+WITH combined AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id < 300),
+{_minhash_ctes(src='combined')}
+SELECT doc_b AS new_id, doc_a AS old_id,
+       round(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jac
+FROM v
+WHERE doc_a < 100000 AND doc_b >= 100000
+  AND round(CAST(inter AS DOUBLE)/(na+nb-inter), 6) >= 0.5
+ORDER BY new_id, old_id""",
         # collocations: adjacent-pair PMI; same division text in both
         # engines (BIGINT / BIGINT -> DOUBLE), so floats match exactly
         "bigram_pmi": f"""

@@ -86,3 +86,60 @@ def facet_counts(index: Index, query: str, docs_df: DataFrame,
             .groupBy("facet")
             .agg(F.count("*").alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc("facet")))
+
+
+def facet_ranges(index: Index, query: str, docs_df: DataFrame,
+                 value_col: str, boundaries: list[float],
+                 id_col: str = "doc_id",
+                 conjunctive: bool = False,
+                 exclude_terms: str | None = None) -> DataFrame:
+    """(bucket, lo, hi, n_docs): numeric-range faceting — how the
+    query's match set distributes over half-open buckets of a numeric
+    docs column (the Lucene RangeFacet analog: "matches by document
+    length / price / date").
+
+    `boundaries` = sorted interior cut points [b1..bn] defining
+    n+1 buckets (-inf, b1), [b1, b2), ..., [bn, +inf); bucket index =
+    the count of boundaries <= x (one fixed CASE-sum expression, so a
+    SQL oracle reproduces it verbatim). Empty buckets are omitted.
+    Same plan as facet_counts: match-set-bounded shuffle, never the
+    corpus."""
+    if boundaries != sorted(boundaries) or \
+            len(set(boundaries)) != len(boundaries):
+        raise ValueError("boundaries must be strictly increasing")
+    if not boundaries:
+        raise ValueError("need >= 1 boundary")
+    qmeta = index.lookup_query(query)
+    empty = ("bucket long, lo double, hi double, n_docs long")
+    if not qmeta:
+        return index.spark.createDataFrame([], empty)
+    matches = _match_docs(index, [m["term_id"] for m in qmeta],
+                          conjunctive)
+    if index.has_deletions():
+        dels = index.deletions_df().select("doc_id")
+        if index.deletions_broadcast() is not None:
+            dels = F.broadcast(dels)
+        matches = matches.join(dels, "doc_id", "left_anti")
+    if exclude_terms:
+        neg = index.lookup_query(exclude_terms)
+        if neg:
+            matches = matches.join(
+                _match_docs(index, [m["term_id"] for m in neg], False),
+                "doc_id", "left_anti")
+    x = F.col(value_col).cast("double")
+    bucket = sum((F.when(x >= F.lit(float(b)), 1).otherwise(0)
+                  for b in boundaries), F.lit(0)).cast("long")
+    lows = [float("-inf")] + [float(b) for b in boundaries]
+    highs = [float(b) for b in boundaries] + [float("inf")]
+    lo = F.element_at(F.array(*[F.lit(v) for v in lows]),
+                      F.col("bucket").cast("int") + 1)
+    hi = F.element_at(F.array(*[F.lit(v) for v in highs]),
+                      F.col("bucket").cast("int") + 1)
+    return (matches
+            .join(docs_df.select(F.col(id_col).alias("doc_id"),
+                                 bucket.alias("bucket")), "doc_id")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"))
+            .withColumn("lo", lo).withColumn("hi", hi)
+            .select("bucket", "lo", "hi", "n_docs")
+            .orderBy("bucket"))

@@ -342,6 +342,52 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "jac"))
 
 
+def cross_dup_pairs(new_docs: DataFrame, old_docs: DataFrame,
+                    n: int = 3,
+                    verify_threshold: float = 0.5) -> DataFrame:
+    """(new_id, old_id, jac): near-dup links from a NEW batch into an
+    EXISTING corpus — the incremental-ingest dedup primitive (today's
+    crawl vs the already-curated 100 TB). Same banded LSH + candidate-
+    local exact-Jaccard verify as minhash_lsh_pairs, but the candidate
+    join runs ACROSS the two corpora only: the new batch never
+    self-joins, and at scale the old side's signatures are a
+    precomputable, reusable artifact (they are a pure per-doc
+    function). Id spaces are independent — pairs carry (new_id,
+    old_id), no cross-corpus id comparison."""
+    sig_n = minhash_signatures(new_docs, n).alias("l")
+    sig_o = minhash_signatures(old_docs, n).alias("r")
+    cand = (sig_n.join(sig_o,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.band_hash") == F.col("r.band_hash")))
+            .select(F.col("l.doc_id").alias("new_id"),
+                    F.col("r.doc_id").alias("old_id"))
+            .distinct())
+    sa = shingle_hash_sets(new_docs, n).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("shs").alias("shs_a"), F.col("nsh").alias("na"))
+    sb = shingle_hash_sets(old_docs, n).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("shs").alias("shs_b"), F.col("nsh").alias("nb"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    return (cand.join(sa, "new_id").join(sb, "old_id")
+            .withColumn("jac", F.round(
+                inter / (F.col("na") + F.col("nb") - inter), 6))
+            .filter(F.col("jac") >= verify_threshold)
+            .select("new_id", "old_id", "jac"))
+
+
+def dedup_against(new_docs: DataFrame, old_docs: DataFrame,
+                  n: int = 3, verify_threshold: float = 0.5,
+                  id_col: str = "doc_id") -> DataFrame:
+    """The applied incremental filter: rows of `new_docs` that are NOT
+    a near-dup of anything in `old_docs` (one anti-join against the
+    flagged new ids). New-batch-internal dups are dedup_near_keep_first
+    territory — run it on the survivors."""
+    flagged = (cross_dup_pairs(new_docs, old_docs, n, verify_threshold)
+               .select(F.col("new_id").alias(id_col)).distinct())
+    return new_docs.join(flagged, id_col, "left_anti")
+
+
 # ------------------------------------------------- near-dup apply (CC)
 
 def _star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:

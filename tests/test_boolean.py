@@ -1,102 +1,87 @@
-"""Boolean NOT (search(exclude_terms=)): selection-only exclusion —
-docs containing any excluded term drop, survivors score identically —
-verified against a brute-force subset on every mode and path (kernel
-distributed, kernel local, TAAT anti-join), plus combination with
-doc_filter and wildcard exclusion via prefix_search."""
+"""Boolean query language (operators/boolean.py): parser/DNF unit
+pins + execution equivalence against the engine's own primitives."""
 
 from __future__ import annotations
 
 import pytest
 
-from irkit_spark.functions.tokenize import tokenize
-from irkit_spark.operators.build import build_index
-from irkit_spark.operators.query import Index, prefix_search, search
-
-VOCAB = ["red", "fox", "dog", "lazy", "jumps", "quick", "brown",
-         "river", "stone", "cloud"]
-DOCS = [(d, " ".join(VOCAB[(d * 7 + j * j + (j // 3)) % len(VOCAB)]
-                     for j in range(5 + (d * 13) % 40)))
-        for d in range(80)]
-EXCL = "stone cloud"
-EXCL_DOCS = {d for d, t in DOCS
-             if set(tokenize(EXCL)) & set(tokenize(t))}
+from irkit_spark.operators.boolean import boolean_search, parse_boolean
+from irkit_spark.operators.query import search
 
 
-@pytest.fixture(scope="module")
-def bidx(spark, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("bool") / "idx")
-    df = spark.createDataFrame(DOCS, "doc_id long, text string")
-    build_index(spark, df, out, docs_per_shard=25, doc_id_col="doc_id",
-                key_col="doc_id", n_parts=4)
-    return Index(spark, out)
+def _c(pos, neg=()):
+    return (frozenset(pos), frozenset(neg))
 
 
-def _hits(df):
-    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+def test_parse_dnf_shapes():
+    assert parse_boolean("a AND b") == [_c({"a", "b"})]
+    assert sorted(parse_boolean("a OR b")) == sorted(
+        [_c({"a"}), _c({"b"})])
+    assert parse_boolean("a NOT b") == [_c({"a"}, {"b"})]
+    # distribution + De Morgan: a AND NOT (b OR c) -> one clause
+    assert parse_boolean("a AND NOT (b OR c)") == [_c({"a"}, {"b", "c"})]
+    # (a OR b) AND c -> two clauses
+    assert sorted(parse_boolean("(a OR b) AND c")) == sorted(
+        [_c({"a", "c"}), _c({"b", "c"})])
+    # double negation
+    assert parse_boolean("a AND NOT NOT b") == [_c({"a", "b"})]
 
 
-def test_not_equals_bruteforce_subset_all_modes(bidx):
-    """Excluded == full ranking minus EXCL_DOCS, scores unchanged —
-    on every mode, and all kernel modes agree with each other."""
-    q = "red fox jumps"
-    full = _hits(search(bidx, q, k=80, mode="daat", local=False))
-    expect = [(d, s) for d, s in full if d not in EXCL_DOCS][:15]
-    assert expect and len(expect) < len(full)
-    for mode in ("taat", "daat", "wand", "maxscore"):
-        got = _hits(search(bidx, q, k=15, mode=mode, local=False,
-                           exclude_terms=EXCL))
-        assert got == expect, mode
-    got_and = _hits(search(bidx, q, k=80, mode="and", local=False,
-                           exclude_terms=EXCL))
-    full_and = _hits(search(bidx, q, k=80, mode="and", local=False))
-    assert got_and == [(d, s) for d, s in full_and
-                       if d not in EXCL_DOCS] and got_and
+def test_parse_errors():
+    for bad in ("a b",              # adjacency without operator
+                "NOT a",            # pure negative
+                "a AND",            # dangling operator
+                "(a OR b",          # unbalanced parens
+                "a && b"):          # bad characters
+        with pytest.raises(ValueError):
+            parse_boolean(bad)
+    with pytest.raises(ValueError):       # contradiction-only
+        parse_boolean("a NOT a")
 
 
-def test_not_local_serving_identical(bidx):
-    q = "lazy dog"
-    a = _hits(search(bidx, q, k=12, exclude_terms=EXCL))  # auto local
-    b = _hits(search(bidx, q, k=12, local=False, exclude_terms=EXCL))
+def test_boolean_and_matches_and_mode(index_small):
+    idx, _ = index_small
+    a = [(r.doc_id, r.score) for r in
+         boolean_search(idx, "term00000 AND term00003", 10).collect()]
+    b = [(r.doc_id, r.score) for r in
+         search(idx, "term00000 term00003", 10, "and").collect()]
     assert a == b and a
-    assert not {d for d, _ in a} & EXCL_DOCS
 
 
-def test_not_with_doc_filter(bidx):
-    q = "red river"
-    got = _hits(search(bidx, q, k=40, local=False,
-                       doc_filter="doc_id % 2 = 0",
-                       exclude_terms=EXCL))
-    full = _hits(search(bidx, q, k=80, mode="daat", local=False))
-    expect = [(d, s) for d, s in full
-              if d % 2 == 0 and d not in EXCL_DOCS][:40]
-    assert got == expect and got
+def test_boolean_not_matches_exclude(index_small):
+    idx, _ = index_small
+    a = [(r.doc_id, r.score) for r in
+         boolean_search(idx, "term00000 NOT term00003", 10).collect()]
+    b = [(r.doc_id, r.score) for r in
+         search(idx, "term00000", 10, "and",
+                exclude_terms="term00003").collect()]
+    assert a == b and a
 
 
-def test_not_oov_is_noop_and_conflicts_raise(bidx):
-    q = "quick brown"
-    assert _hits(search(bidx, q, k=10, local=False,
-                        exclude_terms="zzz")) == \
-        _hits(search(bidx, q, k=10, local=False))
-    with pytest.raises(ValueError, match="both query"):
-        search(bidx, q, exclude_terms="brown stone")
-    with pytest.raises(ValueError, match="prefix_search"):
-        search(bidx, q, exclude_terms="sto*")
+def test_boolean_demorgan_execution(index_small):
+    idx, _ = index_small
+    a = [(r.doc_id, r.score) for r in
+         boolean_search(idx, "term00000 AND NOT (term00003 OR "
+                             "term00150)", 10).collect()]
+    b = [(r.doc_id, r.score) for r in
+         search(idx, "term00000", 10, "and",
+                exclude_terms="term00003 term00150").collect()]
+    assert a == b and a
 
 
-def test_not_everything_excluded_empty(bidx):
-    # every doc contains at least one of the ten vocab words; exclude
-    # the query term itself is illegal, so exclude all OTHER terms and
-    # query a term whose docs all carry another vocab word
-    got = search(bidx, "red", k=10, local=False,
-                 exclude_terms=" ".join(v for v in VOCAB if v != "red"))
-    red_only = {d for d, t in DOCS
-                if set(tokenize(t)) == {"red"}}
-    assert {r["doc_id"] for r in got.collect()} == red_only
-
-
-def test_prefix_search_wildcard_exclusion(bidx):
-    got = _hits(prefix_search(bidx, "red fox", k=15, local=False,
-                              exclude_terms="st* cloud"))
-    want = _hits(search(bidx, "red fox", k=15, local=False,
-                        exclude_terms="stone cloud"))
+def test_boolean_or_max_merge(index_small):
+    """OR of clauses == max-merge over the full per-clause score sets
+    (the losslessness claim for the per-clause top-k merge)."""
+    idx, _ = index_small
+    q = "(term00000 AND term00003) OR term00150"
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           boolean_search(idx, q, 10).collect()]
+    full = {}
+    for clause_q, clause_mode in (("term00000 term00003", "and"),
+                                  ("term00150", "and")):
+        for r in search(idx, clause_q, 5000, clause_mode).collect():
+            s = round(r.score, 9)
+            if s > full.get(r.doc_id, float("-inf")):
+                full[r.doc_id] = s
+    want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want and got

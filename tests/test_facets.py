@@ -112,3 +112,41 @@ def test_facet_counts_honor_tombstones(spark, pages_small, tmp_path,
         if d not in set(dead):
             want[lang_of[d]] = want.get(lang_of[d], 0) + 1
     assert after == want
+
+
+def test_facet_ranges_matches_reference(corpus, index_small):
+    """Numeric-range facets: bucketed doc_len histogram of the match
+    set vs a brute-force reference over the tokenized corpus."""
+    from irkit_spark.operators.facets import facet_ranges
+    idx, rows = corpus
+    bounds = [20.0, 40.0]
+    q = "term00000"
+    docs_df = idx.docs.select("doc_id", "doc_len")
+    got = [(r["bucket"], r["lo"], r["hi"], r["n_docs"]) for r in
+           facet_ranges(idx, q, docs_df, "doc_len", bounds).collect()]
+    # reference: docs containing the term, bucketed by their doc_len
+    from irkit_spark.functions.tokenize import tokenize as tok
+    dl = {r["doc_id"]: r["doc_len"] for r in docs_df.collect()}
+    ref = {}
+    for doc_id, text, _ in rows:
+        if "term00000" in set(tok(text or "")):
+            b = sum(1 for x in bounds if dl[doc_id] >= x)
+            ref[b] = ref.get(b, 0) + 1
+    lows = [float("-inf")] + bounds
+    highs = bounds + [float("inf")]
+    want = sorted((b, lows[b], highs[b], n) for b, n in ref.items())
+    assert got == want and got
+
+
+def test_facet_ranges_guards(corpus):
+    from irkit_spark.operators.facets import facet_ranges
+    idx, _ = corpus
+    docs_df = idx.docs.select("doc_id", "doc_len")
+    with pytest.raises(ValueError, match="increasing"):
+        facet_ranges(idx, "term00000", docs_df, "doc_len", [5.0, 5.0])
+    with pytest.raises(ValueError, match="boundary"):
+        facet_ranges(idx, "term00000", docs_df, "doc_len", [])
+    # OOV query -> empty frame with the right schema
+    out = facet_ranges(idx, "zzzoov", docs_df, "doc_len", [10.0])
+    assert out.count() == 0 and out.columns == ["bucket", "lo", "hi",
+                                                "n_docs"]

@@ -147,3 +147,25 @@ def test_contamination_partition_invariant(spark, docs):
     b = sorted((r.doc_id, r.n_hits) for r in
                contamination(docs.repartition(13), bench).collect())
     assert a == b and a
+
+
+def test_cross_dedup_pairs_and_apply(spark):
+    from pyspark.sql import Row
+    from irkit_spark.pipeline.dedup import cross_dup_pairs, dedup_against
+    old = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared common words doc {i} "
+                            + "alpha beta gamma delta " * 3)
+         for i in range(10)])
+    new = spark.createDataFrame(
+        # 100 = near-copy of old doc 3; 101 = genuinely new
+        [Row(doc_id=100, text="shared common words doc 3 "
+                              + "alpha beta gamma delta " * 3),
+         Row(doc_id=101, text="entirely different content about "
+                              "completely other topics qqq www eee "
+                              "rrr ttt yyy uuu iii")])
+    pairs = cross_dup_pairs(new, old).collect()
+    assert any(r.new_id == 100 and r.old_id == 3 and r.jac == 1.0
+               for r in pairs)
+    assert not any(r.new_id == 101 for r in pairs)
+    kept = [r.doc_id for r in dedup_against(new, old).collect()]
+    assert kept == [101]
