@@ -583,6 +583,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.cross_dup_pairs(new, d).select(
             "new_id", "old_id", "jac")
 
+    def q_index_near_top10(spark, sf):
+        # unordered proximity (operators/positions.near_search —
+        # SpanNearQuery inOrder=false): both terms within 5 positions,
+        # either order, BM25-ranked
+        from irkit_spark.operators.positions import near_search
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _positions_for(spark, sf))
+        return (near_search(idx, Q_PHRASE, window=5, k=10)
+                .select("doc_id", "near_tf",
+                        F.round("score", 6).alias("score")))
+
     def q_quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf)) \
             .select("doc_id", "lang", "source", "n_chars")
@@ -955,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_boolean_top10": q_index_boolean_top10,
         "facet_range_nchars": q_facet_range_nchars,
         "cross_dedup_pairs": q_cross_dedup_pairs,
+        "index_near_top10": q_index_near_top10,
         # --- core re-confirmations (driver-green r1-r5) to 50 ---
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
@@ -964,9 +976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_daat_top10": q_index_daat,
         "index_wand_top10": q_index_wand,
         "index_maxscore_top10": q_index_maxscore_top10,
-        "index_ql_top10": q_index_ql_top10,
         "minhash_lsh_pairs": q_minhash_lsh,
         # --- past the driver window: driver-green r1-r5, stable ---
+        "index_ql_top10": q_index_ql_top10,
         "dedup_exact": q_dedup_exact,
         "event_window_counts": q_event_window_counts,
         "collection_stats": q_collection_stats,
@@ -2410,6 +2422,39 @@ FROM v
 WHERE doc_a < 100000 AND doc_b >= 100000
   AND round(CAST(inter AS DOUBLE)/(na+nb-inter), 6) >= 0.5
 ORDER BY new_id, old_id""",
+        # unordered NEAR: occurrence-pair window check per doc (the
+        # positions artifact stores 0-based token indexes from the
+        # same frozen tokenizer), BM25 over both terms on matches
+        "index_near_top10": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+occ0 AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(ts) + 1),
+                    i -> struct_pack(
+                        pos := CAST(i - 1 AS BIGINT),
+                        term := ts[CAST(i AS INT)]))) AS o
+         FROM toks),
+occ AS (SELECT doc_id, o.pos AS pos, o.term AS term FROM occ0),
+a AS (SELECT doc_id, pos FROM occ WHERE term = 'spark'),
+b AS (SELECT doc_id, pos FROM occ WHERE term = 'window'),
+m AS (SELECT doc_id, count(*) AS near_tf FROM (
+        SELECT DISTINCT b.doc_id, b.pos
+        FROM b JOIN a USING (doc_id)
+        WHERE abs(a.pos - b.pos) <= 5) q GROUP BY 1),
+tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tstat AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - tstat.df + 0.5) / (tstat.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN tstat USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE term IN ('spark', 'window')
+  GROUP BY 1)
+SELECT m.doc_id, near_tf, round(s, 6) AS score
+FROM m JOIN sc ON sc.doc_id = m.doc_id
+ORDER BY score DESC, m.doc_id LIMIT 10""",
         # collocations: adjacent-pair PMI; same division text in both
         # engines (BIGINT / BIGINT -> DOUBLE), so floats match exactly
         "bigram_pmi": f"""

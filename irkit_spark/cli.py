@@ -105,6 +105,14 @@ def cmd_query(args):
             print(f"{args.qid} Q0 {r['doc_id']} {rank} "
                   f"{r['score']:.6f} irkit_spark")
         return
+    if args.near:
+        from irkit_spark.operators.positions import near_search
+        rows = near_search(idx, args.query, window=args.near,
+                           k=args.k).collect()
+        for rank, r in enumerate(rows, 1):
+            print(f"{args.qid} Q0 {r['doc_id']} {rank} "
+                  f"{r['score']:.6f} irkit_spark")
+        return
     local = {"auto": None, "on": True, "off": False}[args.local]
     if args.doc_filter and args.local == "auto":
         local = False           # filtered retrieval runs distributed
@@ -369,6 +377,10 @@ def main(argv=None):
     q.add_argument("--slop", type=int, default=0,
                    help="proximity slack with --phrase: consecutive "
                         "tokens may sit up to 1+slop positions apart")
+    q.add_argument("--near", type=int, default=0, metavar="WINDOW",
+                   help="unordered proximity: the query's two terms "
+                        "within WINDOW positions in either order "
+                        "(needs build-positions)")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT: drop docs containing any of "
                         "these space-separated terms")

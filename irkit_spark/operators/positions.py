@@ -611,3 +611,161 @@ def phrase_search(index, phrase: str, k: int = 10,
                .cogroup(qdocs.groupBy("partition_id"))
                .applyInPandas(lambda lt, rt: kern(lt, rt), PHRASE_SCHEMA))
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+NEAR_SCHEMA = "doc_id long, near_tf long, score double"
+
+
+def _near_kernel(tid_a: int, tid_b: int, uniq_meta: list[dict],
+                 avgdl: float, k: int, docs_per_shard: int,
+                 window: int, dl_bc=None, del_bc=None,
+                 restrict: bool = False):
+    """Per-shard unordered-NEAR scorer (Lucene SpanNearQuery,
+    inOrder=false, two clauses): a doc matches iff some occurrence
+    pair |pos_a - pos_b| <= window. Same packed-key vectorization as
+    the phrase kernel — term b's occurrences survive iff term a has a
+    key in [k - window, k + window] (two searchsorted calls, no
+    per-candidate loop); near_tf = surviving b occurrences per doc.
+    PAD = 1 + window keeps both window edges inside the packed doc
+    range. Scoring/tombstones/top-k identical to _phrase_kernel."""
+    uniq_ids = [m["term_id"] for m in uniq_meta]
+    idf_by = {m["term_id"]: m["idf"] for m in uniq_meta}
+    pad = np.int64(1 + window)
+    w = np.int64(window)
+
+    def run(post_pdf: pd.DataFrame,
+            docs_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "near_tf": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64")})
+        if post_pdf.empty:
+            return empty
+        shard = int(post_pdf["partition_id"].iloc[0])
+        base = shard * docs_per_shard
+        rows: dict[int, tuple] = {}
+        for _, r in post_pdf.iterrows():
+            rows[int(r["term_id"])] = decode_positions_row(r)
+        if tid_a not in rows or tid_b not in rows:
+            return empty
+        keys = {}
+        for t in (tid_a, tid_b):
+            docs, cnts, offs, pos_flat = rows[t]
+            dloc = np.repeat(docs - base, cnts)
+            keys[t] = (dloc << _POS_BITS) + pos_flat + pad
+        ka, kb = keys[tid_a], keys[tid_b]
+        lo = np.searchsorted(ka, kb - w, side="left")
+        hi = np.searchsorted(ka, kb + w, side="right")
+        surv = kb[hi > lo]
+        if surv.size == 0:
+            return empty
+        dloc, ntf = np.unique(surv >> _POS_BITS, return_counts=True)
+        cand = dloc + base
+        if del_bc is not None:
+            dels = del_bc.value.get(shard)
+            if dels is not None and dels.size:
+                ix = np.searchsorted(dels, cand)
+                hit = np.zeros(cand.size, dtype=bool)
+                ok = ix < dels.size
+                hit[ok] = dels[ix[ok]] == cand[ok]
+                if hit.any():
+                    sel = ~hit
+                    dloc, cand, ntf = dloc[sel], cand[sel], ntf[sel]
+                    if cand.size == 0:
+                        return empty
+        if dl_bc is not None:
+            arr = dl_bc.value.get(shard)
+            if arr is None:
+                return empty
+            dl = arr.astype(np.float64)[dloc]
+        else:
+            if docs_pdf is None or docs_pdf.empty:
+                return empty
+            dl_arr = np.zeros(docs_per_shard, dtype=np.float64)
+            d_ids = docs_pdf["doc_id"].to_numpy() - base
+            dl_arr[d_ids] = docs_pdf["doc_len"].to_numpy()
+            if restrict:
+                valid = np.zeros(docs_per_shard, dtype=bool)
+                valid[d_ids] = True
+                sel = valid[dloc]
+                dloc, cand, ntf = dloc[sel], cand[sel], ntf[sel]
+                if cand.size == 0:
+                    return empty
+            dl = dl_arr[dloc]
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in uniq_ids:  # ascending term_id: pinned add order
+            docs, cnts, offs, pos_flat = rows[t]
+            ix = np.searchsorted(docs, cand)
+            score += idf_by[t] * bm25_tf_norm(cnts[ix], dl, avgdl)
+        if cand.size > k:
+            kth = np.partition(score, cand.size - k)[cand.size - k]
+            sel = score >= kth
+            cand, ntf, score = cand[sel], ntf[sel], score[sel]
+        order = np.lexsort((cand, -score))[:k]
+        return pd.DataFrame({"doc_id": cand[order].astype(np.int64),
+                             "near_tf": ntf[order].astype(np.int64),
+                             "score": score[order]})
+
+    return run
+
+
+def near_search(index, query: str, window: int = 5,
+                k: int = 10) -> DataFrame:
+    """Unordered proximity top-k (doc_id, near_tf, score): docs where
+    the query's TWO terms co-occur within `window` positions in either
+    order, ranked by BM25 over both terms with global stats. The
+    SpanNearQuery(inOrder=false) analog; ordered proximity is
+    phrase_search(slop=...). Requires build_positions.
+
+    Same plan shape as phrase_search: term-pruned positions scan ->
+    per-shard numpy kernel -> tiny top-k."""
+    from irkit_spark.operators.query import _docs_touched
+    from irkit_spark.operators.segments import SegmentedIndex
+    if isinstance(index, SegmentedIndex):
+        raise ValueError("near retrieval reads the positions artifact "
+                         "— merge_indexes the segments first")
+    spark = index.spark
+    empty = spark.createDataFrame([], NEAR_SCHEMA)
+    toks = tokenize(query)
+    if len(toks) != 2 or toks[0] == toks[1]:
+        raise ValueError("near_search takes exactly two distinct "
+                         f"terms, got {toks!r}")
+    if not has_positions(index):
+        raise ValueError(f"index at {index.path} has no positions/ "
+                         "artifact — run build_positions first")
+    if index.docs_per_shard >= (1 << 30):
+        raise ValueError("near kernel packs doc-local ids into int64 "
+                         "keys: docs_per_shard must be < 2^30")
+    if not (1 <= window < (1 << 30)):
+        raise ValueError("window must be a small positive int")
+    qmeta = index.lookup_query(" ".join(toks))
+    if len(qmeta) < 2:
+        return empty            # an OOV term: no doc can match
+    td = index._terms_dict()
+    if td is not None:
+        by_term = {t: td[t][0] for t in set(toks)}
+    else:
+        by_term = {r["term"]: int(r["term_id"]) for r in
+                   index.terms.filter(
+                       F.col("term").isin(sorted(set(toks))))
+                   .select("term", "term_id").collect()}
+    tid_a, tid_b = by_term[toks[0]], by_term[toks[1]]
+    qpos = read_positions(spark, index.path).filter(
+        F.col("term_id").isin(sorted({tid_a, tid_b})))
+    has_del = index.has_deletions()
+    del_bc = index.deletions_broadcast() if has_del else None
+    del_over_gate = has_del and del_bc is None
+    dl_bc = None if del_over_gate else index.doc_len_broadcast()
+    kern = _near_kernel(tid_a, tid_b, qmeta, index.avgdl, k,
+                        index.docs_per_shard, window, dl_bc=dl_bc,
+                        del_bc=del_bc, restrict=del_over_gate)
+    if dl_bc is not None:
+        out = (qpos.groupBy("partition_id")
+               .applyInPandas(lambda pdf: kern(pdf), NEAR_SCHEMA))
+    else:
+        qdocs = _docs_touched(index, qpos,
+                              exclude_deleted=del_over_gate)
+        out = (qpos.groupBy("partition_id")
+               .cogroup(qdocs.groupBy("partition_id"))
+               .applyInPandas(lambda lt, rt: kern(lt, rt), NEAR_SCHEMA))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -112,6 +112,12 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
                         "--phrase", "--k", "5"])
     assert _trec_lines(out)
 
+    # unordered NEAR over the same positions artifact
+    out = _run(capsys, ["query", "--index", idx,
+                        "--query", "term00001 term00010",
+                        "--near", "50", "--k", "5"])
+    assert _trec_lines(out)
+
     # PRF: corpus keyed by the index's doc ids
     prf_pages = f"{base}/prf_pages"
     from irkit_spark.operators.query import Index

@@ -330,3 +330,58 @@ def test_verify_catches_positions_corruption(pos_index, spark, tmp_path):
     r2 = verify_index(spark, out)
     assert not r2["ok"]
     assert not r2["checks"]["positions_consistent"]["ok"]
+
+
+def brute_near(docs, term_ids, a, b, window, k, n=None):
+    """Reference unordered NEAR: |pa - pb| <= window, near_tf = b
+    occurrences with an a neighbor, BM25 over both terms."""
+    n = n or len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / len(docs)
+    uniq = sorted({a, b}, key=lambda w: term_ids[w])
+    df = {w: sum(1 for t in docs.values() if w in t) for w in uniq}
+    out = []
+    for did, t in docs.items():
+        pa = [i for i, x in enumerate(t) if x == a]
+        pb = [i for i, x in enumerate(t) if x == b]
+        ntf = sum(1 for p in pb if any(abs(p - q) <= window for q in pa))
+        if not ntf:
+            continue
+        s = 0.0
+        for w in uniq:
+            s += (float(idf_fn(np.array([df[w]]), len(docs))[0])
+                  * float(bm25_tf_norm(np.array([t.count(w)], float),
+                                       np.array([len(t)], float),
+                                       avgdl)[0]))
+        out.append((did, ntf, round(s, 9)))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("q,window", [
+    ("red dog", 5),     # unordered, either order
+    ("fox red", 1),     # reversed order must still match doc 2
+    ("red fox", 1),
+    ("the lazy", 2),
+    ("a b", 1),         # repeats
+])
+def test_near_matches_bruteforce(pos_index, q, window):
+    from irkit_spark.operators.positions import near_search
+    idx, docs, tids = pos_index
+    got = [(r["doc_id"], r["near_tf"], round(r["score"], 9))
+           for r in near_search(idx, q, window=window, k=10).collect()]
+    w1, w2 = tokenize(q)
+    want = brute_near(docs, tids, w1, w2, window, 10)
+    assert got == want, (q, window)
+
+
+def test_near_guards(pos_index):
+    from irkit_spark.operators.positions import near_search
+    idx, _, _ = pos_index
+    with pytest.raises(ValueError, match="two distinct"):
+        near_search(idx, "red", window=2)
+    with pytest.raises(ValueError, match="two distinct"):
+        near_search(idx, "red red", window=2)
+    with pytest.raises(ValueError, match="window"):
+        near_search(idx, "red fox", window=0)
+    # OOV term -> empty
+    assert near_search(idx, "red zzzoov", window=3).count() == 0
