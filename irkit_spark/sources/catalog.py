@@ -27,10 +27,26 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def load_pages(spark: SparkSession, source: str) -> DataFrame:
     """Read the pages input: table identifier -> catalog table (Iceberg
-    etc.), path -> parquet directory."""
+    etc.), path -> parquet directory (default) or, by extension,
+    JSON-lines (.jsonl/.json — the interchange format web corpora
+    actually ship as: Common Crawl derivatives, Dolma, RedPajama) or
+    CSV with header (.csv/.tsv). JSON/CSV schemas are inferred; both
+    readers stay splittable for uncompressed files, so parallelism is
+    preserved — convert to parquet for the columnar-pruning fast path
+    on anything hot."""
     looks_like_path = ("/" in source or source.startswith("file:")
                        or source.startswith("s3") or source.startswith("hdfs"))
     if looks_like_path or os.path.exists(source):
+        low = source.rstrip("/").lower()
+        if low.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+            return spark.read.json(source)
+        if low.endswith((".csv", ".csv.gz")):
+            return spark.read.option("header", "true") \
+                .option("inferSchema", "true").csv(source)
+        if low.endswith((".tsv", ".tsv.gz")):
+            return spark.read.option("header", "true") \
+                .option("sep", "\t") \
+                .option("inferSchema", "true").csv(source)
         return spark.read.parquet(source)
     return spark.read.table(source)
 

@@ -279,3 +279,31 @@ def test_postings_row_aggregates_consistent(index_small):
                  for b in r["blocks"])
         assert math.isclose(r["max_norm"], mx, rel_tol=1e-6)
         assert r["wire_bytes"] == wb
+
+
+def test_load_pages_jsonl_csv_and_build(spark, tmp_path):
+    """load_pages reads JSONL and CSV corpora by extension and the
+    build consumes them unchanged (the web-corpus interchange path)."""
+    import json as _json
+
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index, search
+    from irkit_spark.sources.catalog import load_pages
+    rows = [{"doc_id": i, "text": f"alpha w{i % 5} beta gamma"}
+            for i in range(40)]
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text("\n".join(_json.dumps(r) for r in rows))
+    cs = tmp_path / "corpus.csv"
+    cs.write_text("doc_id,text\n" + "\n".join(
+        f"{r['doc_id']},{r['text']}" for r in rows))
+    dj = load_pages(spark, str(jl))
+    dc = load_pages(spark, str(cs))
+    assert dj.count() == dc.count() == 40
+    assert set(dj.columns) == set(dc.columns) == {"doc_id", "text"}
+    out = str(tmp_path / "idx")
+    build_index(spark, dj.select(F.col("doc_id").cast("long")
+                                 .alias("doc_id"), "text"),
+                out, docs_per_shard=20, doc_id_col="doc_id",
+                key_col="doc_id")
+    hits = search(Index(spark, out), "alpha", 5).collect()
+    assert len(hits) == 5
