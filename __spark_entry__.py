@@ -124,6 +124,26 @@ def _index_for(spark: SparkSession, sf_dir: str,
     return _IDX_CACHE[key]
 
 
+def _stemmed_index_for(spark, sf_dir: str) -> str:
+    """Cached index over the ANALYZED documents table (stopwords
+    dropped, S-stemmed — functions/analyze.analyze_docs): the Lucene
+    Analyzer flow, with the core build untouched (analysis is a
+    projection; analyzed tokens are still [a-z0-9]+)."""
+    key = sf_dir + "#stem"
+    if key not in _IDX_CACHE:
+        from irkit_spark.functions.analyze import analyze_docs
+        from irkit_spark.operators.build import build_index
+        out = os.path.join(tempfile.gettempdir(),
+                           "irkit_entry_idx_stem_" +
+                           sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, analyze_docs(_docs(spark, sf_dir)), out,
+                    docs_per_shard=200, doc_id_col="doc_id",
+                    key_col="doc_id", n_parts=16)
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
 def _positions_for(spark, sf_dir: str) -> str:
     """Ensure the cached index for sf_dir also carries the positions
     artifact (built once per process from the same documents table —
@@ -594,6 +614,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "near_tf",
                         F.round("score", 6).alias("score")))
 
+    def q_index_stemmed_top10(spark, sf):
+        # analyzer chain (functions/analyze.py): index built over the
+        # stopword-dropped, S-stemmed projection; the query goes
+        # through the same chain ("tables queries the" -> "table
+        # query") — the Lucene Analyzer flow with the core build
+        # untouched
+        from irkit_spark.functions.analyze import analyze_query
+        from irkit_spark.operators.query import Index, search
+        idx = Index(spark, _stemmed_index_for(spark, sf))
+        q = analyze_query("tables queries the")
+        return (search(idx, q, 10, "wand", local=False)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf)) \
             .select("doc_id", "lang", "source", "n_chars")
@@ -967,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_nchars": q_facet_range_nchars,
         "cross_dedup_pairs": q_cross_dedup_pairs,
         "index_near_top10": q_index_near_top10,
+        "index_stemmed_top10": q_index_stemmed_top10,
         # --- core re-confirmations (driver-green r1-r5) to 50 ---
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
@@ -1031,6 +1065,8 @@ _DL = f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
 # round-6 corpus-curation oracle inputs (synthetic url/PII builders —
 # the SQL twins of _plain_urls/_messy_urls/_pii_docs above) and the
 # portable sampling mix
+from irkit_spark.functions.analyze import (  # noqa: E402
+    STOPWORDS_EN, analyze_query, s_stem_sql)
 from irkit_spark.pipeline.sampling import hash_key_sql  # noqa: E402
 from irkit_spark.pipeline.textstats import (  # noqa: E402
     PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE)
@@ -1060,6 +1096,9 @@ _PII_TEXT_SQL = """lower(text ||
 # driver's type-aware canonicalizer even when the values are equal
 _TSTATS = (f"SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf "
            f"FROM ({_TF}) tf GROUP BY 1")
+
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
 
 def _values(terms: list[str]) -> str:
@@ -2455,6 +2494,33 @@ sc AS (
 SELECT m.doc_id, near_tf, round(s, 6) AS score
 FROM m JOIN sc ON sc.doc_id = m.doc_id
 ORDER BY score DESC, m.doc_id LIMIT 10""",
+        # analyzer chain: the whole stopword+S-stem projection in SQL
+        # (functions/analyze.s_stem_sql), query terms pre-analyzed in
+        # python by the same scalar chain
+        "index_stemmed_top10": f"""
+WITH toks AS (SELECT doc_id,
+    list_transform(list_filter({_TOKS},
+        x -> x NOT IN ({_SW_SQL})),
+        t -> {s_stem_sql('t')}) AS ts
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tstat AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(sorted(set(
+    analyze_query('tables queries the').split())))}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - tstat.df + 0.5) / (tstat.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                        * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN tstat USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 10""",
         # collocations: adjacent-pair PMI; same division text in both
         # engines (BIGINT / BIGINT -> DOUBLE), so floats match exactly
         "bigram_pmi": f"""

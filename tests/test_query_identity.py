@@ -470,3 +470,45 @@ def test_batch_search_doc_filter(spark, index_small):
                 search(idx, q, 5, "wand", doc_filter=pred).collect()]
         assert got.get(qid, []) == want, qid
         assert all(d % 3 == 0 for d, _ in want)
+
+
+def test_analyzer_chain(spark, index_small):
+    """functions/analyze: scalar/Column/SQL twins agree over the whole
+    index vocabulary, analyze_docs+analyze_query fold plural/stopword
+    forms, and the chain composes with an unmodified build."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from irkit_spark.functions.analyze import (analyze_docs,
+                                               analyze_query, s_stem,
+                                               s_stem_col, s_stem_sql)
+    # three-form agreement over a hostile word list + index vocab
+    idx, _ = index_small
+    vocab = [r["term"] for r in idx.terms.select("term").collect()]
+    words = vocab + ["flies", "ponies", "caresses", "trees", "goes",
+                     "tables", "bus", "class", "eies", "aies", "ies",
+                     "es", "s", "a", "yes", "queries", "80s", "w12s"]
+    py = [s_stem(w) for w in words]
+    frame = spark.createDataFrame([(w,) for w in words], "t string")
+    col = [r["o"] for r in
+           frame.select(s_stem_col(F.col("t")).alias("o")).collect()]
+    con = duckdb.connect()
+    sql = [con.execute(f"SELECT {s_stem_sql('t')} FROM (SELECT ? AS t)",
+                       [w]).fetchone()[0] for w in words]
+    assert py == col == sql
+    # fold check: plural query hits the singular-corpus index
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index
+    import tempfile, shutil, os
+    d = spark.createDataFrame(
+        [(0, "the table is big"), (1, "many windows appear"),
+         (2, "unrelated words only")], "doc_id long, text string")
+    out = os.path.join(tempfile.mkdtemp(), "aidx")
+    build_index(spark, analyze_docs(d), out, docs_per_shard=10,
+                doc_id_col="doc_id", key_col="doc_id")
+    aidx = Index(spark, out)
+    q = analyze_query("tables the")
+    assert q == "table"
+    hits = [r["doc_id"] for r in search(aidx, q, 10).collect()]
+    assert hits == [0]
+    shutil.rmtree(out, ignore_errors=True)
