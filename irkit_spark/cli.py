@@ -148,6 +148,12 @@ def cmd_query(args):
                             exclude_terms=args.exclude or None,
                             max_expansions=args.max_expansions
                             ).collect()
+    elif args.boolean:
+        from irkit_spark.operators.boolean import boolean_search
+        rows = boolean_search(idx, args.query, k=args.k,
+                              scorer=args.scorer, local=local,
+                              doc_filter=args.doc_filter or None
+                              ).collect()
     elif args.regex:
         from irkit_spark.operators.query import regex_search
         rows = regex_search(idx, args.query, k=args.k, mode=args.mode,
@@ -401,6 +407,9 @@ def main(argv=None):
                    help="expand trailing-~/~1/~2 tokens to their "
                         "edit-distance lexicon neighborhood, then "
                         "score the disjunction")
+    q.add_argument("--boolean", action="store_true",
+                   help="treat --query as a boolean expression "
+                        "(AND/OR/NOT + parentheses, DNF execution)")
     q.add_argument("--regex", action="store_true",
                    help="treat --query as one anchored regex over the "
                         "lexicon (RE2 subset), score the expansion "

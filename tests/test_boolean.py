@@ -85,3 +85,24 @@ def test_boolean_or_max_merge(index_small):
                 full[r.doc_id] = s
     want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want and got
+
+
+def test_batch_search_ql_jm_pruned_matches_per_query(index_small):
+    """batch_search with ql/jm under wand (gate lifted r6) == the
+    per-query results, per qid."""
+    from irkit_spark.operators.query import batch_search
+    idx, _ = index_small
+    queries = {"a": "term00000 term00003", "b": "term00150"}
+    for scorer in ("ql", "jm"):
+        rows = batch_search(idx, queries, k=5, mode="wand",
+                            scorer=scorer).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"]))
+        for qid, q in queries.items():
+            want = [(r["doc_id"], r["score"]) for r in
+                    search(idx, q, 5, "wand", scorer=scorer,
+                           local=False).collect()]
+            got = sorted(by_q[qid], key=lambda x: (-x[1], x[0]))
+            assert got == want, (scorer, qid)

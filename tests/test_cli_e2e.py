@@ -112,6 +112,15 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
                         "--phrase", "--k", "5"])
     assert _trec_lines(out)
 
+    # boolean expression == and-mode equivalent
+    bo = _run(capsys, ["query", "--index", idx, "--query",
+                       "term00001 AND term00010", "--boolean",
+                       "--k", "5"])
+    an = _run(capsys, ["query", "--index", idx, "--query",
+                       "term00001 term00010", "--mode", "and",
+                       "--k", "5"])
+    assert bo == an and _trec_lines(bo)
+
     # unordered NEAR over the same positions artifact
     out = _run(capsys, ["query", "--index", idx,
                         "--query", "term00001 term00010",
