@@ -89,6 +89,27 @@ def _pii_docs(docs: DataFrame) -> DataFrame:
                        F.concat(F.col("text"), em, ip, ph).alias("text"))
 
 
+def _multiline_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line docs (the corpus is single-line by
+    construction): a per-doc content line plus planted boilerplate
+    chrome at C4-ish frequencies — a footer in 1/3 of docs, a banner in
+    1/4, a whitespace-only line in 1/10 (must never be removed), and a
+    sub-threshold 'rare' line in 1/97. The oracle builds the same."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\nSubscribe to our newsletter")).otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nall rights reserved 2026")).otherwise(""),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("\n   "))
+            .otherwise(""),
+            F.when(F.col("doc_id") % 97 == 0,
+                   F.lit("\nrare promo line")).otherwise(""),
+        ).alias("text"))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -534,6 +555,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from irkit_spark.pipeline.urls import domain_caps
         return (domain_caps(_plain_urls(_docs(spark, sf)), 3)
                 .select("doc_id", "domain"))
+
+    def q_line_dedup(spark, sf):
+        # C4-style boilerplate-line removal over deterministic
+        # multi-line docs; whitespace-only and sub-threshold lines stay
+        from irkit_spark.pipeline.boilerplate import remove_boilerplate
+        return (remove_boilerplate(_multiline_docs(_docs(spark, sf)),
+                                   min_docs=50)
+                .select("doc_id", F.col("text").alias("text_clean"),
+                        "n_removed"))
+
+    def q_pack_windows(spark, sf):
+        # GPT-style concat-and-chunk packing plan; distributed prefix
+        # sum (bucketed two-pass), invariant to the bucket count
+        from irkit_spark.pipeline.packing import pack_plan
+        return pack_plan(_docs(spark, sf), window_size=256,
+                         docs_per_bucket=64)
 
     def q_contamination(spark, sf):
         # decontamination scan: docs sharing an 8-token-gram with the
@@ -1001,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup_pairs": q_cross_dedup_pairs,
         "index_near_top10": q_index_near_top10,
         "index_stemmed_top10": q_index_stemmed_top10,
+        "line_dedup": q_line_dedup,
+        "pack_windows": q_pack_windows,
         # --- core re-confirmations (driver-green r1-r5) to 50 ---
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
@@ -1008,10 +1047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_jm_top10": q_index_jm_top10,
         "index_taat_top10": q_index_taat,
         "index_daat_top10": q_index_daat,
+        # --- past the driver window: driver-green r1-r5, stable ---
         "index_wand_top10": q_index_wand,
         "index_maxscore_top10": q_index_maxscore_top10,
         "minhash_lsh_pairs": q_minhash_lsh,
-        # --- past the driver window: driver-green r1-r5, stable ---
         "index_ql_top10": q_index_ql_top10,
         "dedup_exact": q_dedup_exact,
         "event_window_counts": q_event_window_counts,
@@ -1091,6 +1130,15 @@ _PII_TEXT_SQL = """lower(text ||
  CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
       || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END ||
  CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 0100 42' ELSE '' END)"""
+# the SQL twin of _multiline_docs (planted boilerplate chrome)
+_ML_TEXT_SQL = """substr(text, 1, 40)
+ || CASE WHEN doc_id % 4 = 0
+         THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END
+ || CASE WHEN doc_id % 3 = 0
+         THEN chr(10) || 'all rights reserved 2026' ELSE '' END
+ || CASE WHEN doc_id % 10 = 0 THEN chr(10) || '   ' ELSE '' END
+ || CASE WHEN doc_id % 97 = 0
+         THEN chr(10) || 'rare promo line' ELSE '' END"""
 # CAST(sum() AS BIGINT) everywhere: DuckDB's sum(BIGINT) is HUGEINT
 # (int128), which value-hash-diverges from Spark's BIGINT in the
 # driver's type-aware canonicalizer even when the values are equal
@@ -2336,6 +2384,45 @@ r AS (SELECT doc_id, domain,
              row_number() OVER (PARTITION BY domain
                                 ORDER BY doc_id) AS rn FROM d)
 SELECT doc_id, domain FROM r WHERE rn <= 3""",
+        # C4-style boilerplate-line removal: normalized-line doc
+        # frequency >= 50 -> line deleted everywhere; ''-normalizing
+        # (blank/indent) lines never count. Same normalization text
+        # (lower + trim) as pipeline/boilerplate.py
+        "line_dedup": f"""
+WITH ml AS (SELECT doc_id, {_ML_TEXT_SQL} AS text FROM documents),
+keys AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(string_split(text, chr(10)),
+                                      x -> lower(trim(x)))) AS k
+         FROM ml),
+boiler AS (SELECT k FROM keys WHERE k <> ''
+           GROUP BY k HAVING count(*) >= 50),
+bl AS (SELECT coalesce(list(k), []) AS ks FROM boiler)
+SELECT ml.doc_id,
+       array_to_string(list_filter(string_split(text, chr(10)),
+           x -> NOT list_contains(bl.ks, lower(trim(x)))), chr(10))
+           AS text_clean,
+       CAST(len(string_split(text, chr(10)))
+            - len(list_filter(string_split(text, chr(10)),
+                  x -> NOT list_contains(bl.ks, lower(trim(x)))))
+            AS BIGINT) AS n_removed
+FROM ml, bl""",
+        # sequence-packing plan: global running token offset in doc_id
+        # order, 256-token windows; all-BIGINT arithmetic (// is DuckDB
+        # integer division = Spark DIV); greatest(n,1) routes empty docs
+        "pack_windows": f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum FROM t)
+SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+       (cum - n_tokens) // 256 AS first_window,
+       (cum - n_tokens + greatest(n_tokens, 1) - 1) // 256
+           AS last_window,
+       (cum - n_tokens + greatest(n_tokens, 1) - 1) // 256
+           - (cum - n_tokens) // 256 + 1 AS n_windows
+FROM c""",
         # decontamination: portable token-hash (base 257) + rolling
         # 8-gram hash (base 263), both mod 2^31-1 — bit-identical to
         # the Arrow kernel (pipeline/contamination.py)

@@ -1,0 +1,136 @@
+"""Line-level boilerplate removal (pipeline/boilerplate.py) and
+sequence-packing plan (pipeline/packing.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from irkit_spark.pipeline.boilerplate import (
+    _apply_join, boilerplate_lines, remove_boilerplate)
+from irkit_spark.pipeline.packing import pack_plan
+
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    # 40 docs: a unique line each, a footer in all, a banner in the
+    # first 20, a whitespace-only line in 1/4, and one doc where the
+    # same line repeats in-doc (must count once toward doc frequency)
+    rows = []
+    for i in range(40):
+        lines = [f"unique content {i}", "all rights reserved"]
+        if i < 20:
+            lines.insert(0, "Cookie Banner")
+        if i % 4 == 0:
+            lines.append("   ")
+        rows.append((i, "\n".join(lines)))
+    rows.append((40, "repeat me\nrepeat me\nunique content 40"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_counts_docs_not_occurrences(line_docs):
+    freq = {r.line_key: r.n_docs
+            for r in boilerplate_lines(line_docs, 2).collect()}
+    assert freq["all rights reserved"] == 40
+    assert freq["cookie banner"] == 20
+    assert "repeat me" not in freq        # 1 doc, twice in-doc
+    assert "   " not in freq and "" not in freq
+
+
+def test_remove_boilerplate_semantics(line_docs):
+    out = remove_boilerplate(line_docs, min_docs=20)
+    got = {r.doc_id: (r.text, r.n_removed) for r in out.collect()}
+    assert len(got) == 41
+    # footer + banner removed, unique/whitespace/in-doc-repeat kept
+    assert got[0] == ("unique content 0\n   ", 2)
+    assert got[25] == ("unique content 25", 1)
+    assert got[40] == ("repeat me\nrepeat me\nunique content 40", 0)
+    # original-case boilerplate removed via normalized key
+    assert all("Cookie Banner" not in t for t, _ in got.values())
+
+
+def test_remove_boilerplate_all_lines_boiled(spark):
+    docs = spark.createDataFrame(
+        [(i, "the same line") for i in range(10)],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in remove_boilerplate(docs, min_docs=5).collect()}
+    assert len(out) == 10 and all(v == ("", 1) for v in out.values())
+
+
+def test_apply_join_matches_literal_path(line_docs):
+    lit = remove_boilerplate(line_docs, min_docs=20) \
+        .orderBy("doc_id").toPandas()
+    jn = _apply_join(line_docs, boilerplate_lines(line_docs, 20),
+                     "text").orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(lit, jn[lit.columns])
+
+
+def test_no_boilerplate_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, f"only line {i}") for i in range(5)],
+        "doc_id long, text string")
+    out = remove_boilerplate(docs, min_docs=2).orderBy("doc_id")
+    assert [r.text for r in out.collect()] == \
+        [f"only line {i}" for i in range(5)]
+    assert all(r.n_removed == 0 for r in out.collect())
+
+
+# ------------------------------------------------------------- packing
+
+@pytest.fixture(scope="module")
+def tok_docs(spark):
+    # sparse doc_ids (routing must not assume density), one empty doc
+    rows = [(i * 7 + 3, " ".join(f"t{j}" for j in range(5 + i * 3)))
+            for i in range(30)]
+    rows.append((1, ""))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute(pdf: pd.DataFrame, w: int) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    cum = pdf.n_tokens.cumsum()
+    start = cum - pdf.n_tokens
+    end = start + pdf.n_tokens.clip(lower=1) - 1
+    return pd.DataFrame({
+        "doc_id": pdf.doc_id, "n_tokens": pdf.n_tokens,
+        "start_tok": start, "first_window": start // w,
+        "last_window": end // w,
+        "n_windows": end // w - start // w + 1})
+
+
+def test_pack_plan_matches_bruteforce(tok_docs):
+    got = pack_plan(tok_docs, window_size=16).orderBy("doc_id") \
+        .toPandas()
+    toks = tok_docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"),
+                                    F.lit(r"[a-z0-9]+"), 0))
+        .cast("long").alias("n_tokens")).toPandas()
+    pd.testing.assert_frame_equal(
+        got, _brute(toks, 16).reset_index(drop=True))
+
+
+def test_pack_plan_bucket_invariance(tok_docs):
+    a = pack_plan(tok_docs, window_size=16, docs_per_bucket=3) \
+        .orderBy("doc_id").toPandas()
+    b = pack_plan(tok_docs, window_size=16, docs_per_bucket=10 ** 9) \
+        .orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_plan_stream_is_gapless(tok_docs):
+    got = pack_plan(tok_docs, window_size=16).orderBy("doc_id") \
+        .toPandas()
+    # consecutive docs abut: start of next == start + n_tokens of prev
+    nxt = (got.start_tok + got.n_tokens).iloc[:-1].reset_index(drop=True)
+    assert nxt.equals(got.start_tok.iloc[1:].reset_index(drop=True))
+    # empty doc occupies exactly one (zero-token) window slot
+    empty = got[got.n_tokens == 0].iloc[0]
+    assert empty.first_window == empty.last_window
+
+
+def test_pack_plan_rejects_bad_window(tok_docs):
+    with pytest.raises(ValueError):
+        pack_plan(tok_docs, window_size=0)
