@@ -572,6 +572,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_plan(_docs(spark, sf), window_size=256,
                          docs_per_bucket=64)
 
+    def q_pack_materialize(spark, sf):
+        # assembled training windows; fingerprint instead of the raw
+        # token array to keep the compared result compact
+        from irkit_spark.pipeline.packing import pack_materialize
+        w = pack_materialize(_docs(spark, sf), window_size=256,
+                             docs_per_bucket=64)
+        return w.select("window_id", "n_tokens", "n_docs",
+                        F.md5(F.concat_ws(" ", "tokens")).alias("fp"))
+
+    def q_curation_report(spark, sf):
+        # end-to-end curation composite: quality filter -> exact dedup
+        # keep-first -> deterministic split; per-split token budget
+        from irkit_spark.pipeline.curate import curation_report
+        return curation_report(_docs(spark, sf))
+
     def q_contamination(spark, sf):
         # decontamination scan: docs sharing an 8-token-gram with the
         # benchmark slice (doc_id % 89 == 0) — portable rolling hash
@@ -1040,14 +1055,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stemmed_top10": q_index_stemmed_top10,
         "line_dedup": q_line_dedup,
         "pack_windows": q_pack_windows,
+        "pack_materialize": q_pack_materialize,
+        "curation_pipeline": q_curation_report,
         # --- core re-confirmations (driver-green r1-r5) to 50 ---
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
         "bm25_taat_top10": q_bm25_taat_top10,
         "index_jm_top10": q_index_jm_top10,
+        # --- past the driver window: driver-green r1-r5, stable ---
         "index_taat_top10": q_index_taat,
         "index_daat_top10": q_index_daat,
-        # --- past the driver window: driver-green r1-r5, stable ---
         "index_wand_top10": q_index_wand,
         "index_maxscore_top10": q_index_maxscore_top10,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -2423,6 +2440,37 @@ SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
        (cum - n_tokens + greatest(n_tokens, 1) - 1) // 256
            - (cum - n_tokens) // 256 + 1 AS n_windows
 FROM c""",
+        # assembled packing windows: zip-unnest gives per-token global
+        # positions; per-window fingerprint over the pos-ordered slice
+        "pack_materialize": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+c AS (SELECT doc_id, ts,
+      CAST(sum(len(ts)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS BIGINT) - len(ts) AS start_tok
+      FROM t),
+g AS (SELECT doc_id, unnest(ts) AS term,
+             start_tok + unnest(range(len(ts))) AS pos FROM c)
+SELECT pos // 256 AS window_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       md5(string_agg(term, ' ' ORDER BY pos)) AS fp
+FROM g GROUP BY 1""",
+        # end-to-end curation composite: the same stage CTE chain as
+        # pipeline/curate.py (filter -> dedup keep-first -> hash split)
+        "curation_pipeline": f"""
+WITH q AS (SELECT doc_id, text FROM documents
+  WHERE len({_TOKS}) >= 20
+    AND (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})) >= 0.3
+    AND (list_aggregate(list_transform({_TOKS}, x -> length(x)),
+         'sum') * 1.0 / len({_TOKS})) <= 12.0),
+d AS (SELECT doc_id, text FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+s AS (SELECT doc_id, text,
+      CASE WHEN {hash_key_sql('doc_id')} % 100 < 98 THEN 'train'
+           WHEN {hash_key_sql('doc_id')} % 100 < 99 THEN 'val'
+           ELSE 'test' END AS split FROM d)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+FROM s GROUP BY 1""",
         # decontamination: portable token-hash (base 257) + rolling
         # 8-gram hash (base 263), both mod 2^31-1 — bit-identical to
         # the Arrow kernel (pipeline/contamination.py)

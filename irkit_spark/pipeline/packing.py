@@ -83,3 +83,38 @@ def pack_plan(docs: DataFrame, window_size: int = 2048,
     ).withColumn("n_windows",
                  (F.col("last_window") - F.col("first_window") + 1)
                  .cast("long"))
+
+
+def pack_materialize(docs: DataFrame, window_size: int = 2048,
+                     text_col: str = "text",
+                     docs_per_bucket: int = DOCS_PER_BUCKET) -> DataFrame:
+    """Assemble the packed windows themselves: (window_id, n_tokens,
+    n_docs, tokens) where `tokens` is the window's token slice of the
+    global doc_id-ordered stream, boundary documents split mid-doc.
+
+    Scale shape: one shuffle of (global_pos, term) pairs keyed by
+    window_id — dense keys, per-window state bounded by window_size
+    tokens, so executor memory is flat no matter the corpus size. The
+    plan side reuses pack_plan's bucketed prefix sum; text reshuffles
+    exactly once (it must: window assembly is a re-keying of the
+    corpus). The final window is ragged (< window_size tokens).
+    """
+    plan = pack_plan(docs, window_size, text_col, docs_per_bucket) \
+        .select("doc_id", "start_tok")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                          F.lit(TOKEN_RE), 0))
+        .alias("_i", "term"))
+    g = (toks.join(plan, "doc_id")
+         .select("doc_id", "term",
+                 (F.col("start_tok") + F.col("_i")).alias("_pos")))
+    w = g.withColumn("window_id",
+                     F.expr(f"_pos DIV {int(window_size)}"))
+    return (w.groupBy("window_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("_pos", "term"))),
+                     lambda s: s["term"]).alias("tokens")))

@@ -134,3 +134,39 @@ def test_pack_plan_stream_is_gapless(tok_docs):
 def test_pack_plan_rejects_bad_window(tok_docs):
     with pytest.raises(ValueError):
         pack_plan(tok_docs, window_size=0)
+
+
+def test_pack_materialize_reassembles_stream(tok_docs):
+    from irkit_spark.pipeline.packing import pack_materialize
+    out = pack_materialize(tok_docs, window_size=16) \
+        .orderBy("window_id").collect()
+    # stitched windows == the doc_id-ordered token stream
+    stream = [t for r in sorted(tok_docs.collect(),
+                                key=lambda r: r.doc_id)
+              for t in r.text.lower().split() if t]
+    got = [t for r in out for t in r.tokens]
+    assert got == stream
+    # every window except the last is exactly full; ids are dense
+    assert [r.window_id for r in out] == list(range(len(out)))
+    assert all(r.n_tokens == 16 for r in out[:-1])
+    assert 0 < out[-1].n_tokens <= 16
+    # n_docs counts contributors (boundary docs count in both windows)
+    assert all(r.n_docs >= 1 for r in out)
+
+
+def test_curate_composition(spark):
+    from irkit_spark.pipeline.curate import curate, curation_report
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(25))))
+    rows.append((100, "short doc"))                      # len filter
+    rows.append((101, " ".join(["dup dup"] * 15)))       # uniq filter
+    rows.append((102, rows[0][1]))                       # exact dup of 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cur = curate(docs).collect()
+    ids = sorted(r.doc_id for r in cur)
+    assert ids == list(range(40))      # junk and the dup copy removed
+    assert all(r.split in ("train", "val", "test") for r in cur)
+    rep = curation_report(docs).collect()
+    assert sum(r.n_docs for r in rep) == 40
+    assert sum(r.n_tokens for r in rep) == 40 * 25
