@@ -367,6 +367,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_index_wand_top100(spark, sf):
         return _index_search(spark, sf, Q_BM25_B, 100, "wand")
 
+    def q_index_selective_top10(spark, sf):
+        # selective search (operators/selective.py): shard-level
+        # upper-bound selection + theta-carrying escalation — exact
+        # by construction, so it shares the plain BM25 oracle
+        from irkit_spark.operators.query import Index
+        from irkit_spark.operators.selective import selective_search
+        idx = Index(spark, _index_for(spark, sf))
+        out = selective_search(idx, Q_BM25_B, 10, m0=2)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
     def q_index_maxscore_top10(spark, sf):
         # Turtle-Flood max-score pruning (SURVEY Q5's other half):
         # lossless, so the full-BM25 SQL oracle applies unchanged
@@ -530,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_lm_quality(spark, sf):
         return ts.lm_quality(_docs(spark, sf))
+
+    def q_lm_bigram(spark, sf):
+        # interpolated bigram corpus LM (textstats.lm_quality_bigram)
+        return ts.lm_quality_bigram(_docs(spark, sf))
 
     def q_gopher_signals(spark, sf):
         return ts.gopher_signals(_docs(spark, sf))
@@ -1057,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_windows": q_pack_windows,
         "pack_materialize": q_pack_materialize,
         "curation_pipeline": q_curation_report,
+        "index_selective_top10": q_index_selective_top10,
+        "lm_bigram_quality": q_lm_bigram,
         # --- core re-confirmations (driver-green r1-r5) to 50 ---
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
@@ -1932,6 +1948,7 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_daat_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),
+        "index_selective_top10": _bm25_sql(Q_BM25_B, 10),
         "index_maxscore_top10": _bm25_sql(Q_BM25_B, 10),
         "index_wand_filtered_top10": _bm25_sql(
             Q_BM25_A, 10, doc_where="doc_id % 3 = 0"),
@@ -2343,6 +2360,27 @@ SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
        round(sum(tf.tf * ln(cf / c_total)) / sum(tf.tf), 6)
            AS avg_logprob
 FROM tf JOIN uni USING (term) CROSS JOIN tot GROUP BY 1""",
+        # interpolated bigram LM: same division/log text, round(6)
+        "lm_bigram_quality": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents
+              WHERE len({_TOKS}) >= 2),
+inst AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(ts)),
+                                      i -> ts[i])) AS p,
+                unnest(list_transform(range(1, len(ts)),
+                                      i -> ts[i+1])) AS c
+         FROM toks),
+bg AS (SELECT p, c, count(*) AS cb FROM inst GROUP BY 1, 2),
+cp AS (SELECT p, count(*) AS cp FROM inst GROUP BY 1),
+uni AS (SELECT w, count(*) AS cu FROM
+        (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY 1),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS c_total FROM uni)
+SELECT inst.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(0.9 * cb / cp + 0.1 * cu / c_total)), 6)
+           AS avg_logprob
+FROM inst JOIN bg USING (p, c) JOIN cp USING (p)
+     JOIN uni ON uni.w = inst.c CROSS JOIN tot
+GROUP BY 1""",
         "gopher_signals": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents
               WHERE len({_TOKS}) > 0),

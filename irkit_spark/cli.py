@@ -162,6 +162,15 @@ def cmd_query(args):
                             exclude_terms=args.exclude or None,
                             max_expansions=args.max_expansions
                             ).collect()
+    elif args.selective:
+        from irkit_spark.operators.selective import selective_search
+        stats: dict = {}
+        rows = selective_search(idx, args.query, k=args.k,
+                                mode=args.mode, m0=args.m0,
+                                stats=stats).collect()
+        print(f"# selective: {stats['shards_phase1']}+"
+              f"{stats['shards_phase2']} of {stats['shards_total']} "
+              "shards searched", file=sys.stderr)
     else:
         rows = search(idx, args.query, k=args.k, mode=args.mode,
                       scorer=args.scorer, local=local,
@@ -410,6 +419,13 @@ def main(argv=None):
     q.add_argument("--boolean", action="store_true",
                    help="treat --query as a boolean expression "
                         "(AND/OR/NOT + parentheses, DNF execution)")
+    q.add_argument("--selective", action="store_true",
+                   help="shard-level selective search (exact): rank "
+                        "shards by score upper bound, search the top "
+                        "--m0, escalate only shards bounding above "
+                        "the running k-th score")
+    q.add_argument("--m0", type=int, default=2,
+                   help="selective search phase-1 shard count")
     q.add_argument("--regex", action="store_true",
                    help="treat --query as one anchored regex over the "
                         "lexicon (RE2 subset), score the expansion "

@@ -221,6 +221,61 @@ def lm_quality(docs: DataFrame,
                      / F.sum("tf"), 6).alias("avg_logprob")))
 
 
+def lm_quality_bigram(docs: DataFrame, lam: float = 0.9,
+                      backoff: float = 0.1,
+                      broadcast_vocab_max: int = 2_000_000) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob): mean per-transition
+    log-probability under an INTERPOLATED BIGRAM corpus LM —
+
+        ln(lam * c(p,c)/c(p·) + backoff * c(c)/C)
+
+    averaged over a doc's token transitions (p = previous token, c =
+    current; c(p·) = p's prefix count over all transitions, so the
+    conditional sums to 1; the unigram backoff term is what keeps a
+    never-seen-in-context token finite). One CCNet-perplexity step up
+    from lm_quality's unigram form: word-salad with plausible unigrams
+    but implausible transitions now scores low. lam/backoff are passed
+    separately rather than (lam, 1-lam) so the oracle literal 0.1 is
+    the exact double the engine uses (1.0 - 0.9 != 0.1 in binary).
+    Docs with fewer than two tokens drop out (no transitions).
+
+    Scale shape: transition instances explode to coll_len rows once;
+    bigram/prefix counts are two map-side-combining groupBys; the
+    unigram and prefix tables broadcast below `broadcast_vocab_max`
+    distinct terms, the bigram join stays a shuffle hash join on
+    (p, c) (its key space is too wide to assume broadcastable — AQE
+    converts it when small). Division/log expression text matches the
+    DuckDB oracle, round(6) absorbs sum-order ulps."""
+    t = _toks()
+    base = (docs.select("doc_id", t.alias("ts"))
+            .filter(F.size("ts") >= 2))
+    inst = base.select(
+        "doc_id",
+        F.explode(F.arrays_zip(
+            F.slice("ts", 1, F.size("ts") - 1).alias("p"),
+            F.slice("ts", 2, F.size("ts") - 1).alias("c"))).alias("b")
+    ).select("doc_id", F.col("b.p").alias("p"), F.col("b.c").alias("c"))
+    bg = inst.groupBy("p", "c").agg(F.count("*").alias("cb"))
+    cp = inst.groupBy("p").agg(F.count("*").alias("cp"))
+    uni = (docs.select(F.explode(t).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("cu")))
+    st = uni.agg(F.count("*").alias("v"),
+                 F.sum("cu").alias("ct")).collect()[0]
+    c_total = int(st["ct"] or 0)
+    small = int(st["v"]) <= broadcast_vocab_max
+    cp_j = F.broadcast(cp) if small else cp
+    uni_j = uni.withColumnRenamed("w", "c").withColumnRenamed("cu",
+                                                              "cu_c")
+    uni_j = F.broadcast(uni_j) if small else uni_j
+    return (inst.join(bg, ["p", "c"]).join(cp_j, "p").join(uni_j, "c")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg(F.log(
+                     F.lit(lam) * F.col("cb") / F.col("cp")
+                     + F.lit(backoff) * F.col("cu_c")
+                     / F.lit(c_total))), 6).alias("avg_logprob")))
+
+
 def gopher_signals(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, top_token_frac, dup_bigram_frac,
     frac_numeric): the Gopher/MassiveText repetition + symbol signals

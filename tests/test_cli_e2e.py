@@ -77,6 +77,11 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
                         "--k", "5", "--local", "on"])
     assert _trec_lines(loc) == base_rows
 
+    # selective (shard-level selection) is exact: same ranked lines
+    sel = _run(capsys, ["query", "--index", idx, "--query", q,
+                        "--k", "5", "--selective", "--m0", "1"])
+    assert _trec_lines(sel) == base_rows
+
     # wildcard / fuzzy expansion produce ranked output
     assert _trec_lines(_run(capsys, ["query", "--index", idx,
                                      "--query", "term0001*",

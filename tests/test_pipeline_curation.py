@@ -94,6 +94,26 @@ def test_lm_quality_orders_fluency(spark):
     assert all(v < 0 for v in out.values())
 
 
+def test_lm_bigram_orders_transitions(spark):
+    # word-salad with PLAUSIBLE unigrams but implausible transitions:
+    # the unigram LM cannot separate doc 100 from the fluent docs
+    # (same token multiset), the bigram LM must
+    from irkit_spark.pipeline.textstats import (lm_quality,
+                                                lm_quality_bigram)
+    rows = ([Row(doc_id=i, text="the cat sat on the mat")
+             for i in range(20)]
+            + [Row(doc_id=100, text="mat the on cat the sat")]
+            + [Row(doc_id=101, text="solo")])     # < 2 tokens
+    df = spark.createDataFrame(rows)
+    bi = {r.doc_id: r for r in lm_quality_bigram(df).collect()}
+    uni = {r.doc_id: r.avg_logprob for r in lm_quality(df).collect()}
+    assert 101 not in bi                    # no transitions -> dropped
+    assert uni[0] == uni[100]               # unigram LM is blind here
+    assert bi[0].avg_logprob > bi[100].avg_logprob
+    assert bi[0].n_bigrams == 5
+    assert all(r.avg_logprob < 0 for r in bi.values())
+
+
 def test_gopher_signals(spark):
     from irkit_spark.pipeline.textstats import gopher_signals
     rows = [Row(doc_id=0, text="spam spam spam spam"),
