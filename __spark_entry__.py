@@ -145,6 +145,20 @@ def _index_for(spark: SparkSession, sf_dir: str,
     return _IDX_CACHE[key]
 
 
+def _tiered_index_for(spark, sf_dir: str) -> str:
+    """Ensure the cached index for sf_dir also carries the impact-tier
+    artifact (operators/tiered.build_impact_tier, built once per
+    process; kappa=0.7 default — the tier only sets the threshold, so
+    any kappa yields identical results)."""
+    path = _index_for(spark, sf_dir)
+    key = path + "#tier"
+    if key not in _IDX_CACHE:
+        from irkit_spark.operators.tiered import build_impact_tier
+        build_impact_tier(spark, path)
+        _IDX_CACHE[key] = path
+    return _IDX_CACHE[key]
+
+
 def _stemmed_index_for(spark, sf_dir: str) -> str:
     """Cached index over the ANALYZED documents table (stopwords
     dropped, S-stemmed — functions/analyze.analyze_docs): the Lucene
@@ -375,6 +389,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from irkit_spark.operators.selective import selective_search
         idx = Index(spark, _index_for(spark, sf))
         out = selective_search(idx, Q_BM25_B, 10, m0=2)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def q_index_tiered_wand_top10(spark, sf):
+        # tiered serving (operators/tiered.py): impact tier bootstraps
+        # theta, full index re-run with it carried — exact by
+        # construction, so it shares the plain BM25 oracle
+        from irkit_spark.operators.query import Index
+        from irkit_spark.operators.tiered import tiered_search
+        idx = Index(spark, _tiered_index_for(spark, sf))
+        out = tiered_search(idx, Q_BM25_A, 10)
         return out.select("doc_id", F.round("score", 6).alias("score"))
 
     def q_index_maxscore_top10(spark, sf):
@@ -1072,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_materialize": q_pack_materialize,
         "curation_pipeline": q_curation_report,
         "index_selective_top10": q_index_selective_top10,
+        "index_tiered_wand_top10": q_index_tiered_wand_top10,
         "lm_bigram_quality": q_lm_bigram,
         # --- core re-confirmations (driver-green r1-r5) to 50 ---
         "tokenize_tf": q_tokenize_tf,
@@ -1949,6 +1974,7 @@ FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),
         "index_selective_top10": _bm25_sql(Q_BM25_B, 10),
+        "index_tiered_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_maxscore_top10": _bm25_sql(Q_BM25_B, 10),
         "index_wand_filtered_top10": _bm25_sql(
             Q_BM25_A, 10, doc_where="doc_id % 3 = 0"),

@@ -162,6 +162,15 @@ def cmd_query(args):
                             exclude_terms=args.exclude or None,
                             max_expansions=args.max_expansions
                             ).collect()
+    elif args.tiered:
+        from irkit_spark.operators.tiered import tiered_search
+        tstats: dict = {}
+        rows = tiered_search(idx, args.query, k=args.k,
+                             mode=args.mode, stats=tstats).collect()
+        print(f"# tiered: tier_used={tstats['tier_used']} "
+              f"{tstats['shards_searched']} of "
+              f"{tstats['shards_total']} shards searched",
+              file=sys.stderr)
     elif args.selective:
         from irkit_spark.operators.selective import selective_search
         stats: dict = {}
@@ -270,6 +279,14 @@ def cmd_build_positions(args):
     m = build_positions(spark, src, args.index, text_col=args.text_col,
                         doc_id_col=args.doc_id_col, key_col=args.key_col,
                         table_format=args.table_format)
+    print(json.dumps(m))
+
+
+def cmd_build_tier(args):
+    from irkit_spark.operators.tiered import build_impact_tier
+    spark = _session("irkit-build-tier")
+    m = build_impact_tier(spark, args.index, kappa=args.kappa,
+                          table_format=args.table_format)
     print(json.dumps(m))
 
 
@@ -426,6 +443,10 @@ def main(argv=None):
                         "the running k-th score")
     q.add_argument("--m0", type=int, default=2,
                    help="selective search phase-1 shard count")
+    q.add_argument("--tiered", action="store_true",
+                   help="serve tier-first (exact): bootstrap the "
+                        "threshold from the impact tier (build-tier), "
+                        "then run the full index with it carried in")
     q.add_argument("--regex", action="store_true",
                    help="treat --query as one anchored regex over the "
                         "lexicon (RE2 subset), score the expansion "
@@ -447,6 +468,16 @@ def main(argv=None):
     bp.add_argument("--table-format", default=None,
                     choices=["parquet", "iceberg"])
     bp.set_defaults(fn=cmd_build_positions)
+
+    bt = sub.add_parser("build-tier",
+                        help="materialize the impact tier (blocks with "
+                             "max_score >= kappa * term max) for "
+                             "query --tiered")
+    bt.add_argument("--index", required=True)
+    bt.add_argument("--kappa", type=float, default=0.7)
+    bt.add_argument("--table-format", default=None,
+                    choices=["parquet", "iceberg"])
+    bt.set_defaults(fn=cmd_build_tier)
 
     ml = sub.add_parser("mlt", help="more-like-this: docs similar to "
                                     "a given doc (tf*idf term mining)")

@@ -82,6 +82,12 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
                         "--k", "5", "--selective", "--m0", "1"])
     assert _trec_lines(sel) == base_rows
 
+    # tiered serving is exact too: build the tier, same ranked lines
+    _run(capsys, ["build-tier", "--index", idx, "--kappa", "0.7"])
+    tr = _run(capsys, ["query", "--index", idx, "--query", q,
+                       "--k", "5", "--tiered"])
+    assert _trec_lines(tr) == base_rows
+
     # wildcard / fuzzy expansion produce ranked output
     assert _trec_lines(_run(capsys, ["query", "--index", idx,
                                      "--query", "term0001*",
