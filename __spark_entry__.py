@@ -569,6 +569,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interpolated bigram corpus LM (textstats.lm_quality_bigram)
         return ts.lm_quality_bigram(_docs(spark, sf))
 
+    def q_top_terms(spark, sf):
+        # TF-IDF keyword extraction (textstats.top_terms)
+        return ts.top_terms(_docs(spark, sf), m=5)
+
+    def q_topical_ids(spark, sf):
+        # topic-shard ID assignment (plans/dense_ids.topical_dense_ids
+        # — Kulkarni-Callan topic shards as a dense, parallelism-
+        # invariant id order; portable KR-31 label bucket)
+        from irkit_spark.plans.dense_ids import topical_dense_ids
+        d = _docs(spark, sf).select("doc_id", "lang")
+        out = topical_dense_ids(d, "lang", "doc_id",
+                                id_col="topical_id", n_buckets=8)
+        return out.select("doc_id", "lang", "topical_id")
+
     def q_gopher_signals(spark, sf):
         return ts.gopher_signals(_docs(spark, sf))
 
@@ -1057,7 +1071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_updated_wand_top10": q_index_updated_wand_top10,
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
         "index_fuzzy_wand_top10": q_index_fuzzy_wand_top10,
-        "index_fuzzy2_wand_top10": q_index_fuzzy2_wand_top10,
         "fuzzy_suggest": q_fuzzy_suggest,
         "eval_metrics": q_eval_metrics,
         "index_mlt_wand_top10": q_index_mlt_wand_top10,
@@ -1098,7 +1111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_selective_top10": q_index_selective_top10,
         "index_tiered_wand_top10": q_index_tiered_wand_top10,
         "lm_bigram_quality": q_lm_bigram,
-        # --- core re-confirmations (driver-green r1-r5) to 50 ---
+        "top_terms": q_top_terms,
+        "topical_ids": q_topical_ids,
+        # --- core re-confirmations (driver-green r1-r5) + rotated-out
+        # redundant variants (fuzzy2 shares the ED<=2 machinery the
+        # windowed fuzzy entry exercises) ---
+        "index_fuzzy2_wand_top10": q_index_fuzzy2_wand_top10,
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
         "bm25_taat_top10": q_bm25_taat_top10,
@@ -2386,6 +2404,37 @@ SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
        round(sum(tf.tf * ln(cf / c_total)) / sum(tf.tf), 6)
            AS avg_logprob
 FROM tf JOIN uni USING (term) CROSS JOIN tot GROUP BY 1""",
+        # topic-shard id assignment: the bucketed two-phase scheme is
+        # semantically row_number over (KR-31 bucket of lang, lang,
+        # doc_id) — the oracle states it as exactly that window
+        "topical_ids": """
+WITH h AS (SELECT doc_id, lang,
+  CASE WHEN length(lang) = 0 THEN 0 ELSE
+    list_reduce(list_transform(range(1, length(lang)+1), j ->
+      CAST(unicode(substr(lang, CAST(j AS INT), 1)) AS BIGINT)),
+      (a, b) -> (a*257+b) % 2147483647) END % 8 AS bucket
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY bucket, lang, doc_id) - 1
+            AS BIGINT) AS topical_id
+FROM h""",
+        # TF-IDF keyword extraction: selection/rank order uses the
+        # ROUNDED score (ln can drift by ulps across libms; round(6)
+        # makes the order identical), term asc breaks ties
+        "top_terms": f"""
+WITH tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM
+            (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+            GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (SELECT doc_id, term,
+              round(tf * ln((1 + n_docs) / (1 + df)), 6) AS tfidf
+       FROM tf JOIN dfx USING (term) CROSS JOIN n),
+rk AS (SELECT doc_id, term, tfidf,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+       FROM sc)
+SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 5""",
         # interpolated bigram LM: same division/log text, round(6)
         "lm_bigram_quality": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents

@@ -187,6 +187,23 @@ def main():
     fuzzy_search(idx, "term00000x~ term00123", 10, "wand",
                  local=False).collect()
     queries["fuzzy_wand_k10"] = round(time.monotonic() - t0, 3)
+    # selective + tiered serving on the same job floor as wand_k10:
+    # selective adds the narrow bound pass but searches fewer shard
+    # dirs; tiered adds the tier bootstrap but opens the full scan
+    # with a near-final threshold (tier_build is the one-off artifact
+    # cost, like positions_build)
+    from irkit_spark.operators.selective import selective_search
+    t0 = time.monotonic()
+    selective_search(idx, "term00000 term00003 term00123", 10).collect()
+    queries["selective_wand_k10"] = round(time.monotonic() - t0, 3)
+    from irkit_spark.operators.tiered import (build_impact_tier,
+                                              tiered_search)
+    t0 = time.monotonic()
+    build_impact_tier(spark, idx.path)
+    queries["tier_build"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    tiered_search(idx, "term00000 term00003 term00123", 10).collect()
+    queries["tiered_wand_k10"] = round(time.monotonic() - t0, 3)
     # driver-side serving kernel (search local=True): first call pays
     # the one pruned collect per term; the warm number is the true
     # per-query serving latency (zero Spark jobs — the irk-query
@@ -355,7 +372,8 @@ def main():
         f"build_local{N_CORES}", f"build_local{N4_CORES}",
         "wand_k10", "wand_k1000", "daat_k10", "maxscore_k10",
         "taat_k10", "wand_k10_warm", "batch_wand_20q", "phrase_k10",
-        "prefix_wand_k10", "fuzzy_wand_k10", "bm25_taat_top10",
+        "prefix_wand_k10", "fuzzy_wand_k10", "selective_wand_k10",
+        "tiered_wand_k10", "bm25_taat_top10",
         "minhash_lsh_pairs", "ann_cosine_top10",
     ]
     compact = {

@@ -282,6 +282,16 @@ def cmd_build_positions(args):
     print(json.dumps(m))
 
 
+def cmd_explain(args):
+    from irkit_spark.operators.explain import explain_query
+    from irkit_spark.operators.query import Index
+    spark = _session("irkit-explain")
+    idx = Index(spark, args.index)
+    r = explain_query(idx, args.query, k=args.k,
+                      with_shard_bounds=args.bounds)
+    print(json.dumps(r))
+
+
 def cmd_build_tier(args):
     from irkit_spark.operators.tiered import build_impact_tier
     spark = _session("irkit-build-tier")
@@ -478,6 +488,18 @@ def main(argv=None):
     bt.add_argument("--table-format", default=None,
                     choices=["parquet", "iceberg"])
     bt.set_defaults(fn=cmd_build_tier)
+
+    ex = sub.add_parser("explain",
+                        help="zero-decode query report: term stats, "
+                             "est. postings, routing, artifact "
+                             "freshness")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--k", type=int, default=10)
+    ex.add_argument("--bounds", action="store_true",
+                    help="include selective search's per-shard upper "
+                         "bounds (one narrow Spark job)")
+    ex.set_defaults(fn=cmd_explain)
 
     ml = sub.add_parser("mlt", help="more-like-this: docs similar to "
                                     "a given doc (tf*idf term mining)")

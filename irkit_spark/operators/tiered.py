@@ -152,7 +152,7 @@ def _tier_df(index: Index):
 
 def _kernel_pass(index: Index, qmeta: list[dict], post_df: DataFrame,
                  k: int, mode: str, theta0: float,
-                 del_bc) -> pd.DataFrame:
+                 del_bc, scorer: str = "bm25") -> pd.DataFrame:
     """One top-k kernel pass over an arbitrary POSTINGS_SCHEMA frame
     (the tier, or the shard-filtered full postings), threshold carried;
     collected <= k-per-shard candidate rows."""
@@ -160,7 +160,7 @@ def _kernel_pass(index: Index, qmeta: list[dict], post_df: DataFrame,
     qpost = post_df.filter(F.col("term_id").isin(tids))
     dl_bc = index.doc_len_broadcast()
     kern = _shard_kernel(qmeta, index.avgdl, index.codec, k,
-                         index.docs_per_shard, mode, "bm25",
+                         index.docs_per_shard, mode, scorer,
                          index.coll_len, index.bound_slack,
                          index.quantized, dl_bc=dl_bc, del_bc=del_bc)
     if dl_bc is not None:
@@ -177,19 +177,29 @@ def _kernel_pass(index: Index, qmeta: list[dict], post_df: DataFrame,
 
 
 def tiered_search(index: Index, query: str, k: int = 10,
-                  mode: str = "wand",
+                  mode: str = "wand", scorer: str = "bm25",
                   boosts: dict[str, float] | None = None,
                   stats: dict | None = None) -> DataFrame:
-    """Exact top-k BM25 served tier-first — bit-identical to
-    search(index, query, k, mode, local=False) (tested). Phase 1 runs
-    the kernel over the impact tier to bootstrap theta (the k-th best
-    tier score, a sound lower bound on the true k-th best); phase 2
-    re-runs the full index with theta carried in and sub-theta shards
-    skipped outright, and only ITS exact scores are ranked. Without a
-    fresh tier (never built, or older than the postings commit) this
-    degrades to plain exact search — never a wrong answer. mode in
-    {wand, maxscore} (the threshold-carrying kernels). Term boosts
-    ride idf exactly as in search(). Tombstones are masked in BOTH
+    """Exact top-k served tier-first — bit-identical to
+    search(index, query, k, mode, scorer, local=False) (tested).
+    Phase 1 runs the kernel over the impact tier to bootstrap theta
+    (the k-th best tier score, a sound lower bound on the true k-th
+    best); phase 2 re-runs the full index with theta carried in and
+    sub-theta shards skipped outright, and only ITS exact scores are
+    ranked. Without a fresh tier (never built, or older than the
+    postings commit) this degrades to plain exact search — never a
+    wrong answer. mode in {wand, maxscore} (the threshold-carrying
+    kernels); scorer in {bm25, ql, jm} — theta stays sound for all
+    three because a tier score omits only NON-NEGATIVE per-posting
+    contributions (BM25's idf*tf_norm, QL's log1p(tf/(mu*p_t)), JM's
+    log1p term; QL's doc-level adjustment is identical on both
+    sides), even though the tier was SELECTED by BM25 impact — a
+    BM25-shaped tier may bound a QL query more loosely, never
+    unsoundly. The shard cut applies to bm25 only (the shard bounds
+    are BM25 quantities); ql/jm carry theta into every shard instead
+    (stats then reports shards_total = shards_searched = -1). Term
+    boosts ride idf exactly as in search() (bm25 only, enforced by
+    _boosted). Tombstones are masked in BOTH
     phases via the deletions broadcast (phase 1 must not let a deleted
     doc inflate theta past the best LIVE k-th score); a tombstone set
     above DEL_BROADCAST_MAX needs the cogrouped anti-join path — use
@@ -202,6 +212,12 @@ def tiered_search(index: Index, query: str, k: int = 10,
         raise ValueError(f"unknown mode {mode!r}: tiered search runs "
                          "the threshold-carrying kernels — "
                          "wand|maxscore")
+    if scorer not in ("bm25", "ql", "jm"):
+        raise ValueError(f"unknown scorer {scorer!r}: bm25|ql|jm")
+    if scorer in ("ql", "jm") and index.quantized:
+        raise ValueError("quantized indexes store 7-bit impacts, not "
+                         "term frequencies; QL/JM need tf — rebuild "
+                         "with quantize=False")
     spark = index.spark
     query, parsed = _parse_boosts(query)
     for t, w in (boosts or {}).items():
@@ -210,7 +226,7 @@ def tiered_search(index: Index, query: str, k: int = 10,
         if parsed.get(t, w) != w:
             raise ValueError(f"conflicting boosts for term {t!r}")
         parsed[t] = float(w)
-    qmeta = _boosted(index.lookup_query(query), parsed, "bm25")
+    qmeta = _boosted(index.lookup_query(query), parsed, scorer)
     empty = spark.createDataFrame([], TOPK_SCHEMA)
     if not qmeta:
         return empty
@@ -228,7 +244,8 @@ def tiered_search(index: Index, query: str, k: int = 10,
     theta = -np.inf
     if tier is not None:
         rows1 = _kernel_pass(index, qmeta, tier, k, mode,
-                             theta0=-np.inf, del_bc=del_bc)
+                             theta0=-np.inf, del_bc=del_bc,
+                             scorer=scorer)
         if len(rows1) >= k:
             sc = rows1["score"].to_numpy()
             kth = float(np.partition(sc, sc.size - k)[sc.size - k])
@@ -237,20 +254,28 @@ def tiered_search(index: Index, query: str, k: int = 10,
             # different float association (see module doc)
             theta = kth - _ESCALATE_EPS * abs(kth)
 
-    bounds = shard_bounds(index, qmeta)
-    if not bounds:
-        return empty
-    searched = [s for s, ub in bounds if ub >= theta]
-    rows = _kernel_pass(
-        index, qmeta,
-        index.postings.filter(F.col("partition_id").isin(
-            [int(s) for s in searched])),
-        k, mode, theta0=theta, del_bc=del_bc)
+    if scorer == "bm25":
+        # shard-bound cut (BM25 quantities): skip shards that cannot
+        # reach theta at all
+        bounds = shard_bounds(index, qmeta)
+        if not bounds:
+            return empty
+        searched = [s for s, ub in bounds if ub >= theta]
+        phase2_post = index.postings.filter(F.col("partition_id").isin(
+            [int(s) for s in searched]))
+        n_total, n_searched = len(bounds), len(searched)
+    else:
+        # ql/jm: no sound per-shard bound in the artifact — theta
+        # still prunes blocks inside every shard
+        phase2_post = index.postings
+        n_total = n_searched = -1
+    rows = _kernel_pass(index, qmeta, phase2_post, k, mode,
+                        theta0=theta, del_bc=del_bc, scorer=scorer)
     if stats is not None:
         stats.update({"tier_used": tier is not None,
                       "theta": theta,
-                      "shards_total": len(bounds),
-                      "shards_searched": len(searched)})
+                      "shards_total": n_total,
+                      "shards_searched": n_searched})
     if rows.empty:
         return empty
     doc = rows["doc_id"].to_numpy()

@@ -276,6 +276,45 @@ def lm_quality_bigram(docs: DataFrame, lam: float = 0.9,
                      / F.lit(c_total))), 6).alias("avg_logprob")))
 
 
+def top_terms(docs: DataFrame, m: int = 5,
+              broadcast_vocab_max: int = 2_000_000) -> DataFrame:
+    """(doc_id, rank, term, tfidf): the m highest-TF-IDF terms per doc
+    — keyword extraction for routing/clustering/faceting a corpus.
+    tfidf = tf * ln((1 + n_docs) / (1 + df)) with the +1 smoothing
+    that keeps a df == n_docs term finite and non-negative; rank is
+    1-based by (tfidf desc, term asc).
+
+    Determinism across engines: selection and rank order use the
+    ROUNDED score (round 6) — ln() can differ by ulps between libm
+    implementations, and an unrounded ORDER BY would let two
+    near-equal terms swap between Spark and the DuckDB oracle; after
+    round(6) the values agree exactly and term asc breaks residual
+    ties.
+
+    Scale shape: one explode + (doc, term) groupBy for tf, one term
+    groupBy for df (broadcast back below `broadcast_vocab_max`
+    distinct terms), then a row_number window partitioned by doc_id —
+    per-doc state only, no global sort."""
+    from pyspark.sql import Window
+    t = _toks()
+    tf = (docs.select("doc_id", F.explode(t).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    st = df.agg(F.count("*").alias("v")).collect()[0]
+    n_docs = docs.count()
+    df_j = F.broadcast(df) if int(st["v"]) <= broadcast_vocab_max else df
+    sc = (tf.join(df_j, "term")
+          .select("doc_id", "term",
+                  F.round(F.col("tf") * F.log(
+                      F.lit(float(1 + n_docs)) / (F.col("df") + 1)),
+                      6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
+                                             F.asc("term"))
+    return (sc.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= m)
+            .select("doc_id", "rank", "term", "tfidf"))
+
+
 def gopher_signals(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, top_token_frac, dup_bigram_frac,
     frac_numeric): the Gopher/MassiveText repetition + symbol signals

@@ -107,6 +107,79 @@ def sorted_rank_mapping(df: DataFrame, key: str, id_col: str,
             .drop("__p", "__offset"))
 
 
+# Portable 31-bit Karp-Rabin fold (base 257 mod the Mersenne prime
+# 2^31-1 — the repo-wide portable-hash scheme, pipeline/dedup.py) of a
+# label column, written DECLARATIVELY so the DuckDB oracle reproduces
+# the bucket bit-for-bit (crc32 has no DuckDB equivalent). Labels are
+# short (a language/topic/domain tag), so the per-char fold is cheap.
+_KR_P = 2147483647
+_KR_B = 257
+
+
+def label_bucket(col, n_buckets: int):
+    """Deterministic portable bucket of a string label column. The
+    fold walks characters via sequence+substr (NOT F.split(col, ''),
+    whose Java limit=-1 semantics append a trailing '' element that
+    would fold an extra 0 into the hash); empty labels hash to 0
+    explicitly because F.sequence(1, 0) counts DOWN, not empty."""
+    s = col.cast("string")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda j: F.ascii(s.substr(j, F.lit(1))).cast("long"))
+    h = F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda acc, c: (acc * _KR_B + c) % _KR_P)
+    h = F.when(F.length(s) == 0, F.lit(0)).otherwise(h)
+    return (h % n_buckets).cast("int")
+
+
+def topical_dense_ids(df: DataFrame, cluster_col: str, key: str,
+                      id_col: str = "doc_id",
+                      n_buckets: int | None = None,
+                      broadcast_rows: int = 5_000_000) -> DataFrame:
+    """Dense, parallelism-invariant ids in (bucket(cluster), cluster,
+    key) order — the Kulkarni & Callan topic-shard layout as an ID
+    assignment: same-cluster docs get CONTIGUOUS ids, so the builder's
+    doc-shards (id // docs_per_shard) become topic shards and
+    selective search's per-shard bounds cut whole topics out of a
+    query (operators/selective.py). Feed the result to
+    build_index(doc_id_col=id_col).
+
+    Semantically identical to `row_number() OVER (ORDER BY bucket,
+    cluster, key) - 1`, computed with the same two-phase bucketed
+    scheme as dense_id_mapping (per-bucket counts -> offsets ->
+    bounded per-bucket window): no global single-partition sort, and
+    the assignment is a pure function of the (cluster, key) multiset —
+    identical at any parallelism. Requires `key` unique. Buckets hash
+    the CLUSTER label (portable KR-31 fold, label_bucket), so one
+    cluster never splits across buckets; the per-bucket sort is
+    bounded by the docs of the clusters hashing there — use labels
+    with at least ~n_buckets distinct values and no label above ~32M
+    docs, or pre-split giant labels (e.g. lang -> lang+domain)."""
+    spark = df.sparkSession
+    keys = df.select(cluster_col, key)
+    if n_buckets is None:
+        n_buckets = adaptive_buckets(keys.count())
+    with_bucket = keys.withColumn(
+        "__bucket", label_bucket(F.col(cluster_col), n_buckets))
+    counts = (with_bucket.groupBy("__bucket").count()
+              .orderBy("__bucket").collect())
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["__bucket"]] = acc
+        acc += row["count"]
+    offsets_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "__bucket int, __offset long")
+    w = Window.partitionBy("__bucket").orderBy(cluster_col, key)
+    mapping = (with_bucket
+               .join(F.broadcast(offsets_df), "__bucket")
+               .withColumn(id_col,
+                           (F.col("__offset") + F.row_number().over(w) - 1)
+                           .cast("long"))
+               .drop("__bucket", "__offset"))
+    right = F.broadcast(mapping) if acc <= broadcast_rows else mapping
+    return df.join(right, [cluster_col, key])
+
+
 def assign_dense_ids(df: DataFrame, key: str, id_col: str,
                      n_buckets: int | None = None,
                      broadcast_rows: int = 5_000_000) -> DataFrame:

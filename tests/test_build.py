@@ -253,6 +253,73 @@ def test_adaptive_buckets_default_preserves_ids(spark, pages_small):
         a["doc_id"] != b["doc_id"]).count() == 0
 
 
+def test_topical_ids_contiguous_and_invariant(spark):
+    """topical_dense_ids (Kulkarni-Callan topic shards as an ID
+    assignment): every cluster's ids form one contiguous interval,
+    ids are dense 0..N-1, and the assignment is identical at any
+    parallelism; an index built on them concentrates a topical term
+    in few shards so selective search skips the rest."""
+    from irkit_spark.plans.dense_ids import topical_dense_ids
+    rows = [(f"u{i}", ["news", "sport", "tech"][i % 3],
+             f"body {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "url string, lang string, "
+                                     "text string")
+    a = topical_dense_ids(df.repartition(3), "lang", "url",
+                          n_buckets=8)
+    b = topical_dense_ids(df.repartition(13), "lang", "url",
+                          n_buckets=8)
+    pa = {r["url"]: r["doc_id"] for r in a.collect()}
+    pb = {r["url"]: r["doc_id"] for r in b.collect()}
+    assert pa == pb
+    assert sorted(pa.values()) == list(range(300))    # dense 0..N-1
+    by_cluster: dict = {}
+    for r in a.collect():
+        by_cluster.setdefault(r["lang"], []).append(r["doc_id"])
+    for lang, ids in by_cluster.items():
+        assert max(ids) - min(ids) + 1 == len(ids) == 100, lang
+
+
+def test_topical_build_concentrates_terms(spark):
+    """The payoff: built on topical ids, a topic-exclusive term's
+    postings live in ceil(cluster/docs_per_shard) shards instead of
+    nearly all of them, and selective search stays exact while
+    searching only those."""
+    from irkit_spark.operators.build import build_index
+    from irkit_spark.operators.query import Index, search
+    from irkit_spark.operators.selective import selective_search
+    from irkit_spark.plans.dense_ids import topical_dense_ids
+    import shutil
+    import tempfile
+    rows = [(f"u{i:04d}", "sport" if i % 3 else "news",
+             ("goal match " if i % 3 else "election vote ") * 3
+             + f"pad{i % 5}") for i in range(600)]
+    df = spark.createDataFrame(rows, "url string, topic string, "
+                                     "text string")
+    ids = topical_dense_ids(df, "topic", "url", n_buckets=8)
+    out = tempfile.mkdtemp() + "/idx"
+    shutil.rmtree(out, ignore_errors=True)
+    build_index(spark, ids.select("doc_id", "url", "text"), out,
+                docs_per_shard=100, doc_id_col="doc_id",
+                key_col="doc_id", n_parts=8)
+    idx = Index(spark, out)
+    # "election" is news-only: 200 contiguous docs -> exactly 2 of
+    # the 6 shards hold its postings
+    shards = (idx.postings
+              .join(idx.terms.filter(F.col("term") == "election")
+                    .select("term_id"), "term_id")
+              .select("partition_id").distinct().count())
+    assert shards == 2
+    stats: dict = {}
+    a = [(r["doc_id"], r["score"]) for r in
+         selective_search(idx, "election vote", k=10, m0=1,
+                          stats=stats).collect()]
+    b = [(r["doc_id"], r["score"]) for r in
+         search(idx, "election vote", k=10, mode="wand",
+                local=False).collect()]
+    assert a == b
+    assert stats["shards_phase1"] + stats["shards_phase2"] <= 2
+
+
 def test_sorted_rank_mapping_deterministic(spark, pages_small):
     """sorted_rank_mapping (the huge-vocab id assigner) yields the
     global sorted rank regardless of input partitioning or the number

@@ -88,6 +88,14 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
                        "--k", "5", "--tiered"])
     assert _trec_lines(tr) == base_rows
 
+    # explain: the zero-decode report sees the tier we just built
+    import json as _json
+    ex = _json.loads(_run(capsys, ["explain", "--index", idx,
+                                   "--query", q]).strip().splitlines()[-1])
+    assert ex["route"] in ("local", "distributed")
+    assert ex["artifacts"]["postings_tier"] == "fresh"
+    assert ex["n_terms"] >= 1
+
     # wildcard / fuzzy expansion produce ranked output
     assert _trec_lines(_run(capsys, ["query", "--index", idx,
                                      "--query", "term0001*",

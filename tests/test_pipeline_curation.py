@@ -114,6 +114,35 @@ def test_lm_bigram_orders_transitions(spark):
     assert all(r.avg_logprob < 0 for r in bi.values())
 
 
+def test_top_terms_ranks_rare_over_common(spark):
+    # "the" appears in every doc (df == n_docs -> idf ~ 0) so even
+    # tf=3 must lose to the doc-unique keyword; tie-break = term asc
+    from irkit_spark.pipeline.textstats import top_terms
+    rows = ([Row(doc_id=i, text="the filler common words")
+             for i in range(9)]
+            + [Row(doc_id=100,
+                   text="the the the zebra quark quark")])
+    df = spark.createDataFrame(rows)
+    out = {(r.doc_id, r.rank): r for r in
+           top_terms(df, m=3).collect()}
+    # doc 100: quark (tf=2, df=1) > zebra (tf=1, df=1) > the (tf=3,
+    # df=10, idf = ln(11/11) = 0)
+    assert out[(100, 1)].term == "quark"
+    assert out[(100, 2)].term == "zebra"
+    assert out[(100, 3)].term == "the"
+    assert out[(100, 3)].tfidf == 0.0
+    # doc 0: common/filler/words all tf=1 df=9 -> equal tfidf, term
+    # ascending breaks the tie
+    assert [out[(0, r)].term for r in (1, 2, 3)] == [
+        "common", "filler", "words"]
+    # every doc emits at most m rows and ranks are 1..j contiguous
+    by_doc: dict = {}
+    for (d, r) in out:
+        by_doc.setdefault(d, []).append(r)
+    for d, rs in by_doc.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), d
+
+
 def test_gopher_signals(spark):
     from irkit_spark.pipeline.textstats import gopher_signals
     rows = [Row(doc_id=0, text="spam spam spam spam"),

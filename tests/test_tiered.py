@@ -182,6 +182,26 @@ def test_tiered_boosts_empty_and_guards(spark, tier_index):
         tiered_search(tier_index, "jaguar", mode="taat")
 
 
+@pytest.mark.parametrize("scorer", ["ql", "jm"])
+def test_tiered_ql_jm(spark, tier_index, scorer):
+    # the BM25-shaped tier still bounds QL/JM soundly (tier scores
+    # omit only non-negative contributions); no shard cut for these
+    for q in ("jaguar speed", "twin", "pad1 jaguar"):
+        a = _rows(tiered_search(tier_index, q, k=10, scorer=scorer))
+        b = _rows(search(tier_index, q, k=10, mode="wand",
+                         scorer=scorer, local=False))
+        assert a == b, (q, scorer)
+    stats: dict = {}
+    out = tiered_search(tier_index, "jaguar speed", k=5, scorer=scorer,
+                        stats=stats)
+    assert _rows(out) == _rows(search(tier_index, "jaguar speed", k=5,
+                                      mode="wand", scorer=scorer,
+                                      local=False))
+    assert stats["tier_used"] and stats["shards_searched"] == -1
+    with pytest.raises(ValueError, match="scorer"):
+        tiered_search(tier_index, "jaguar", scorer="nope")
+
+
 def test_tiered_quantized(spark, tmp_path_factory):
     # impact-quantized index: block max_score is the quantized bound;
     # tier + theta + phase 2 must stay exact vs the quantized search()
@@ -197,3 +217,5 @@ def test_tiered_quantized(spark, tmp_path_factory):
         a = _rows(tiered_search(idx, q, k=10))
         b = _rows(search(idx, q, k=10, mode="wand", local=False))
         assert a == b, q
+    with pytest.raises(ValueError, match="quantized"):
+        tiered_search(idx, "jaguar", scorer="ql")
