@@ -573,6 +573,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TF-IDF keyword extraction (textstats.top_terms)
         return ts.top_terms(_docs(spark, sf), m=5)
 
+    def q_paragraph_dedup(spark, sf):
+        # corpus-global paragraph keep-first dedup
+        # (pipeline/boilerplate.dedup_paragraphs)
+        from irkit_spark.pipeline.boilerplate import dedup_paragraphs
+        d = _docs(spark, sf).select("doc_id", "text")
+        return dedup_paragraphs(d).select("doc_id", "text",
+                                          "n_removed")
+
     def q_topical_ids(spark, sf):
         # topic-shard ID assignment (plans/dense_ids.topical_dense_ids
         # — Kulkarni-Callan topic shards as a dense, parallelism-
@@ -1062,10 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 entries, never driver-checked (judge-verified only) ---
         "index_phrase_top10": q_index_phrase_top10,
-        "index_phrase3_top10": q_index_phrase3_top10,
         "index_phrase_slop_top10": q_index_phrase_slop_top10,
         "index_snippets_top10": q_index_snippets_top10,
-        "index_snippets_w5": q_index_snippets_w5,
         "index_deleted_wand_top10": q_index_deleted_wand_top10,
         "index_compacted_wand_top10": q_index_compacted_wand_top10,
         "index_updated_wand_top10": q_index_updated_wand_top10,
@@ -1113,10 +1119,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_quality": q_lm_bigram,
         "top_terms": q_top_terms,
         "topical_ids": q_topical_ids,
+        "paragraph_dedup": q_paragraph_dedup,
         # --- core re-confirmations (driver-green r1-r5) + rotated-out
-        # redundant variants (fuzzy2 shares the ED<=2 machinery the
-        # windowed fuzzy entry exercises) ---
+        # parameter variants of windowed entries (fuzzy2 = the ED<=2
+        # form of the windowed fuzzy; phrase3 = the 3-term form of the
+        # windowed phrase; snippets_w5 = the window-size form of the
+        # windowed snippets) ---
         "index_fuzzy2_wand_top10": q_index_fuzzy2_wand_top10,
+        "index_phrase3_top10": q_index_phrase3_top10,
+        "index_snippets_w5": q_index_snippets_w5,
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
         "bm25_taat_top10": q_bm25_taat_top10,
@@ -2404,6 +2415,26 @@ SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
        round(sum(tf.tf * ln(cf / c_total)) / sum(tf.tf), 6)
            AS avg_logprob
 FROM tf JOIN uni USING (term) CROSS JOIN tot GROUP BY 1""",
+        # paragraph keep-first dedup: first occurrence in (doc_id,
+        # position) order wins; blank-normalizing paragraphs survive
+        "paragraph_dedup": """
+WITH base AS (SELECT doc_id, str_split(text, e'\n\n') AS ps
+              FROM documents),
+p AS (SELECT doc_id, unnest(ps) AS par,
+             CAST(unnest(range(1, len(ps)+1)) AS BIGINT) AS pos
+      FROM base),
+r AS (SELECT doc_id, par, pos, lower(trim(par)) AS k,
+             row_number() OVER (PARTITION BY lower(trim(par))
+                                ORDER BY doc_id, pos) AS rn
+      FROM p),
+kept AS (SELECT * FROM r WHERE rn = 1 OR k = ''),
+agg AS (SELECT doc_id,
+               string_agg(par, e'\n\n' ORDER BY pos) AS text2,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY 1)
+SELECT b.doc_id, coalesce(a.text2, '') AS text,
+       CAST(len(b.ps) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)""",
         # topic-shard id assignment: the bucketed two-phase scheme is
         # semantically row_number over (KR-31 bucket of lang, lang,
         # doc_id) — the oracle states it as exactly that window

@@ -78,6 +78,52 @@ def remove_boilerplate(docs: DataFrame, min_docs: int = 50,
     return _apply_join(docs, boiler, text_col)
 
 
+def dedup_paragraphs(docs: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-global paragraph dedup, keep-first: every repeat of a
+    normalized paragraph beyond its FIRST occurrence in corpus order
+    (doc_id asc, then position asc) is deleted; the first occurrence
+    and all blank-normalizing paragraphs survive. The paragraph-level
+    member of the repeated-content family (lines: remove_boilerplate;
+    whole docs: pipeline/dedup.py) — the shape 'deduplicate training
+    text at sub-document granularity without losing any content'.
+
+    Returns the input columns with `text_col` rewritten (survivors
+    re-joined with '\\n\\n', order preserved) plus `n_removed`. Docs
+    whose every paragraph was claimed earlier survive with text ''.
+
+    Scale shape: paragraphs posexplode once (the one text shuffle);
+    first-occurrence election is a row_number window partitioned by
+    the normalized paragraph key — per-key state only, no global
+    sort; reassembly groups back by doc. Normalization and split are
+    frozen expression text shared with the DuckDB oracle
+    (`paragraph_dedup` in __spark_entry__.py)."""
+    from pyspark.sql import Window
+    paras = F.split(F.col(text_col), "\n\n", -1)
+    other = [c for c in docs.columns if c != text_col]
+    ex = (docs.select(*other,
+                      F.posexplode(paras).alias("_pos", "_par"))
+          .withColumn("_k", _norm(F.col("_par"))))
+    w = Window.partitionBy("_k").orderBy("doc_id", "_pos")
+    kept = (ex.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) | (F.col("_k") == "")))
+    agg = (kept.groupBy(*other)
+           .agg(F.concat_ws(
+                    "\n\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_pos", "_par"))),
+                        lambda s: s["_par"])).alias(text_col),
+                F.count("*").alias("_n_kept")))
+    base = docs.select(*other, F.size(paras).alias("_n0"))
+    return (base.join(agg, other, "left")
+            .select(*other,
+                    F.coalesce(F.col(text_col), F.lit(""))
+                    .alias(text_col),
+                    (F.col("_n0") - F.coalesce("_n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 def _apply_literal(docs: DataFrame, keys: list[str],
                    text_col: str) -> DataFrame:
     """Zero-shuffle apply: boilerplate set as a literal array inside a

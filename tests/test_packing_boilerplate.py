@@ -8,7 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from irkit_spark.pipeline.boilerplate import (
-    _apply_join, boilerplate_lines, remove_boilerplate)
+    _apply_join, boilerplate_lines, dedup_paragraphs,
+    remove_boilerplate)
 from irkit_spark.pipeline.packing import pack_plan
 
 
@@ -75,6 +76,48 @@ def test_no_boilerplate_is_identity(spark):
     assert [r.text for r in out.collect()] == \
         [f"only line {i}" for i in range(5)]
     assert all(r.n_removed == 0 for r in out.collect())
+
+
+# ---------------------------------------------------- paragraph dedup
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    # para "shared" appears in docs 0 (pos 1), 1 (pos 0), 2 (pos 0, as
+    # "  SHARED  " — same normalized key); only doc 0's copy survives
+    # (doc_id order wins over position order across docs)
+    docs = spark.createDataFrame(
+        [(0, "alpha\n\nshared"),
+         (1, "shared\n\nbeta"),
+         (2, "  SHARED  \n\ngamma\n\n\n\ngamma"),
+         (3, "shared")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in dedup_paragraphs(docs).collect()}
+    assert out[0] == ("alpha\n\nshared", 0)
+    assert out[1] == ("beta", 1)
+    # doc 2: SHARED claimed by doc 0, first "gamma" survives, the
+    # blank paragraph ("" key) always survives, second gamma removed
+    assert out[2] == ("gamma\n\n", 2)
+    assert out[3] == ("", 1)
+
+
+def test_dedup_paragraphs_no_dups_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, f"para a{i}\n\npara b{i}") for i in range(6)],
+        "doc_id long, text string")
+    out = dedup_paragraphs(docs).orderBy("doc_id")
+    assert [(r.text, r.n_removed) for r in out.collect()] == \
+        [(f"para a{i}\n\npara b{i}", 0) for i in range(6)]
+
+
+def test_dedup_paragraphs_preserves_extra_columns(spark):
+    docs = spark.createDataFrame(
+        [(0, "en", "x\n\nx"), (1, "fr", "y")],
+        "doc_id long, lang string, text string")
+    out = {r.doc_id: (r.lang, r.text, r.n_removed)
+           for r in dedup_paragraphs(docs).collect()}
+    assert out[0] == ("en", "x", 1)
+    assert out[1] == ("fr", "y", 0)
 
 
 # ------------------------------------------------------------- packing
