@@ -581,6 +581,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_paragraphs(d).select("doc_id", "text",
                                           "n_removed")
 
+    def q_substring_dedup(spark, sf):
+        # exact-substring duplicate-span removal, Lee et al. 2022
+        # (pipeline/substring.dedup_substrings); fp = md5 of the
+        # surviving token stream so values hash compactly
+        from irkit_spark.pipeline.substring import dedup_substrings
+        d = _docs(spark, sf).select("doc_id", "text")
+        return (dedup_substrings(d, n=8)
+                .select("doc_id", F.md5("text").alias("fp"),
+                        "n_removed"))
+
     def q_topical_ids(spark, sf):
         # topic-shard ID assignment (plans/dense_ids.topical_dense_ids
         # — Kulkarni-Callan topic shards as a dense, parallelism-
@@ -1120,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "topical_ids": q_topical_ids,
         "paragraph_dedup": q_paragraph_dedup,
+        "substring_dedup": q_substring_dedup,
         # --- core re-confirmations (driver-green r1-r5) + rotated-out
         # parameter variants of windowed entries (fuzzy2 = the ED<=2
         # form of the windowed fuzzy; phrase3 = the 3-term form of the
@@ -2435,6 +2446,43 @@ agg AS (SELECT doc_id,
 SELECT b.doc_id, coalesce(a.text2, '') AS text,
        CAST(len(b.ps) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        # exact-substring dedup (Lee et al. ExactSubstr): portable
+        # token-hash (base 257) + rolling 8-gram hash (base 263) mod
+        # 2^31-1, bit-identical to pipeline/substring.py; corpus-first
+        # occurrence per gram hash survives, every later occurrence's
+        # 8 covered token positions are cut. The packed first-key
+        # doc_id*2^32+pos equals the engine's min(struct(doc_id,pos))
+        # because pos < 2^32 always holds for in-doc token positions.
+        "substring_dedup": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+th AS (SELECT doc_id, ts,
+              list_transform(ts, t -> list_reduce(
+                  list_transform(regexp_extract_all(t, '.'),
+                                 c -> CAST(unicode(c) AS BIGINT)),
+                  (a, b) -> (a * 257 + b) % 2147483647)) AS ths
+       FROM t),
+occ AS (SELECT doc_id,
+               CAST(unnest(range(1, len(ths) - 6)) AS BIGINT) - 1 AS pos,
+               unnest(list_transform(range(1, len(ths) - 6),
+                   i -> list_reduce(list_slice(ths, i, i + 7),
+                        (a, b) -> (a * 263 + b) % 2147483647))) AS gh
+        FROM th WHERE len(ths) >= 8),
+fst AS (SELECT gh, min(doc_id * 4294967296 + pos) AS fk
+        FROM occ GROUP BY 1),
+anch AS (SELECT o.doc_id, o.pos FROM occ o JOIN fst USING (gh)
+         WHERE o.doc_id * 4294967296 + o.pos <> fk),
+rm AS (SELECT DISTINCT doc_id, p FROM
+         (SELECT doc_id, pos + unnest(range(8)) AS p FROM anch)),
+tp AS (SELECT doc_id, unnest(ts) AS tok,
+              CAST(unnest(range(len(ts))) AS BIGINT) AS p FROM t),
+kept AS (SELECT tp.* FROM tp WHERE NOT EXISTS
+           (SELECT 1 FROM rm WHERE rm.doc_id = tp.doc_id
+                                AND rm.p = tp.p)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt,
+               CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+SELECT t.doc_id, md5(coalesce(a.txt, '')) AS fp,
+       CAST(len(t.ts) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN agg a USING (doc_id)""",
         # topic-shard id assignment: the bucketed two-phase scheme is
         # semantically row_number over (KR-31 bucket of lang, lang,
         # doc_id) — the oracle states it as exactly that window
