@@ -555,6 +555,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from irkit_spark.pipeline.sampling import hash_sample
         return hash_sample(_docs(spark, sf), 1, 5).select("doc_id")
 
+    def q_mixture_sample(spark, sf):
+        # pretraining mixture construction: per-lang epoch weights
+        # (pipeline/sampling.mixture_sample) — en downsampled, zh 2
+        # full epochs, fr 1 epoch + deterministic quarter
+        from irkit_spark.pipeline.sampling import mixture_sample
+        return (mixture_sample(_docs(spark, sf),
+                               {"en": 0.5, "zh": 2.0, "fr": 1.25},
+                               domain_col="lang")
+                .select("doc_id", "lang", "epoch"))
+
     def q_hash_split_counts(spark, sf):
         # 98/1/1 train/val/test labeling (pipeline/sampling.hash_split):
         # the counts prove disjoint total coverage
@@ -1104,7 +1114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver-red r5 (HUGEINT oracle typing, fixed r6) ---
         "event_sessions": q_event_sessions,
         # --- new round-6 entries (inside the window) ---
-        "hash_sample": q_hash_sample,
+        # mixture_sample's fractional-epoch branch IS hash_sample's
+        # residue test (same mix, same den) — the window proves the
+        # stronger op; hash_sample rotates to the judge-checked block
+        "mixture_sample": q_mixture_sample,
         "hash_split_counts": q_hash_split_counts,
         "lm_quality": q_lm_quality,
         "gopher_signals": q_gopher_signals,
@@ -1139,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_fuzzy2_wand_top10": q_index_fuzzy2_wand_top10,
         "index_phrase3_top10": q_index_phrase3_top10,
         "index_snippets_w5": q_index_snippets_w5,
+        "hash_sample": q_hash_sample,
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
         "bm25_taat_top10": q_bm25_taat_top10,
@@ -2483,6 +2497,24 @@ agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt,
 SELECT t.doc_id, md5(coalesce(a.txt, '')) AS fp,
        CAST(len(t.ts) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN agg a USING (doc_id)""",
+        # mixture sampling: per-lang epoch counts; the fractional
+        # epoch is the same portable mix(doc_id) residue test as
+        # hash_sample (weights en=0.5, zh=2.0, fr=1.25, default 1.0
+        # quantized at den=1e6 — 500000/0/250000 residues)
+        "mixture_sample": f"""
+WITH r AS (SELECT doc_id, lang,
+                  {hash_key_sql('doc_id')} % 1000000 AS res
+           FROM documents),
+n AS (SELECT doc_id, lang,
+             CASE lang
+               WHEN 'en' THEN CASE WHEN res < 500000 THEN 1 ELSE 0 END
+               WHEN 'zh' THEN 2
+               WHEN 'fr' THEN 1 + CASE WHEN res < 250000
+                                       THEN 1 ELSE 0 END
+               ELSE 1 END AS k
+      FROM r)
+SELECT doc_id, lang, CAST(unnest(range(k)) AS BIGINT) AS epoch
+FROM n""",
         # topic-shard id assignment: the bucketed two-phase scheme is
         # semantically row_number over (KR-31 bucket of lang, lang,
         # doc_id) — the oracle states it as exactly that window

@@ -272,7 +272,8 @@ def main():
     for name in ["bm25_taat_top10", "tokenize_tf", "dedup_exact",
                  "minhash_lsh_pairs", "simhash_pairs",
                  "simhash_pairs_blocked", "ann_cosine_top10",
-                 "lsh_ann_top10", "quality_scores"]:
+                 "lsh_ann_top10", "quality_scores",
+                 "paragraph_dedup", "substring_dedup"]:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).collect()
         queries[name] = round(time.monotonic() - t0, 3)

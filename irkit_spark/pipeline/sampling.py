@@ -75,3 +75,48 @@ def hash_split(df: DataFrame, den: int, key_col: str = "doc_id",
     for name, b in reversed(bounds[:-1]):
         expr = F.when(r < F.lit(b), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   domain_col: str, key_col: str = "doc_id",
+                   default_weight: float = 1.0,
+                   den: int = 1_000_000) -> DataFrame:
+    """Domain-weighted deterministic up/down-sampling — pretraining
+    mixture construction (the Pile / Llama-style per-source epoch
+    weights). A domain with weight w emits each of its rows
+    floor(w) times (epochs 0..floor(w)-1) plus one more epoch for a
+    deterministic frac(w) subset; w < 1 is a plain downsample, w = 0
+    drops the domain. Domains absent from `weights` get
+    `default_weight`.
+
+    Fully deterministic: the fractional-epoch choice is the same
+    mix(key) residue test as hash_sample — identical rows are kept
+    across reruns, cluster sizes, and engines, and changing one
+    domain's weight does not reshuffle another's sample. Fractions
+    quantize to 1/den (round(frac * den) residues).
+
+    Returns the input rows with an added `epoch` column (long,
+    0-based; upsampled rows appear once per epoch). Scale shape: a
+    codegen'd when-chain over the config-sized weights dict + one
+    explode of a <= ceil(w)-element sequence — no shuffle, no UDF,
+    rand()-free."""
+    if den <= 0:
+        raise ValueError(f"den must be > 0: {den}")
+    plan: dict[str, tuple[int, int]] = {}
+    for dom, w in {**weights, None: default_weight}.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {dom!r}: {w}")
+        full = int(w)
+        plan[dom] = (full, round((w - full) * den))
+    r = F.pmod(hash_key(F.col(key_col)), F.lit(den))
+    d_full, d_frac = plan.pop(None)
+    n = F.lit(d_full) + (r < F.lit(d_frac)).cast("int")
+    for dom in sorted(plan):
+        full, frac = plan[dom]
+        n = F.when(F.col(domain_col) == F.lit(dom),
+                   F.lit(full) + (r < F.lit(frac)).cast("int")) \
+            .otherwise(n)
+    epochs = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+        .otherwise(F.array().cast("array<integer>"))
+    return (df.select("*", F.explode(epochs).alias("epoch"))
+            .withColumn("epoch", F.col("epoch").cast("long")))

@@ -31,6 +31,58 @@ def test_hash_sample_deterministic_and_partition_invariant(spark, docs):
     assert set(a) <= set(c)
 
 
+def test_mixture_sample_weights(spark):
+    from irkit_spark.pipeline.sampling import hash_key, mixture_sample
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = mixture_sample(
+        docs, {"a": 2.0, "b": 0.5, "c": 3.25, "d": 0.0},
+        domain_col="dom").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.dom, []).append((r.doc_id, r.epoch))
+    # integer weight: every 'a' row exactly twice, epochs 0 and 1
+    assert sorted(e for _, e in by["a"]) == [0] * 100 + [1] * 100
+    # w=0 drops the domain entirely
+    assert "d" not in by
+    # downsample: strict subset at epoch 0 only
+    assert 0 < len(by["b"]) < 100
+    assert all(e == 0 for _, e in by["b"])
+    # fractional upsample: all rows at epochs 0-2, a subset at epoch 3
+    e3 = [d for d, e in by["c"] if e == 3]
+    assert sorted(e for _, e in by["c"] if e < 3) == \
+        sorted([0] * 100 + [1] * 100 + [2] * 100)
+    assert 0 < len(e3) < 100
+    # the fractional subset is the SAME residue set hash_sample uses
+    want = {r.doc_id for r in docs.filter(
+        (F.col("dom") == "c")
+        & (F.pmod(hash_key(F.col("doc_id")), F.lit(1_000_000))
+           < F.lit(250_000))).collect()}
+    assert set(e3) == want
+
+
+def test_mixture_sample_default_weight_and_invariance(spark):
+    from irkit_spark.pipeline.sampling import mixture_sample
+    docs = spark.createDataFrame(
+        [(i, "x" if i % 2 else None) for i in range(100)],
+        "doc_id long, dom string")
+    # unlisted and NULL domains get default_weight (here: keep-all)
+    out = mixture_sample(docs, {}, domain_col="dom").collect()
+    assert sorted(r.doc_id for r in out) == list(range(100))
+    assert all(r.epoch == 0 for r in out)
+    # partitioning invariance of the fractional pick
+    half = mixture_sample(docs, {}, domain_col="dom",
+                          default_weight=0.5)
+    a = sorted(r.doc_id for r in half.collect())
+    b = sorted(r.doc_id
+               for r in mixture_sample(docs.repartition(13), {},
+                                       domain_col="dom",
+                                       default_weight=0.5).collect())
+    assert a == b and 0 < len(a) < 100
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"x": -1.0}, domain_col="dom")
+
+
 def test_hash_split_disjoint_total(spark, docs):
     from irkit_spark.pipeline.sampling import hash_split
     out = hash_split(docs, 100).select("doc_id", "split").collect()
