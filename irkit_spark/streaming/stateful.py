@@ -152,3 +152,77 @@ def streaming_sessionize(events: DataFrame,
             .applyInPandasWithState(
                 run, _SESS_OUT, _SESS_STATE,
                 "append", GroupStateTimeout.EventTimeTimeout))
+
+
+# --------------------------- streaming near-dup ---------------------------
+
+_ND_OUT = "doc_id long, dup_of long, band int"
+_ND_STATE = "hashes array<long>, owners array<long>"
+
+
+def streaming_near_dup_candidates(docs: DataFrame,
+                                  n: int = 3,
+                                  state_buckets: int = 4096) -> DataFrame:
+    """docs readStream -> stream of (doc_id, dup_of, band) near-dup
+    CANDIDATE edges across ALL micro-batches — the live form of
+    pipeline.dedup.minhash_lsh_pairs' candidate stage (same shingle
+    size, same N_BANDS x ROWS_PER_BAND signatures, bit-identical band
+    hashes via the shared minhash_signatures kernel).
+
+    Semantics: each (band, band_hash) bucket is OWNED by the first doc
+    that carried it (earlier trigger wins; within a trigger, smaller
+    doc_id — the batch tier's keep-first order). A later doc whose
+    band lands on an owned bucket emits one edge per colliding band,
+    pointing at the owner. Ownership is claimed only by first arrivals
+    (an edge target is always a first-arrival doc), and a doc that
+    collides in one band still claims its OTHER unclaimed bands — so
+    chains link transitively through shared buckets, exactly like the
+    batch LSH candidate graph. Edges are candidates, not verdicts:
+    verify exact Jaccard on the pair payloads downstream (foreachBatch
+    join against the corpus — candidate-local, as in the batch tier),
+    or treat any-band collision as the drop decision the way ingest
+    filters typically run MinHash.
+
+    Scale shape: document text never enters state — the stateful stage
+    sees only (doc_id, band, band_hash) int rows. State shards across
+    N_BANDS x `state_buckets` groups (pick state_buckets so a group's
+    hash map stays ~10^4-10^5 entries; RocksDB provider at corpus
+    scale, as with streaming_dedup); per group it stores two parallel
+    int64 arrays = 16 B per distinct band hash."""
+    from irkit_spark.pipeline.dedup import minhash_signatures
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            hashes, owners = state.get
+            seen = dict(zip(hashes, owners))
+        else:
+            seen = {}
+        out_doc, out_dup, out_band = [], [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["doc_id"].tolist(),
+                            pdf["band"].tolist(),
+                            pdf["band_hash"].tolist()))
+        rows.sort()                       # keep-first within trigger
+        for doc_id, band, bh in rows:
+            owner = seen.get(bh)
+            if owner is None:
+                seen[bh] = doc_id
+            elif owner != doc_id:
+                out_doc.append(doc_id)
+                out_dup.append(owner)
+                out_band.append(band)
+        state.update((list(seen.keys()), list(seen.values())))
+        if out_doc:
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(out_doc, dtype="int64"),
+                 "dup_of": pd.Series(out_dup, dtype="int64"),
+                 "band": pd.Series(out_band, dtype="int32")})
+
+    sig = minhash_signatures(docs, n)
+    keyed = sig.withColumn(
+        "bucket", F.pmod(F.col("band_hash"), F.lit(state_buckets)))
+    return (keyed.groupBy("band", "bucket")
+            .applyInPandasWithState(
+                run, _ND_OUT, _ND_STATE,
+                "append", GroupStateTimeout.NoTimeout))

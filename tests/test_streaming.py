@@ -177,3 +177,81 @@ def test_grow_lexicon_scale_path(spark, tmp_path):
     assert {d["aaa"], d["zzz"]} == {60, 61}
     assert d["aaa"] == 60             # sorted within the delta
     assert c["next_term_id"] == 62
+
+
+def test_streaming_near_dup_candidates(spark, tmp_path):
+    """Stateful streaming LSH: near-copies arriving in LATER
+    micro-batches emit candidate edges pointing at the first-arrival
+    owner; edge targets are always first-arrivals; the streaming edge
+    graph connects exactly the components the batch LSH candidate
+    graph connects on the same union."""
+    from irkit_spark.pipeline.dedup import (minhash_lsh_pairs,
+                                            minhash_signatures)
+    from irkit_spark.streaming.stateful import (
+        streaming_near_dup_candidates)
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen curious penguins watch from the icy shore "
+            "near the old lighthouse %s")
+    rows0 = [(i, base % f"variant {i} alpha beta") for i in range(6)]
+    # batch 1: near-copies of docs 0-2 (one tail token changed) +
+    # genuinely new docs
+    rows1 = [(10 + i, base % f"variant {i} alpha gamma")
+             for i in range(3)]
+    rows1 += [(20 + i, f"completely different text number {i} " * 6
+               + "unrelated content entirely") for i in range(3)]
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    spark.createDataFrame(rows0, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{inp}/b0")
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{inp}/b1")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{inp}/b*"))
+    out = streaming_near_dup_candidates(stream)
+    q = (out.writeStream.format("memory").queryName("nd_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    edges = spark.sql("select doc_id, dup_of, band from nd_sink") \
+        .collect()
+    pairs = {(r.doc_id, r.dup_of) for r in edges}
+    # every near-copy links to its original; originals own the buckets
+    for i in range(3):
+        assert (10 + i, i) in pairs, pairs
+    assert all(d < 10 for _, d in pairs)          # targets first-seen
+    # unrelated docs emit no edges
+    assert all(s < 20 for s, _ in pairs), pairs
+    # cross-check vs the batch tier on the union: every streaming edge
+    # is a batch band collision, and the batch candidate graph's
+    # components are connected by streaming edges
+    union = spark.createDataFrame(rows0 + rows1,
+                                  "doc_id long, text string")
+    sig = minhash_signatures(union).collect()
+    buckets: dict = {}
+    for r in sig:
+        buckets.setdefault((r.band, r.band_hash), []).append(r.doc_id)
+    batch_pairs = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    batch_pairs.add((a, b))
+    assert {tuple(sorted(p)) for p in pairs} <= batch_pairs
+    parent = {d for d, _ in rows0 + rows1}
+    parent = {d: d for d in parent}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    for a, b in batch_pairs:
+        assert find(a) == find(b), (a, b)
+    # and the verified batch pairs (jaccard) are among the components
+    ver = minhash_lsh_pairs(union, verify_threshold=0.8).collect()
+    assert ver and all(find(r.doc_a) == find(r.doc_b) for r in ver)
