@@ -1033,6 +1033,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hybrid_search(idx, Q_BM25_A, emb,
                              _query_vec(spark, sf), k=10, depth=20)
 
+    def q_bpe_pair_counts(spark, sf):
+        # top-20 adjacent-symbol pairs over the word-type table — the
+        # step-0 argmax input of BPE merge learning (pipeline/bpe.py;
+        # the iterative learner itself is pytest-pinned vs a classic
+        # Sennrich reference, driver==distributed identity)
+        from irkit_spark.pipeline.bpe import pair_counts, word_types
+        return (pair_counts(word_types(_docs(spark, sf)))
+                .orderBy(F.desc("n"), "lhs", "rhs").limit(20))
+
     def q_facet_lang_counts(spark, sf):
         # faceting (operators/facets.py): the OR-query's match set
         # counted per documents.lang — pruned postings scan, one join,
@@ -1100,7 +1109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_suggest": q_fuzzy_suggest,
         "eval_metrics": q_eval_metrics,
         "index_mlt_wand_top10": q_index_mlt_wand_top10,
-        "facet_lang_counts": q_facet_lang_counts,
+        # bpe_pair_counts is the distributed core of BPE merge
+        # learning (pipeline/bpe.py); facet_lang_counts rotates to the
+        # judge block (facet_range_nchars keeps facets in-window)
+        "bpe_pair_counts": q_bpe_pair_counts,
         "hybrid_rrf_top10": q_hybrid_rrf_top10,
         "autocomplete_top": q_autocomplete_top,
         "index_not_wand_top10": q_index_not_wand_top10,
@@ -1153,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase3_top10": q_index_phrase3_top10,
         "index_snippets_w5": q_index_snippets_w5,
         "hash_sample": q_hash_sample,
+        "facet_lang_counts": q_facet_lang_counts,
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
         "bm25_taat_top10": q_bm25_taat_top10,
@@ -2515,6 +2528,22 @@ n AS (SELECT doc_id, lang,
       FROM r)
 SELECT doc_id, lang, CAST(unnest(range(k)) AS BIGINT) AS epoch
 FROM n""",
+        # BPE step-0 pair counts: word types via the frozen tokenizer,
+        # adjacent character pairs weighted by type count; (n desc,
+        # lhs, rhs) is a total order over pairs so the LIMIT boundary
+        # is engine-stable
+        "bpe_pair_counts": f"""
+WITH w AS (SELECT unnest({_TOKS}) AS word FROM documents),
+t AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+s AS (SELECT cnt, regexp_extract_all(word, '.') AS cs FROM t
+      WHERE len(word) >= 2),
+p AS (SELECT unnest(list_transform(range(1, len(cs)),
+                    i -> cs[i] || chr(31) || cs[i + 1])) AS pr, cnt
+      FROM s)
+SELECT string_split(pr, chr(31))[1] AS lhs,
+       string_split(pr, chr(31))[2] AS rhs,
+       CAST(sum(cnt) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 20""",
         # topic-shard id assignment: the bucketed two-phase scheme is
         # semantically row_number over (KR-31 bucket of lang, lang,
         # doc_id) — the oracle states it as exactly that window
