@@ -93,20 +93,25 @@ def dedup_paragraphs(docs: DataFrame,
     whose every paragraph was claimed earlier survive with text ''.
 
     Scale shape: paragraphs posexplode once (the one text shuffle);
-    first-occurrence election is a row_number window partitioned by
-    the normalized paragraph key — per-key state only, no global
-    sort; reassembly groups back by doc. Normalization and split are
-    frozen expression text shared with the DuckDB oracle
+    first-occurrence election is groupBy(key).agg(min(struct(doc_id,
+    pos))) + a semi-equality join back — a PARTIAL (map-side combine)
+    aggregate, so a head boilerplate paragraph repeated across
+    millions of docs collapses before the shuffle (a row_number
+    window could not split that key), and AQE can split any residual
+    join skew. Reassembly groups back by doc. Normalization and split
+    are frozen expression text shared with the DuckDB oracle
     (`paragraph_dedup` in __spark_entry__.py)."""
-    from pyspark.sql import Window
     paras = F.split(F.col(text_col), "\n\n", -1)
     other = [c for c in docs.columns if c != text_col]
     ex = (docs.select(*other,
                       F.posexplode(paras).alias("_pos", "_par"))
           .withColumn("_k", _norm(F.col("_par"))))
-    w = Window.partitionBy("_k").orderBy("doc_id", "_pos")
-    kept = (ex.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) | (F.col("_k") == "")))
+    first = (ex.filter(F.col("_k") != "")
+             .groupBy("_k")
+             .agg(F.min(F.struct("doc_id", "_pos")).alias("_f")))
+    kept = (ex.join(first, "_k", "left")
+            .filter((F.col("_k") == "")
+                    | (F.struct("doc_id", "_pos") == F.col("_f"))))
     agg = (kept.groupBy(*other)
            .agg(F.concat_ws(
                     "\n\n",
