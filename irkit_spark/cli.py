@@ -347,6 +347,68 @@ def cmd_lookup(args):
         print(json.dumps(idx.stats, default=str))
 
 
+def cmd_curate(args):
+    """Training-data curation chain over a documents parquet. Stages
+    run in a fixed order (each optional, enabled by its flag):
+    quality filter -> boilerplate-line removal -> paragraph dedup ->
+    substring dedup -> exact dedup keep-first -> hash sample ->
+    mixture sample -> split labeling. Prints a JSON report with the
+    row count after every enabled stage."""
+    spark = _session("irkit-curate")
+    df = spark.read.parquet(args.docs)
+    report = {"in": df.count()}
+    if args.min_tokens is not None:
+        from irkit_spark.pipeline.textstats import quality_filter
+        df = quality_filter(df, min_tokens=args.min_tokens)
+        report["quality_filter"] = df.count()
+    if args.boiler_min_docs is not None:
+        from irkit_spark.pipeline.boilerplate import remove_boilerplate
+        df = remove_boilerplate(df, min_docs=args.boiler_min_docs) \
+            .drop("n_removed")
+        report["boilerplate_lines"] = df.count()
+    if args.dedup_paragraphs:
+        from irkit_spark.pipeline.boilerplate import dedup_paragraphs
+        df = dedup_paragraphs(df).drop("n_removed")
+        report["paragraph_dedup"] = df.count()
+    if args.dedup_substrings is not None:
+        from irkit_spark.pipeline.substring import dedup_substrings
+        df = dedup_substrings(df, n=args.dedup_substrings) \
+            .drop("n_removed")
+        report["substring_dedup"] = df.count()
+    if args.dedup_exact:
+        from irkit_spark.pipeline.dedup import dedup_keep_first
+        df = dedup_keep_first(df)
+        report["exact_dedup"] = df.count()
+    if args.sample:
+        from irkit_spark.pipeline.sampling import hash_sample
+        num, den = (int(x) for x in args.sample.split("/"))
+        df = hash_sample(df, num, den)
+        report["sample"] = df.count()
+    if args.mixture:
+        from irkit_spark.pipeline.sampling import mixture_sample
+        weights = {}
+        for kv in args.mixture.split(","):
+            k, v = kv.split("=")
+            weights[k] = float(v)
+        df = mixture_sample(df, weights, domain_col=args.mixture_col)
+        report["mixture"] = df.count()
+    if args.split:
+        from irkit_spark.pipeline.sampling import hash_split
+        df = hash_split(df, args.split)
+    df.write.mode("overwrite").parquet(args.out)
+    report["out"] = spark.read.parquet(args.out).count()
+    print(json.dumps(report))
+
+
+def cmd_bpe(args):
+    from irkit_spark.pipeline.bpe import learn_bpe
+    spark = _session("irkit-bpe")
+    docs = spark.read.parquet(args.docs)
+    merges = learn_bpe(docs, n_merges=args.merges)
+    merges.coalesce(1).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"merges": merges.count(), "out": args.out}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="irkit_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -599,6 +661,37 @@ def main(argv=None):
     lk.add_argument("--term")
     lk.add_argument("--url")
     lk.set_defaults(fn=cmd_lookup)
+
+    cu = sub.add_parser("curate", help="training-data curation chain "
+                        "over a documents parquet (fixed stage order; "
+                        "each stage opt-in by flag)")
+    cu.add_argument("--docs", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-tokens", type=int, default=None,
+                    help="quality filter: min token count")
+    cu.add_argument("--boiler-min-docs", type=int, default=None,
+                    help="remove lines occurring in >= N docs")
+    cu.add_argument("--dedup-paragraphs", action="store_true",
+                    help="corpus-global paragraph keep-first dedup")
+    cu.add_argument("--dedup-substrings", type=int, default=None,
+                    metavar="N", help="cut duplicated spans >= N tokens")
+    cu.add_argument("--dedup-exact", action="store_true",
+                    help="exact text dedup, keep-first")
+    cu.add_argument("--sample", metavar="NUM/DEN",
+                    help="deterministic hash sample, e.g. 1/10")
+    cu.add_argument("--mixture", metavar="DOM=W,DOM=W",
+                    help="per-domain epoch weights, e.g. en=0.5,zh=2")
+    cu.add_argument("--mixture-col", default="lang")
+    cu.add_argument("--split", type=int, default=None, metavar="DEN",
+                    help="label train/val/test splits at resolution DEN")
+    cu.set_defaults(fn=cmd_curate)
+
+    bp2 = sub.add_parser("bpe", help="learn BPE merges from a "
+                         "documents parquet")
+    bp2.add_argument("--docs", required=True)
+    bp2.add_argument("--out", required=True)
+    bp2.add_argument("--merges", type=int, default=50)
+    bp2.set_defaults(fn=cmd_bpe)
 
     args = ap.parse_args(argv)
     args.fn(args)

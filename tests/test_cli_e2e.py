@@ -239,3 +239,42 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     out = _run(capsys, ["query", "--index", idx3,
                         "--query", "zzupdatedterm", "--k", "10"])
     assert len(_trec_lines(out)) == 5
+
+
+def test_cli_curate_and_bpe(spark, tmp_path, capsys):
+    base = str(tmp_path)
+    docs_path = f"{base}/docs"
+    rows = [(i, "en" if i % 3 else "de",
+             " ".join(f"w{i}x{j}" for j in range(30)))
+            for i in range(40)]
+    rows += [(100 + i, "en", rows[i][2]) for i in range(10)]  # exact dups
+    rows += [(200, "en", "x"), (201, "de", "y y y")]          # too short
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.mode("overwrite").parquet(docs_path)
+
+    out = _run(capsys, ["curate", "--docs", docs_path,
+                        "--out", f"{base}/curated",
+                        "--min-tokens", "10",
+                        "--dedup-exact",
+                        "--mixture", "de=2.0",
+                        "--mixture-col", "lang",
+                        "--split", "100"])
+    rep = json.loads(out)
+    assert rep["in"] == 52
+    assert rep["quality_filter"] == 50        # two short docs dropped
+    assert rep["exact_dedup"] == 40           # 10 exact dups dropped
+    # mixture: 14 'de' docs doubled, 26 'en' docs once = 54
+    assert rep["mixture"] == 54 == rep["out"]
+    cur = spark.read.parquet(f"{base}/curated")
+    assert set(cur.columns) >= {"doc_id", "lang", "text", "epoch",
+                                "split"}
+    assert cur.filter("lang = 'de' and epoch = 1").count() == 14
+    assert {r.split for r in cur.select("split").distinct().collect()} \
+        <= {"train", "val", "test"}
+
+    out = _run(capsys, ["bpe", "--docs", docs_path,
+                        "--out", f"{base}/merges", "--merges", "8"])
+    assert json.loads(out)["merges"] == 8
+    ms = spark.read.parquet(f"{base}/merges").orderBy("step").collect()
+    assert [r.step for r in ms] == list(range(8))
+    assert all(r.merged == r.lhs + r.rhs for r in ms)
