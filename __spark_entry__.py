@@ -30,6 +30,7 @@ Q_AND = "scan filter merge"
 Q_OR = "spark window"
 Q_PHRASE = "spark window"        # ~30 adjacency hits at sf0.01
 Q_PHRASE3 = "value table part"   # trigram: exercises m>2 adjacency
+SYN_GROUPS = [["join", "merge"], ["hash"], ["scan", "filter"]]
 
 _IDX_CACHE: dict[str, str] = {}
 
@@ -1033,6 +1034,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hybrid_search(idx, Q_BM25_A, emb,
                              _query_vec(spark, sf), k=10, depth=20)
 
+    def q_index_synonyms_top10(spark, sf):
+        # Lucene SynonymQuery analog (operators/synonyms.py): groups
+        # score as one pseudo-term — summed tf, exact union df
+        from irkit_spark.operators.query import Index
+        from irkit_spark.operators.synonyms import search_synonyms
+        idx = Index(spark, _index_for(spark, sf))
+        return (search_synonyms(idx, SYN_GROUPS, k=10)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
     def q_bpe_pair_counts(spark, sf):
         # top-20 adjacent-symbol pairs over the word-type table — the
         # step-0 argmax input of BPE merge learning (pipeline/bpe.py;
@@ -1130,7 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # residue test (same mix, same den) — the window proves the
         # stronger op; hash_sample rotates to the judge-checked block
         "mixture_sample": q_mixture_sample,
-        "hash_split_counts": q_hash_split_counts,
+        # index_synonyms_top10 is the round's new query
+        # surface; hash_split_counts (same mix residue as the
+        # in-window mixture_sample) rotates to the judge block
+        "index_synonyms_top10": q_index_synonyms_top10,
         "lm_quality": q_lm_quality,
         "gopher_signals": q_gopher_signals,
         "pii_scrub": q_pii_scrub,
@@ -1165,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase3_top10": q_index_phrase3_top10,
         "index_snippets_w5": q_index_snippets_w5,
         "hash_sample": q_hash_sample,
+        "hash_split_counts": q_hash_split_counts,
         "facet_lang_counts": q_facet_lang_counts,
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
@@ -1321,6 +1335,30 @@ sc AS (
   FROM tf JOIN q USING (term) JOIN ts USING (term)
        JOIN dl USING (doc_id) CROSS JOIN st{where}
   GROUP BY 1{conj})
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _synonyms_sql(groups, k: int) -> str:
+    """SynonymQuery oracle (operators/synonyms.py): per group, tf is
+    SUMMED over members and df is the exact union (count of docs with
+    any member) — then the standard BM25 with the group as one term."""
+    vals = ", ".join(f"('{t}', {gi})"
+                     for gi, g in enumerate(groups) for t in sorted(g))
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+g(term, gid) AS (VALUES {vals}),
+gt AS (SELECT tf.doc_id, g.gid, sum(tf.tf) AS tfg
+       FROM tf JOIN g USING (term) GROUP BY 1, 2),
+gd AS (SELECT gid, count(*) AS df FROM gt GROUP BY 1),
+sc AS (SELECT gt.doc_id,
+              sum(ln(1 + (st.n_docs - gd.df + 0.5) / (gd.df + 0.5))
+                  * gt.tfg / (gt.tfg + {BM25_K1} * (1.0 - {BM25_B}
+                              + {BM25_B} * dl.dl / st.avgdl))) AS s
+       FROM gt JOIN gd USING (gid) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY 1)
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
@@ -2037,6 +2075,7 @@ WITH tf AS ({_TF}), q(term) AS (VALUES {_values(Q_OR.split())})
 SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS sum_tf
 FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_taat_top10": _bm25_sql(Q_BM25_A, 10),
+        "index_synonyms_top10": _synonyms_sql(SYN_GROUPS, 10),
         "index_daat_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),

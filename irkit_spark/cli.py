@@ -97,6 +97,14 @@ def cmd_query(args):
                 print(f"{qid} Q0 {r['doc_id']} {rank} "
                       f"{r['score']:.6f} irkit_spark")
         return
+    if args.synonyms:
+        from irkit_spark.operators.synonyms import search_synonyms
+        groups = [g.split("|") for g in args.query.split(",")]
+        rows = search_synonyms(idx, groups, k=args.k).collect()
+        for rank, r in enumerate(rows, 1):
+            print(f"{args.qid} Q0 {r['doc_id']} {rank} "
+                  f"{r['score']:.6f} irkit_spark")
+        return
     if args.phrase:
         from irkit_spark.operators.positions import phrase_search
         rows = phrase_search(idx, args.query, k=args.k,
@@ -478,6 +486,11 @@ def main(argv=None):
     q.add_argument("--phrase", action="store_true",
                    help="exact-phrase retrieval: --query tokens must "
                         "occur consecutively (needs build-positions)")
+    q.add_argument("--synonyms", action="store_true",
+                   help="parse --query as synonym groups ('|' within "
+                        "a group, ',' between, e.g. 'join|merge,hash')"
+                        ": each group scores as one pseudo-term "
+                        "(summed tf, exact union df)")
     q.add_argument("--slop", type=int, default=0,
                    help="proximity slack with --phrase: consecutive "
                         "tokens may sit up to 1+slop positions apart")
