@@ -1043,6 +1043,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (search_synonyms(idx, SYN_GROUPS, k=10)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
+    def q_score_explain(spark, sf):
+        # per-doc BM25 explanation (operators/explain.explain_score):
+        # summing `contribution` reproduces search()'s score exactly
+        from irkit_spark.operators.explain import explain_score
+        from irkit_spark.operators.query import Index
+        idx = Index(spark, _index_for(spark, sf))
+        return (explain_score(idx, Q_BM25_A, 42)
+                .select("term", "tf", "df",
+                        F.round("idf", 6).alias("idf"),
+                        F.round("tf_norm", 6).alias("tf_norm"),
+                        F.round("contribution", 6).alias("contribution")))
+
     def q_bpe_pair_counts(spark, sf):
         # top-20 adjacent-symbol pairs over the word-type table — the
         # step-0 argmax input of BPE merge learning (pipeline/bpe.py;
@@ -1147,7 +1159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "gopher_signals": q_gopher_signals,
         "pii_scrub": q_pii_scrub,
-        "url_canonicalize": q_url_canonicalize,
+        # score_explain is new; url_canonicalize (exercised inside
+        # the in-window dedup_url_keep_first) rotates to the judge block
+        "score_explain": q_score_explain,
         "dedup_url_keep_first": q_dedup_url_keep_first,
         "domain_caps": q_domain_caps,
         "contamination_8gram": q_contamination,
@@ -1179,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_snippets_w5": q_index_snippets_w5,
         "hash_sample": q_hash_sample,
         "hash_split_counts": q_hash_split_counts,
+        "url_canonicalize": q_url_canonicalize,
         "facet_lang_counts": q_facet_lang_counts,
         "tokenize_tf": q_tokenize_tf,
         "lexicon": q_lexicon,
@@ -2076,6 +2091,26 @@ SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS sum_tf
 FROM tf JOIN q USING (term) GROUP BY doc_id ORDER BY doc_id""",
         "index_taat_top10": _bm25_sql(Q_BM25_A, 10),
         "index_synonyms_top10": _synonyms_sql(SYN_GROUPS, 10),
+        # per-doc explanation: same frozen idf/tf_norm text, doc 42
+        "score_explain": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {_values(sorted(set(Q_BM25_A.split())))}),
+d AS (SELECT dl FROM dl WHERE doc_id = 42)
+SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(ts.df AS BIGINT) AS df,
+       round(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5)), 6)
+           AS idf,
+       round(tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+             * d.dl / st.avgdl)), 6) AS tf_norm,
+       round(ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+               * d.dl / st.avgdl)), 6) AS contribution
+FROM tf JOIN q USING (term) JOIN ts USING (term)
+     CROSS JOIN st CROSS JOIN d
+WHERE tf.doc_id = 42""",
         "index_daat_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top10": _bm25_sql(Q_BM25_A, 10),
         "index_wand_top100": _bm25_sql(Q_BM25_B, 100),

@@ -291,10 +291,16 @@ def cmd_build_positions(args):
 
 
 def cmd_explain(args):
-    from irkit_spark.operators.explain import explain_query
+    from irkit_spark.operators.explain import explain_query, explain_score
     from irkit_spark.operators.query import Index
     spark = _session("irkit-explain")
     idx = Index(spark, args.index)
+    if args.doc_id is not None:
+        rows = explain_score(idx, args.query, args.doc_id).collect()
+        print(json.dumps({"doc_id": args.doc_id,
+                          "score": sum(r["contribution"] for r in rows),
+                          "terms": [r.asDict() for r in rows]}))
+        return
     r = explain_query(idx, args.query, k=args.k,
                       with_shard_bounds=args.bounds)
     print(json.dumps(r))
@@ -574,6 +580,9 @@ def main(argv=None):
     ex.add_argument("--bounds", action="store_true",
                     help="include selective search's per-shard upper "
                          "bounds (one narrow Spark job)")
+    ex.add_argument("--doc-id", type=int, default=None,
+                    help="explain ONE doc instead: per-term BM25 "
+                         "contribution breakdown (Lucene Explanation)")
     ex.set_defaults(fn=cmd_explain)
 
     ml = sub.add_parser("mlt", help="more-like-this: docs similar to "

@@ -99,3 +99,79 @@ def explain_query(index: Index, query: str, k: int = 10,
         from irkit_spark.operators.selective import shard_bounds
         report["shard_bounds"] = shard_bounds(index, qmeta)
     return report
+
+
+def explain_score(index: Index, query: str, doc_id: int):
+    """Per-term BM25 contribution breakdown for ONE document — the
+    Lucene Explanation analog. Returns a DataFrame (term, tf, df,
+    idf, tf_norm, contribution), term ascending; summing
+    `contribution` reproduces search()'s score for the doc exactly
+    (same frozen formula text, tested). Docs lacking every query term
+    (or OOV-only queries) yield zero rows.
+
+    Scale shape: the postings scan partition-prunes to the doc's ONE
+    shard dir and term-prunes to the query's terms; the doc-length
+    lookup rides the gated broadcast when warm (zero extra jobs),
+    else one pruned docs-table row. Everything after decode is a
+    handful of driver-side floats."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from irkit_spark.operators.query import _decode_row_blocks
+
+    spark = index.spark
+    schema = ("term string, tf long, df long, idf double, "
+              "tf_norm double, contribution double")
+    qmeta = index.lookup_query(query)
+    if not qmeta:
+        return spark.createDataFrame([], schema)
+    shard = int(doc_id) // index.docs_per_shard
+    tids = {m["term_id"]: m for m in qmeta}
+    codec = index.codec
+    target = int(doc_id)
+
+    def dec(batches):
+        for pdf in batches:
+            tid_out, tf_out = [], []
+            for _, r in pdf.iterrows():
+                d, t = _decode_row_blocks(list(r["blocks"]), codec)
+                hit = np.searchsorted(d, target)
+                if hit < d.size and d[hit] == target:
+                    tid_out.append(int(r["term_id"]))
+                    tf_out.append(int(t[hit]))
+            yield pd.DataFrame({"term_id": pd.Series(tid_out,
+                                                     dtype="int64"),
+                                "tf": pd.Series(tf_out, dtype="int64")})
+
+    rows = (index.postings
+            .filter((F.col("partition_id") == shard)
+                    & F.col("term_id").isin(list(tids)))
+            .select("term_id", "blocks")
+            .mapInPandas(dec, "term_id long, tf long").collect())
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    dl = None
+    dl_bc = index.doc_len_broadcast()
+    if dl_bc is not None:
+        a = dl_bc.value.get(shard)
+        if a is not None and 0 <= target - shard * index.docs_per_shard \
+                < a.size:
+            dl = int(a[target - shard * index.docs_per_shard])
+    if dl is None or dl <= 0:
+        got = (index.docs.filter(F.col("doc_id") == target)
+               .select("doc_len").collect())
+        if not got:
+            return spark.createDataFrame([], schema)
+        dl = int(got[0]["doc_len"])
+
+    k1, b = config.BM25_K1, config.BM25_B
+    out = []
+    for r in sorted(rows, key=lambda r: tids[r["term_id"]]["term"]):
+        m = tids[r["term_id"]]
+        tf = int(r["tf"])
+        norm = tf / (tf + k1 * (1.0 - b + b * dl / index.avgdl))
+        out.append((m["term"], tf, m["df"], m["idf"], norm,
+                    m["idf"] * norm))
+    return spark.createDataFrame(out, schema)

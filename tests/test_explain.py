@@ -80,3 +80,28 @@ def test_explain_sees_fresh_then_stale_artifacts(spark, exp_index):
     r = explain_query(exp_index, "alpha")
     assert r["artifacts"]["shard_stats"] == "stale"
     assert r["artifacts"]["postings_tier"] == "stale"
+
+
+def test_explain_score_reproduces_search(spark, exp_index):
+    from irkit_spark.operators.explain import explain_score
+    from irkit_spark.operators.query import search
+    q = "alpha gamma"
+    top = search(exp_index, q, 5, "wand").collect()
+    for r in top[:3]:
+        rows = explain_score(exp_index, q, r.doc_id).collect()
+        assert sum(x.contribution for x in rows) == pytest.approx(
+            r.score, abs=1e-9)
+        assert [x.term for x in rows] == sorted(x.term for x in rows)
+        # idf * tf_norm == contribution, per row
+        for x in rows:
+            assert x.contribution == pytest.approx(x.idf * x.tf_norm,
+                                                   abs=1e-12)
+    # a doc with only one of the terms explains with one row
+    one = explain_score(exp_index, q, 0).collect()   # i%3==0: no gamma
+    assert [x.term for x in one] == ["alpha"] and one[0].tf == 1
+
+
+def test_explain_score_edges(spark, exp_index):
+    from irkit_spark.operators.explain import explain_score
+    assert explain_score(exp_index, "nosuchterm", 0).count() == 0
+    assert explain_score(exp_index, "alpha", 10**9).count() == 0
