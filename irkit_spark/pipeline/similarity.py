@@ -509,3 +509,75 @@ def dedup_embedding_keep_first(emb: DataFrame, threshold: float = 0.95,
     losers.count()
     comp.unpersist()
     return emb.join(losers, id_col, "left_anti")
+
+
+# ------------------------------ MMR diversification ----------------------
+
+MMR_MAX_CANDIDATES = 10_000
+
+
+def mmr_rerank(cands: DataFrame, emb: DataFrame, k: int = 10,
+               lam: float = 0.5, id_col: str = "vec_id",
+               vec_col: str = "emb",
+               max_candidates: int = MMR_MAX_CANDIDATES) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of a candidate result set: greedily pick k results trading
+    relevance against redundancy,
+        mmr(d) = lam * rel(d) - (1 - lam) * max cos(d, selected),
+    rel = the candidate score min-max normalized over the set (so lam
+    is scale-free), ties broken by ascending id at every step; the
+    first pick is the relevance top-1. Returns (id, score, mmr, rank)
+    with rank 1..k in selection order.
+
+    Scale shape: candidates are RESULT-sized (a top-N from search /
+    ANN / hybrid — the same driver-bounded contract as the serving
+    kernel), so the greedy loop runs on the driver over at most
+    `max_candidates` vectors fetched with ONE semi-join against the
+    embeddings table; above the guard it raises rather than collecting
+    an unbounded set. Candidates missing an embedding are dropped (they
+    cannot be diversified against)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    rows = (cands.select(F.col(cands.columns[0]).alias("_id"),
+                         F.col("score"))
+            .join(emb.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).alias("_v")), "_id")
+            .limit(max_candidates + 1).collect())
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank got > max_candidates={max_candidates} "
+            "candidates; diversify a top-N result set, not a corpus")
+    spark = cands.sparkSession
+    schema = (f"{cands.columns[0]} long, score double, mmr double, "
+              "rank long")
+    if not rows:
+        return spark.createDataFrame([], schema)
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    rel = np.array([r["score"] for r in rows], dtype=np.float64)
+    m = np.array([r["_v"] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    m = m / n[:, None]
+    span = rel.max() - rel.min()
+    nrel = (rel - rel.min()) / span if span > 0 else np.ones_like(rel)
+    # deterministic candidate order: ids ascending
+    order = np.argsort(ids)
+    ids, rel, nrel, m = ids[order], rel[order], nrel[order], m[order]
+    selected: list[int] = []
+    max_sim = np.full(ids.size, -1.0)
+    out = []
+    for rank in range(1, min(k, ids.size) + 1):
+        if not selected:
+            mmr = lam * nrel.copy()
+        else:
+            mmr = lam * nrel - (1.0 - lam) * max_sim
+        mmr[selected] = -np.inf
+        best = int(np.argmax(mmr))        # argmax takes FIRST max:
+        selected.append(best)             # ties -> lowest id (sorted)
+        out.append((int(ids[best]), float(rel[best]),
+                    float(mmr[best]), rank))
+        sims = m @ m[best]
+        max_sim = np.maximum(max_sim, sims)
+    return spark.createDataFrame(out, schema)

@@ -22,15 +22,20 @@ base 257, gram hash base 263, both mod 2^31-1 — identical to
 pipeline/contamination.py) so the DuckDB oracle (`substring_dedup`
 in __spark_entry__.py) reproduces every hash bit-for-bit.
 
-Scale shape: one Arrow kernel pass over text emits (doc_id, pos, gh)
-int64 triples — document text itself never shuffles. First-occurrence
-election is groupBy(gh).agg(min(struct(doc_id, pos))) — a partial
-(map-side combine) aggregate, so corpus-head grams (boilerplate
-sentences repeated across millions of pages) collapse before the
-shuffle, then one int-triple join back on gh (AQE splits any residual
-skewed key — a window row_number over gh could not). Covered
-positions explode xN as (doc_id, p) int pairs; reassembly is one
-declarative projection with the removed-position array joined per
+Scale shape: the Arrow kernel emits (doc_id, pos, gh) int64 triples —
+document text itself never shuffles. First-occurrence election is
+groupBy(gh).agg(min(struct(doc_id, pos))) — a partial (map-side
+combine) aggregate, so corpus-head grams (boilerplate sentences
+repeated across millions of pages) collapse before the shuffle, then
+one int-triple join back on gh (AQE splits any residual skewed key —
+a window row_number over gh could not). Because the election's
+aggregate and the join both consume the kernel output, Catalyst plans
+the kernel twice (column pruning defeats exchange reuse): the corpus
+is tokenized+hashed in two passes, but only int triples ever shuffle
+— the classic ExactSubstr trade (suffix-array builds are also
+multi-pass); callers looping over one corpus can persist() the input.
+Covered positions explode xN as (doc_id, p) int pairs; reassembly is
+one declarative projection with the removed-position array joined per
 affected doc (bounded by doc length).
 """
 

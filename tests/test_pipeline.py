@@ -620,3 +620,57 @@ def test_bigram_pmi_matches_reference(spark):
     got = {(r["w1"], r["w2"]): r["pmi"]
            for r in bigram_pmi(docs, min_count=2).collect()}
     assert got[("quick", "fox")] > got[("the", "quick")]
+
+
+def test_mmr_rerank_diversifies(spark):
+    from irkit_spark.pipeline.similarity import mmr_rerank
+    # doc 0 and 1 nearly identical vectors, both high-score; doc 2
+    # orthogonal with lower score: MMR at lam=0.5 must pick 0 then 2
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.04, 0.0]),
+         (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.999, 0.04])],
+        "vec_id long, emb array<double>")
+    cands = spark.createDataFrame(
+        [(0, 10.0), (1, 9.9), (2, 6.0), (3, 5.9)],
+        "doc_id long, score double")
+    got = mmr_rerank(cands, emb, k=3, lam=0.5).collect()
+    assert [r.doc_id for r in got] == [0, 2, 1]
+    assert [r.rank for r in got] == [1, 2, 3]
+    # pure relevance at lam=1 restores score order
+    rel = mmr_rerank(cands, emb, k=4, lam=1.0).collect()
+    assert [r.doc_id for r in rel] == [0, 1, 2, 3]
+    # brute-force parity at lam=0.7 on the same set
+    import numpy as np
+    ids = np.array([0, 1, 2, 3]); sc = np.array([10.0, 9.9, 6.0, 5.9])
+    m = np.array([[1, 0, 0], [0.999, 0.04, 0], [0, 1, 0],
+                  [0, 0.999, 0.04]], dtype=float)
+    m = m / np.linalg.norm(m, axis=1)[:, None]
+    nrel = (sc - sc.min()) / (sc.max() - sc.min())
+    sel, ms = [], np.full(4, -1.0)
+    for _ in range(4):
+        mmr = 0.7 * nrel - (0 if not sel else 0.3 * ms)
+        mmr[sel] = -np.inf
+        b = int(np.argmax(mmr)); sel.append(b)
+        ms = np.maximum(ms, m @ m[b])
+    want = [int(ids[i]) for i in sel]
+    got7 = [r.doc_id for r in
+            mmr_rerank(cands, emb, k=4, lam=0.7).collect()]
+    assert got7 == want
+
+
+def test_mmr_rerank_guards(spark):
+    from irkit_spark.pipeline.similarity import mmr_rerank
+    emb = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, emb array<double>")
+    cands = spark.createDataFrame([(0, 1.0), (5, 2.0)],
+                                  "doc_id long, score double")
+    # candidate without an embedding drops; k beyond set truncates
+    got = mmr_rerank(cands, emb, k=10).collect()
+    assert [r.doc_id for r in got] == [0]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mmr_rerank(cands, emb, k=0)
+    with _pt.raises(ValueError):
+        mmr_rerank(cands, emb, k=3, lam=1.5)
+    with _pt.raises(ValueError):
+        mmr_rerank(cands, emb, k=3, max_candidates=0)
