@@ -1055,6 +1055,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("tf_norm", 6).alias("tf_norm"),
                         F.round("contribution", 6).alias("contribution")))
 
+    def q_event_funnel(spark, sf):
+        # ordered funnel (pipeline/events.funnel): strict-after
+        # qualification, earliest valid timestamp per stage
+        from irkit_spark.pipeline.events import funnel
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return funnel(ev, ["view", "click", "purchase"])
+
+    def q_event_props_stats(spark, sf):
+        # JSON props extraction aggregate (pipeline/events.props_stats)
+        from irkit_spark.pipeline.events import props_stats
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return props_stats(ev)
+
     def q_bpe_pair_counts(spark, sf):
         # top-20 adjacent-symbol pairs over the word-type table — the
         # step-0 argmax input of BPE merge learning (pipeline/bpe.py;
@@ -1128,7 +1141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_updated_wand_top10": q_index_updated_wand_top10,
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
         "index_fuzzy_wand_top10": q_index_fuzzy_wand_top10,
-        "fuzzy_suggest": q_fuzzy_suggest,
+        # event_funnel/props_stats are new; fuzzy_suggest and
+        # autocomplete_top (r5 judge-verified lexicon-dict reads)
+        # rotate to the judge block
+        "event_funnel": q_event_funnel,
         "eval_metrics": q_eval_metrics,
         "index_mlt_wand_top10": q_index_mlt_wand_top10,
         # bpe_pair_counts is the distributed core of BPE merge
@@ -1136,7 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # judge block (facet_range_nchars keeps facets in-window)
         "bpe_pair_counts": q_bpe_pair_counts,
         "hybrid_rrf_top10": q_hybrid_rrf_top10,
-        "autocomplete_top": q_autocomplete_top,
+        "event_props_stats": q_event_props_stats,
         "index_not_wand_top10": q_index_not_wand_top10,
         "index_segments_wand_top10": q_index_segments_wand_top10,
         "index_boost_wand_top10": q_index_boost_wand_top10,
@@ -1192,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase3_top10": q_index_phrase3_top10,
         "index_snippets_w5": q_index_snippets_w5,
         "hash_sample": q_hash_sample,
+        "fuzzy_suggest": q_fuzzy_suggest,
+        "autocomplete_top": q_autocomplete_top,
         "hash_split_counts": q_hash_split_counts,
         "url_canonicalize": q_url_canonicalize,
         "facet_lang_counts": q_facet_lang_counts,
@@ -2602,6 +2620,28 @@ n AS (SELECT doc_id, lang,
       FROM r)
 SELECT doc_id, lang, CAST(unnest(range(k)) AS BIGINT) AS epoch
 FROM n""",
+        # ordered funnel: stage CTE chain, strict-after qualification
+        "event_funnel": """
+WITH s0 AS (SELECT user_id, min(ts) AS qt FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts) AS qt FROM events e
+       JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s0.qt GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS qt FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s1.qt GROUP BY 1)
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'view', (SELECT count(*) FROM s0)),
+  (CAST(1 AS BIGINT), 'click', (SELECT count(*) FROM s1)),
+  (CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)))
+  t(stage, event_type, n_users)""",
+        # JSON props extraction aggregate
+        "event_props_stats": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_key,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1""",
         # BPE step-0 pair counts: word types via the frozen tokenizer,
         # adjacent character pairs weighted by type count; (n desc,
         # lhs, rhs) is a total order over pairs so the LIMIT boundary

@@ -97,3 +97,50 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .withColumn("duration_us",
                         epoch_us("session_end")
                         - epoch_us("session_start")))
+
+
+def funnel(events: DataFrame, stages: list[str]) -> DataFrame:
+    """Ordered funnel analysis (the classic event-log op): how many
+    users reach each stage IN ORDER — a user counts for stage i when
+    they have a stages[i] event at a timestamp STRICTLY after the
+    timestamp that qualified them for stage i-1 (strict ordering, so
+    one event can never satisfy two stages; the qualifying timestamp
+    is the earliest valid one, which maximizes downstream matches —
+    the standard greedy funnel semantics). Returns (stage, event_type,
+    n_users), stage ascending 0-based.
+
+    Scale shape: one filter + min-aggregate per stage keyed by
+    user_id (len(stages) small, each a partial aggregate) and a join
+    against the previous stage's (user, ts) — shuffles carry (long,
+    long) pairs only, never event payloads."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    out_rows = []
+    prev = None
+    for i, s in enumerate(stages):
+        cur = events.filter(F.col("event_type") == s) \
+            .select("user_id", "ts")
+        if prev is not None:
+            cur = (cur.join(prev.select("user_id",
+                                        F.col("_qt").alias("_pt")),
+                            "user_id")
+                   .filter(F.col("ts") > F.col("_pt"))
+                   .select("user_id", "ts"))
+        prev = cur.groupBy("user_id").agg(F.min("ts").alias("_qt"))
+        out_rows.append((i, s, prev.count()))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        out_rows, "stage long, event_type string, n_users long")
+
+
+def props_stats(events: DataFrame, key: str = "k",
+                round_dp: int = 6) -> DataFrame:
+    """(event_type, n_events, sum_key, avg_value): per-type aggregate
+    over a JSON field extracted from `props` — the semi-structured
+    column surface (Spark get_json_object == DuckDB json_extract).
+    One codegen'd scan + one small groupBy."""
+    kv = F.get_json_object(F.col("props"), f"$.{key}").cast("long")
+    return (events.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(kv).cast("long").alias("sum_key"),
+                 F.round(F.avg("value"), round_dp).alias("avg_value")))

@@ -194,3 +194,44 @@ def test_streaming_sessionize(spark, events, tmp_path):
     for u, sessions in batch.items():
         for s in sessions[:-1]:
             assert s in got.get(u, []), (u, s)
+
+
+def test_funnel_ordered_strict(spark):
+    import datetime as dt
+    from irkit_spark.pipeline.events import funnel
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1 completes in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: click BEFORE view -> stops at stage 0 (view only)
+        (2, t(5), "click"), (2, t(6), "view"),
+        # user 3: view+click same order but purchase before click
+        (3, t(1), "view"), (3, t(2), "purchase"), (3, t(3), "click"),
+        # user 4: simultaneous view/click -> strict > rejects stage 1
+        (4, t(7), "view"), (4, t(7), "click"),
+        # user 5: never views
+        (5, t(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, (u, ts, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    got = {r.stage: (r.event_type, r.n_users)
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {0: ("view", 4), 1: ("click", 2), 2: ("purchase", 1)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        funnel(ev, [])
+
+
+def test_props_stats_json_extraction(spark):
+    from irkit_spark.pipeline.events import props_stats
+    ev = spark.createDataFrame(
+        [(0, None, 1, "a", 2.0, '{"k": 3}'),
+         (1, None, 2, "a", 4.0, '{"k": 5}'),
+         (2, None, 3, "b", 1.0, '{"j": 9}')],   # no k -> null, sum skips
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    got = {r.event_type: (r.n_events, r.sum_key, r.avg_value)
+           for r in props_stats(ev).collect()}
+    assert got == {"a": (2, 8, 3.0), "b": (1, None, 1.0)}
