@@ -71,3 +71,71 @@ def test_stopword_query_still_correct(spark, skewed_index):
     c1 = [r["doc_id"] for r in search(idx, "commonword", 10, "wand").collect()]
     c2 = [r["doc_id"] for r in search(idx, "commonword", 10, "wand").collect()]
     assert c1 == c2 and len(c1) == 10
+
+
+# ------------------- round-6 op plan shapes (scale claims, pinned) -------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mixture_sample_is_shuffle_free(spark):
+    from irkit_spark.pipeline.sampling import mixture_sample
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)],
+        "doc_id long, lang string")
+    plan = _plan(mixture_sample(docs, {"en": 0.5, "de": 2.25},
+                                domain_col="lang"))
+    # one codegen'd projection + explode: NO exchange anywhere
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_hash_sample_pushes_no_shuffle_and_prunes(spark, tmp_path):
+    from irkit_spark.pipeline.sampling import hash_sample
+    p = str(tmp_path / "docs")
+    spark.createDataFrame([(i, f"t{i}") for i in range(50)],
+                          "doc_id long, text string") \
+        .write.parquet(p)
+    df = hash_sample(spark.read.parquet(p), 1, 5).select("doc_id")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    # column pruning reaches the scan: text is not read
+    assert "text" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_dedup_elections_aggregate_map_side(spark):
+    """The substring/paragraph first-occurrence elections must be
+    partial (map-side combining) aggregates — the skew story vs a
+    window — visible as two-phase HashAggregate (partial_min) in the
+    physical plan."""
+    from irkit_spark.pipeline.boilerplate import dedup_paragraphs
+    from irkit_spark.pipeline.substring import duplicate_anchors
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(20)],
+        "doc_id long, text string")
+    assert "partial_min" in _plan(duplicate_anchors(docs, 3))
+    assert "partial_min" in _plan(dedup_paragraphs(docs))
+
+
+def test_funnel_joins_carry_pairs_only(spark):
+    import datetime as dt
+    from irkit_spark.pipeline.events import funnel
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, 0, i % 50), i % 7,
+          ["view", "click"][i % 2], 0.0, "{}") for i in range(60)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    out = funnel(ev, ["view", "click"])
+    assert [r.event_type for r in out.collect()] == ["view", "click"]
+    # the stage plan never carries event payload columns past the scan
+    # (funnel() runs eagerly; re-derive one stage's plan shape)
+    from pyspark.sql import functions as F
+    stage = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts")
+             .groupBy("user_id").agg(F.min("ts")))
+    plan = _plan(stage)
+    assert "partial_min" in plan
+    for col in ("props", "value", "event_id"):
+        assert col not in plan.split("ReadSchema")[-1][:200]
