@@ -501,6 +501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_shingle_jaccard(spark, sf):
         return dd.shingle_jaccard_pairs(_docs(spark, sf), 3, 0.1)
 
+    def q_containment(spark, sf):
+        # asymmetric near-dup (pipeline/dedup.containment_pairs)
+        return dd.containment_pairs(_docs(spark, sf), 3, 0.3)
+
     def q_token_counts(spark, sf):
         return ts.token_counts(_docs(spark, sf))
 
@@ -1245,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "token_jaccard_pairs": q_token_jaccard,
         "shingle_jaccard_pairs": q_shingle_jaccard,
+        "containment_pairs": q_containment,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
         "bigram_pmi": q_bigram_pmi,
@@ -2187,6 +2192,26 @@ SELECT doc_a, doc_b,
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
      JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.1""",
+        "containment_pairs": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS term FROM base),
+sh AS (SELECT DISTINCT a.doc_id,
+              a.term || ' ' || b.term || ' ' || c.term AS sh
+       FROM tok a
+       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / sa.n, 6) AS c_ab,
+       round(inter * 1.0 / sb.n, 6) AS c_ba
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+     JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(round(inter * 1.0 / sa.n, 6),
+               round(inter * 1.0 / sb.n, 6)) >= 0.3""",
         "token_counts": f"""
 SELECT doc_id, len({_TOKS}) AS n_tokens,
        len(list_distinct({_TOKS})) AS n_unique,

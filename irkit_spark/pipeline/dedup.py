@@ -221,6 +221,53 @@ def shingle_jaccard_pairs(docs: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "jac"))
 
 
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      threshold: float = 0.5,
+                      max_rows: int | None = _JACCARD_GUARD_ROWS
+                      ) -> DataFrame:
+    """(doc_a, doc_b, c_ab, c_ba): ASYMMETRIC near-dup — shingle
+    containment c_ab = |A∩B| / |A| (how much of A sits inside B),
+    pairs kept when max(c_ab, c_ba) >= threshold, doc_a < doc_b.
+    Catches subset duplicates (a short doc quoted whole inside a long
+    one) that symmetric Jaccard structurally misses: J = inter /
+    (na + nb - inter) -> 0 as nb grows even at c_ab = 1, which is also
+    why MinHash-Jaccard LSH banding CANNOT serve as a candidate stage
+    here — a contained doc's bands almost never collide with its
+    container's. The sound candidate join is the shared-shingle
+    equi-join below (only docs sharing >= 1 shingle ever meet; cost is
+    sum of per-shingle df^2, so it stays behind the same guard as the
+    exact-Jaccard forms; at corpus scale shed the head shingles first
+    — boilerplate.remove_boilerplate — then containment's join cost
+    collapses with them)."""
+    _guard_pair_scale(docs, "containment_pairs", max_rows)
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    windows = F.when(
+        F.size("toks") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (base.select("doc_id",
+                      F.explode(F.array_distinct(windows)).alias("sh")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (l.join(r, (F.col("l.sh") == F.col("r.sh"))
+                    & (F.col("l.doc_id") < F.col("r.doc_id")))
+             .groupBy(F.col("l.doc_id").alias("doc_a"),
+                      F.col("r.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a") \
+              .withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b") \
+              .withColumnRenamed("n", "nb")
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("c_ab", F.round(F.col("inter") / F.col("na"), 6))
+            .withColumn("c_ba", F.round(F.col("inter") / F.col("nb"), 6))
+            .filter(F.greatest("c_ab", "c_ba") >= threshold)
+            .select("doc_a", "doc_b", "c_ab", "c_ba"))
+
+
 # ------------------------------------------------------------ minhash-lsh
 
 def _shingle_hash_rows(batches, n: int):

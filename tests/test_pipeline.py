@@ -674,3 +674,27 @@ def test_mmr_rerank_guards(spark):
         mmr_rerank(cands, emb, k=3, lam=1.5)
     with _pt.raises(ValueError):
         mmr_rerank(cands, emb, k=3, max_candidates=0)
+
+
+def test_containment_asymmetric(spark):
+    from irkit_spark.pipeline.dedup import containment_pairs
+    long_txt = " ".join(f"w{i}" for i in range(40))
+    short_txt = " ".join(f"w{i}" for i in range(10, 18))   # inside long
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, long_txt), (1, short_txt), (2, other)],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.c_ab, r.c_ba)
+           for r in containment_pairs(docs, 3, 0.5).collect()}
+    # the short doc is FULLY contained: c_ba = 1.0; jaccard would be
+    # tiny (6/38) and below any sane threshold — the asymmetric win
+    assert got == {(0, 1): (round(6 / 38, 6), 1.0)}
+    from irkit_spark.pipeline.dedup import shingle_jaccard_pairs
+    jac = {(r.doc_a, r.doc_b): r.jac
+           for r in shingle_jaccard_pairs(docs, 3, 0.0).collect()}
+    assert jac[(0, 1)] < 0.2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        containment_pairs(docs, 3, 0.0)
+    with _pt.raises(Exception):
+        containment_pairs(docs, 3, 0.5, max_rows=1)
