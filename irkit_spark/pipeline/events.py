@@ -144,3 +144,30 @@ def props_stats(events: DataFrame, key: str = "k",
             .agg(F.count("*").cast("long").alias("n_events"),
                  F.sum(kv).cast("long").alias("sum_key"),
                  F.round(F.avg("value"), round_dp).alias("avg_value")))
+
+
+def retention(events: DataFrame) -> DataFrame:
+    """Cohort retention (the classic product-analytics triangle):
+    users are cohorted by the UTC day of their first event; for every
+    (cohort_day, day offset) the count of cohort users active on that
+    offset day. Returns (cohort_day, day_offset, n_users) with
+    cohort_day as EPOCH DAYS (long) — the repo's portable-time rule:
+    date/timestamp objects coerce differently per engine on the
+    driver's hash path, integers never do. Offset 0 = the cohort day.
+
+    Scale shape: one (user_id -> first ts) partial min-aggregate, one
+    pair-only join back, one distinct-count groupBy keyed by
+    (cohort, offset, user) then (cohort, offset) — shuffles carry
+    (long, date, int) tuples, never event payloads."""
+    first = (events.groupBy("user_id")
+             .agg(F.min("ts").alias("_ft")))
+    joined = (events.select("user_id", "ts")
+              .join(first, "user_id")
+              .select(F.datediff(F.to_date("_ft"), F.lit("1970-01-01"))
+                      .cast("long").alias("cohort_day"),
+                      F.datediff(F.to_date("ts"), F.to_date("_ft"))
+                      .cast("long").alias("day_offset"),
+                      "user_id"))
+    return (joined.distinct()
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count("*").cast("long").alias("n_users")))

@@ -235,3 +235,25 @@ def test_props_stats_json_extraction(spark):
     got = {r.event_type: (r.n_events, r.sum_key, r.avg_value)
            for r in props_stats(ev).collect()}
     assert got == {"a": (2, 8, 3.0), "b": (1, None, 1.0)}
+
+
+def test_retention_cohorts(spark):
+    import datetime as dt
+    from irkit_spark.pipeline.events import retention
+    d = lambda day, h: dt.datetime(2024, 1, day, h)
+    rows = [
+        (1, d(1, 9)), (1, d(1, 15)),           # u1: day-1 cohort, d0 x2
+        (1, d(3, 1)),                          # ... active offset 2
+        (2, d(1, 23)), (2, d(2, 0)),           # u2: d0 and offset 1
+        (3, d(2, 5)),                          # u3: day-2 cohort, d0
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "view", 0.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    epoch = dt.date(1970, 1, 1)
+    c1 = (dt.date(2024, 1, 1) - epoch).days
+    c2 = (dt.date(2024, 1, 2) - epoch).days
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in retention(ev).collect()}
+    assert got == {(c1, 0): 2, (c1, 1): 1, (c1, 2): 1, (c2, 0): 1}
