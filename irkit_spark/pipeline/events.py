@@ -112,7 +112,10 @@ def funnel(events: DataFrame, stages: list[str]) -> DataFrame:
     Scale shape: one filter + min-aggregate per stage keyed by
     user_id (len(stages) small, each a partial aggregate) and a join
     against the previous stage's (user, ts) — shuffles carry (long,
-    long) pairs only, never event payloads."""
+    long) pairs only, never event payloads. Each stage's qualifier
+    table is persisted and materialized by its own count, so the
+    events table is scanned once PER STAGE, not once per stage pair
+    (the naive chained-lineage form is O(stages^2) scans)."""
     if not stages:
         raise ValueError("stages must be non-empty")
     out_rows = []
@@ -126,8 +129,14 @@ def funnel(events: DataFrame, stages: list[str]) -> DataFrame:
                             "user_id")
                    .filter(F.col("ts") > F.col("_pt"))
                    .select("user_id", "ts"))
-        prev = cur.groupBy("user_id").agg(F.min("ts").alias("_qt"))
-        out_rows.append((i, s, prev.count()))
+        nxt = cur.groupBy("user_id").agg(F.min("ts").alias("_qt")) \
+            .persist()
+        out_rows.append((i, s, nxt.count()))    # materializes nxt
+        if prev is not None:
+            prev.unpersist()
+        prev = nxt
+    if prev is not None:
+        prev.unpersist()
     spark = events.sparkSession
     return spark.createDataFrame(
         out_rows, "stage long, event_type string, n_users long")
