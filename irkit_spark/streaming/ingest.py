@@ -207,3 +207,59 @@ def ingest_available_now(spark: SparkSession, input_dir: str,
         merge_indexes(spark, c["batches"],
                       os.path.join(out_dir, "current"))
     return c
+
+
+def streaming_term_counts(pages: DataFrame, window: str = "1 day",
+                          watermark: str = "1 day",
+                          text_col: str = "text") -> DataFrame:
+    """Trending terms at ingest: tumbling-window term counts over a
+    pages READSTREAM — (window_start, term, n_docs, n_occurrences),
+    windowed on warc_ts with a watermark so closed windows' state
+    drops (the crawl-monitoring op: which terms surged this window).
+    With an availableNow run over a static input it produces exactly
+    the batch twin `batch_term_counts` rows (tested).
+
+    Scale shape: the per-batch explode emits (ts, term) pairs only
+    (the frozen tokenizer expression, JVM-side — no Python in the
+    stream) and the windowed aggregate is a standard partial+final
+    hash aggregate keyed by (window, term); state is bounded by
+    vocab x open windows."""
+    from irkit_spark.config import TOKEN_RE
+    toks = pages.select(
+        F.col("warc_ts").cast("timestamp").alias("ts"),
+        F.array_distinct(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)).alias("td"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0).alias("ta"))
+    per_doc = toks.select(
+        "ts", F.explode("ta").alias("term"),
+        F.lit(0).alias("_d")).unionByName(
+        toks.select("ts", F.explode("td").alias("term"),
+                    F.lit(1).alias("_d")))
+    return (per_doc.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "term")
+            .agg(F.sum("_d").cast("long").alias("n_docs"),
+                 F.sum(1 - F.col("_d")).cast("long")
+                 .alias("n_occurrences"))
+            .select(F.col("w.start").alias("window_start"), "term",
+                    "n_docs", "n_occurrences"))
+
+
+def batch_term_counts(pages: DataFrame, window: str = "1 day",
+                      text_col: str = "text") -> DataFrame:
+    """The batch twin of streaming_term_counts (same expressions, no
+    watermark) — and the comparison target in tests."""
+    from irkit_spark.config import TOKEN_RE
+    ta = F.regexp_extract_all(F.lower(F.col(text_col)),
+                              F.lit(TOKEN_RE), 0)
+    occ = pages.select(F.col("warc_ts").cast("timestamp").alias("ts"),
+                       F.explode(ta).alias("term"))
+    docs = pages.select(F.col("warc_ts").cast("timestamp").alias("ts"),
+                        F.explode(F.array_distinct(ta)).alias("term"))
+    o = (occ.groupBy(F.window("ts", window).alias("w"), "term")
+         .agg(F.count("*").cast("long").alias("n_occurrences")))
+    d = (docs.groupBy(F.window("ts", window).alias("w"), "term")
+         .agg(F.count("*").cast("long").alias("n_docs")))
+    return (o.join(d, ["w", "term"])
+            .select(F.col("w.start").alias("window_start"), "term",
+                    "n_docs", "n_occurrences"))

@@ -255,3 +255,43 @@ def test_streaming_near_dup_candidates(spark, tmp_path):
     # and the verified batch pairs (jaccard) are among the components
     ver = minhash_lsh_pairs(union, verify_threshold=0.8).collect()
     assert ver and all(find(r.doc_a) == find(r.doc_b) for r in ver)
+
+
+def test_streaming_term_counts_equal_batch(spark, tmp_path):
+    """Windowed trending-term counts on a stream == the batch twin on
+    the same static input (availableNow, windows closed by watermark)."""
+    from irkit_spark.sources.pages import PAGES_SCHEMA, pages_pandas
+    from irkit_spark.streaming.ingest import (batch_term_counts,
+                                              streaming_term_counts)
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    pdf = pages_pandas(150)
+    spark.createDataFrame(pdf.iloc[:70]).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{inp}/b0")
+    spark.createDataFrame(pdf.iloc[70:]).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{inp}/b1")
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{inp}/b*"))
+
+    def _extract(df):
+        from irkit_spark.functions.extract import extract_text_udf
+        return df.withColumn("text", extract_text_udf()(F.col("html")))
+
+    q = (streaming_term_counts(_extract(stream), window="10 minutes",
+                               watermark="0 seconds")
+         .writeStream.format("memory").queryName("ttc_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ttc"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.window_start, r.term): (r.n_docs, r.n_occurrences)
+           for r in spark.sql("select * from ttc_sink").collect()}
+    static = _extract(spark.createDataFrame(pdf))
+    want = {(r.window_start, r.term): (r.n_docs, r.n_occurrences)
+            for r in batch_term_counts(static, "10 minutes").collect()}
+    # append mode emits only watermark-CLOSED windows (end <= max ts):
+    # the stream must equal the batch twin restricted to closed windows
+    import datetime as dt
+    max_ts = pdf["warc_ts"].max().to_pydatetime()
+    closed = {k: v for k, v in want.items()
+              if k[0] + dt.timedelta(minutes=10) <= max_ts}
+    assert got == closed and got
