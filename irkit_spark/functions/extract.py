@@ -125,6 +125,42 @@ def extract_text_dom(html_bytes: bytes | None) -> str:
 EXTRACTORS = {"frozen": extract_text, "dom": extract_text_dom}
 
 
+def _extract_text_nows(html_bytes: bytes | None) -> str:
+    """Frozen extract WITHOUT the final whitespace-collapse pass.
+
+    For consumers that immediately tokenize ([a-z0-9]+ runs of the
+    lowered string): whitespace is never part of a token and never
+    joins two alnum runs, so `findall(TOKEN_RE, x.lower())` is
+    invariant under `_WS.sub(' ', x).strip()` — the collapse is pure
+    overhead there (measured ~70% of extract_text wall on the bench
+    corpus). extract_text stays the byte-identity surface."""
+    if html_bytes is None:
+        return ""
+    try:
+        s = bytes(html_bytes).decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return ""
+    return strip_markup(s)
+
+
+def _extract_text_dom_nows(html_bytes: bytes | None) -> str:
+    """extract_text_dom minus the whitespace collapse (same tokenize
+    invariance argument as _extract_text_nows)."""
+    if html_bytes is None:
+        return ""
+    try:
+        s = bytes(html_bytes).decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return ""
+    return _html.unescape(_DOM.sub(" ", s))
+
+
+# tokenize-bound twins of EXTRACTORS (functions/tokenize.canonicalize_
+# iter): identical token streams, no whitespace-collapse pass
+EXTRACTORS_NOWS = {"frozen": _extract_text_nows,
+                   "dom": _extract_text_dom_nows}
+
+
 def extract_batch(html_series: pd.Series,
                   extractor: str = "frozen") -> pd.Series:
     """Batch form over an Arrow column of binary.

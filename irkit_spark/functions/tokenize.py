@@ -90,8 +90,14 @@ def canonicalize_iter(batches: Iterator[pd.DataFrame],
     this mode every row also carries `dl` (the doc's token count —
     free here, len(tok_list)), so the docs table downstream is a pure
     projection: no corpus-wide re-split for doc lengths."""
-    from irkit_spark.functions.extract import EXTRACTORS
-    _extract = EXTRACTORS[extractor]
+    from irkit_spark.functions.extract import EXTRACTORS_NOWS
+    # the no-whitespace-collapse twin: the token stream of
+    # findall(TOKEN_RE, x.lower()) is invariant under the collapse
+    # (whitespace is never inside a token and never joins two runs),
+    # and this path never emits the extracted text itself — only the
+    # canonical ' '.join(tokens) — so the collapse pass (~70% of
+    # extract wall on the bench corpus) is pure overhead here
+    _extract = EXTRACTORS_NOWS[extractor]
     for pdf in batches:
         if from_html:
             texts = (_extract(h) for h in pdf[text_col])

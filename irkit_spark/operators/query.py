@@ -1175,10 +1175,17 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
     def run_all(pdf: pd.DataFrame,
                 docs_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
         outs = []
+        # ONE decoded-block cache for every query in this shard task:
+        # cache keys are (term_id, block_ix) and two queries sharing a
+        # term see the same postings row, so a block decoded for one
+        # query serves all later ones (queries in a TREC run share head
+        # terms heavily; previously each kernel call decoded its terms
+        # from scratch)
+        dc: dict = {}
         for qid, kern in kerns.items():
             sub = pdf[pdf["term_id"].isin(tids_by_qid[qid])]
-            r = (kern(sub) if docs_pdf is None
-                 else kern(sub, docs_pdf))
+            r = (kern(sub, decoded_cache=dc) if docs_pdf is None
+                 else kern(sub, docs_pdf, decoded_cache=dc))
             if len(r):
                 outs.append(r.assign(query_id=qid))
         if not outs:

@@ -105,17 +105,27 @@ def _shard_stats_df(index: Index):
                          SHARD_STATS_SCHEMA, index._fmt)
 
 
+# above this many (query term, shard) rows the bound aggregation runs
+# distributed (groupBy + collect of n_shards rows) instead of the
+# driver-side fold below
+_BOUND_DRIVER_MAX = 4_000_000
+
+
 def shard_bounds(index: Index, qmeta: list[dict]) -> list[tuple[int, float]]:
     """[(partition_id, UB)] descending by UB (ties: shard ascending),
     one row per shard holding postings for ANY query term. One narrow
     Spark job: pruned shard_stats scan (or, without the artifact, a
-    pruned postings scan reading only blocks.max_score) -> broadcast
-    idf join -> per-shard sum."""
+    pruned postings scan reading only blocks.max_score), then —
+    below _BOUND_DRIVER_MAX (term, shard) rows — the idf-weighted
+    per-shard sum folds on the DRIVER over the collected narrow rows:
+    same values (terms summed in ascending term_id order; the
+    escalation compare already carries the float-association slack),
+    one job with no exchange instead of the old broadcast-join +
+    groupBy + collect chain, which paid an extra AQE job + shuffle per
+    query. At 10^5-10^6 shards x many query terms the distributed
+    aggregate below remains the plan."""
     spark = index.spark
     tids = [m["term_id"] for m in qmeta]
-    qdf = spark.createDataFrame(
-        [(int(m["term_id"]), float(m["idf"])) for m in qmeta],
-        "term_id int, idf double")
     stats = _shard_stats_df(index)
     if stats is not None:
         per_ts = (stats.filter(F.col("term_id").isin(tids))
@@ -126,12 +136,28 @@ def shard_bounds(index: Index, qmeta: list[dict]) -> list[tuple[int, float]]:
                   .filter(F.col("term_id").isin(tids))
                   .select("partition_id", "term_id",
                           F.array_max("blocks.max_score").alias("mx")))
+    slack = float(index.bound_slack)
+    n_shards = int(index.stats.get("n_shards", 0) or 0)
+    if n_shards and n_shards * len(qmeta) <= _BOUND_DRIVER_MAX:
+        idf_by = {int(m["term_id"]): float(m["idf"]) for m in qmeta}
+        ub: dict[int, float] = {}
+        rows = sorted(per_ts.collect(),
+                      key=lambda r: (r["partition_id"], r["term_id"]))
+        for r in rows:
+            s = int(r["partition_id"])
+            ub[s] = ub.get(s, 0.0) + idf_by[int(r["term_id"])] \
+                * float(r["mx"])
+        out = [(s, u * slack) for s, u in ub.items()]
+        out.sort(key=lambda su: (-su[1], su[0]))
+        return out
+    qdf = spark.createDataFrame(
+        [(int(m["term_id"]), float(m["idf"])) for m in qmeta],
+        "term_id int, idf double")
     rows = (per_ts
             .join(F.broadcast(qdf), "term_id")
             .groupBy("partition_id")
             .agg(F.sum(F.col("idf") * F.col("mx")).alias("ub"))
             .collect())
-    slack = float(index.bound_slack)
     out = [(int(r["partition_id"]), float(r["ub"]) * slack)
            for r in rows]
     out.sort(key=lambda su: (-su[1], su[0]))

@@ -71,6 +71,19 @@ def _query_terms_df(spark, query: str):
     return spark.createDataFrame([(t,) for t in toks], "term string")
 
 
+def _query_term_freqs(docs: DataFrame, q: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) restricted to the query's terms, with the
+    term filter applied to the token stream BEFORE any aggregation
+    (guide §2.3: shuffle fewer bytes). Value-identical to
+    `term_freqs(docs).join(broadcast(q), "term")` — a (doc, term)
+    occurrence count is unchanged by dropping other terms first — but
+    the corpus-wide groupBy over the full vocabulary never runs: only
+    query-term token rows reach the exchange."""
+    return (tokens_df(docs).join(F.broadcast(q), "term")
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
 def bm25_topk_text(docs: DataFrame, query: str, k: int = 10,
                    round_dp: int | None = 6) -> DataFrame:
     """Brute-force TAAT BM25 over raw text — pure groupBy/agg (A4+O3).
@@ -78,16 +91,22 @@ def bm25_topk_text(docs: DataFrame, query: str, k: int = 10,
     This is the engine's SQL-oracle flagship: rank-identical to the
     index-backed TAAT/DAAT/WAND paths (tested in
     tests/test_query_identity.py).
-    """
+
+    Plan shape (round 7, guide §2.3): the query-term filter sits below
+    every aggregate — tf comes from _query_term_freqs and df/n_docs
+    ride a per-term re-aggregation of the same exchange (Catalyst
+    reuses it), so no full-vocabulary groupBy ever runs. Values are
+    identical: tf/df per (doc, query term) do not depend on the other
+    terms' rows."""
     spark = docs.sparkSession
-    tf = term_freqs(docs)
     dl = doc_lengths(docs)
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.avg("doc_len").alias("avgdl")).collect()[0]
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     q = _query_terms_df(spark, query)
-    ts = term_stats(docs).join(F.broadcast(q), "term")
-    scored = (tf.join(F.broadcast(ts.select("term", "df")), "term")
+    tf = _query_term_freqs(docs, q)
+    qdf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(qdf), "term")
               .join(dl, "doc_id")
               .withColumn(
                   "partial",
@@ -109,14 +128,14 @@ def ql_topk_text(docs: DataFrame, query: str, k: int = 10,
     least one query term are ranked (matches irkit's OR traversal), but
     each ranked doc is scored over ALL query terms incl. zero-tf ones."""
     spark = docs.sparkSession
-    tf = term_freqs(docs)
     dl = doc_lengths(docs)
     coll = dl.agg(F.sum("doc_len").alias("c")).collect()[0]["c"]
     q = _query_terms_df(spark, query)
-    qstats = (term_stats(docs).join(F.broadcast(q), "term")
-              .select("term", "cf"))
-    cand = (tf.join(F.broadcast(qstats.select("term")), "term")
-            .select("doc_id").distinct())
+    tf = _query_term_freqs(docs, q)
+    # cf per query term from the SAME filtered exchange (identical to
+    # term_stats' value: a term's corpus tf sum ignores other terms)
+    qstats = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    cand = tf.select("doc_id").distinct()
     grid = cand.crossJoin(F.broadcast(qstats))
     scored = (grid
               .join(tf, ["doc_id", "term"], "left").fillna(0, ["tf"])
@@ -140,12 +159,11 @@ def jm_topk_text(docs: DataFrame, query: str, k: int = 10,
     doc-length join, one group-sum."""
     from irkit_spark.config import JM_LAMBDA
     spark = docs.sparkSession
-    tf = term_freqs(docs)
     dl = doc_lengths(docs)
     coll = dl.agg(F.sum("doc_len").alias("c")).collect()[0]["c"]
     q = _query_terms_df(spark, query)
-    qstats = (term_stats(docs).join(F.broadcast(q), "term")
-              .select("term", "cf"))
+    tf = _query_term_freqs(docs, q)
+    qstats = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     c = (1.0 - JM_LAMBDA) / JM_LAMBDA
     scored = (tf.join(F.broadcast(qstats), "term")
               .join(dl, "doc_id")
@@ -165,11 +183,11 @@ def bm25_conjunctive_topk_text(docs: DataFrame, query: str, k: int = 10,
     oracle for the index kernel's conjunctive mode."""
     spark = docs.sparkSession
     q = _query_terms_df(spark, query)
-    tf = term_freqs(docs)
-    # OOV terms are dropped before traversal (P3), same as the kernel
-    n_invocab = (term_stats(docs).join(F.broadcast(q), "term").count())
-    cand = (tf.join(F.broadcast(q), "term")
-            .groupBy("doc_id").agg(F.count("*").alias("n"))
+    tf = _query_term_freqs(docs, q)
+    # OOV terms are dropped before traversal (P3), same as the kernel;
+    # a query term is in-vocab iff it has >= 1 (doc, term) row
+    n_invocab = tf.select("term").distinct().count()
+    cand = (tf.groupBy("doc_id").agg(F.count("*").alias("n"))
             .filter(F.col("n") == n_invocab)
             .select("doc_id"))
     full = bm25_topk_text(docs, query, k=1 << 30, round_dp=round_dp)
@@ -183,7 +201,7 @@ def conjunctive_docs(docs: DataFrame, query: str) -> DataFrame:
     spark = docs.sparkSession
     toks = sorted(set(tokenize(query)))
     q = _query_terms_df(spark, query)
-    return (term_freqs(docs).join(F.broadcast(q), "term")
+    return (_query_term_freqs(docs, q)
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_terms"),
                  F.sum("tf").alias("sum_tf"))
@@ -196,7 +214,7 @@ def disjunctive_docs(docs: DataFrame, query: str) -> DataFrame:
     """Docs containing ANY query term, with match count + summed tf
     (J2 oracle form: union merge)."""
     q = _query_terms_df(docs.sparkSession, query)
-    return (term_freqs(docs).join(F.broadcast(q), "term")
+    return (_query_term_freqs(docs, q)
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_terms"),
                  F.sum("tf").alias("sum_tf"))

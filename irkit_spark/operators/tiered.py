@@ -242,22 +242,39 @@ def tiered_search(index: Index, query: str, k: int = 10,
 
     tier = _tier_df(index)
     theta = -np.inf
-    if tier is not None:
-        rows1 = _kernel_pass(index, qmeta, tier, k, mode,
-                             theta0=-np.inf, del_bc=del_bc,
-                             scorer=scorer)
-        if len(rows1) >= k:
-            sc = rows1["score"].to_numpy()
-            kth = float(np.partition(sc, sc.size - k)[sc.size - k])
-            # deflate: theta must stay below the true k-th best even
-            # though phase 2 sums MORE non-negative terms in a
-            # different float association (see module doc)
-            theta = kth - _ESCALATE_EPS * abs(kth)
+    # phase 1 (tier kernel) and the shard-bound pass are independent
+    # Spark jobs — submit the bound pass from a driver thread so its
+    # scan overlaps phase 1 instead of serializing after it (guide
+    # §2.6: actions are only sequential because driver code calls them
+    # sequentially). The bound pass does not depend on theta; only the
+    # CUT below does.
+    bounds_f = None
+    if scorer == "bm25":
+        from concurrent.futures import ThreadPoolExecutor
+        _ex = ThreadPoolExecutor(max_workers=1)
+        bounds_f = _ex.submit(shard_bounds, index, qmeta)
+        _ex.shutdown(wait=False)
+    try:
+        if tier is not None:
+            rows1 = _kernel_pass(index, qmeta, tier, k, mode,
+                                 theta0=-np.inf, del_bc=del_bc,
+                                 scorer=scorer)
+            if len(rows1) >= k:
+                sc = rows1["score"].to_numpy()
+                kth = float(np.partition(sc, sc.size - k)[sc.size - k])
+                # deflate: theta must stay below the true k-th best
+                # even though phase 2 sums MORE non-negative terms in
+                # a different float association (see module doc)
+                theta = kth - _ESCALATE_EPS * abs(kth)
+    except BaseException:
+        if bounds_f is not None:
+            bounds_f.cancel()
+        raise
 
     if scorer == "bm25":
         # shard-bound cut (BM25 quantities): skip shards that cannot
         # reach theta at all
-        bounds = shard_bounds(index, qmeta)
+        bounds = bounds_f.result()
         if not bounds:
             return empty
         searched = [s for s, ub in bounds if ub >= theta]
