@@ -1134,15 +1134,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (search(idx, Q_BM25_A, k=10, mode="wand", local=False)
                 .select("doc_id", F.round("score", 6).alias("score")))
 
-    # ORDERING CONTRACT: the driver's correctness gate verifies only the
-    # FIRST 50 entries of this dict (confirmed r5). Least-driver-proven
-    # entries therefore come first: the 25 round-5 entries that have
-    # never had a driver-green row, then event_sessions (oracle typing
-    # fixed r6), then new round-6 entries, then core re-confirmations
-    # filling to 50. Entries past 50 are all driver-green from r1-r5
-    # (redundant k-depth variants and the long-stable pipeline tier).
+    # ORDERING CONTRACT: the driver's correctness gate verifies only
+    # the FIRST 50 entries of this dict (confirmed r5). Rotation
+    # schedule (r7, per the r6 verdict): positions 1-11 are the 11
+    # entries NO driver window has ever checked (incl. round-6's
+    # containment_pairs); 12-50 backfill with the least-recently-
+    # driver-checked entries (last green r1-r5, rotated out of the
+    # r6 window). Entries past 50 are exactly the 50 the r6 driver
+    # window verified (CORRECTNESS_r06.json) plus redundant
+    # parameter variants of in-window entries; every out-of-window
+    # entry still runs through tools/check_oracles.py each round
+    # (this round: 110/110 PASS at sf0.01 and sf0.001 — see
+    # OPTIMIZATION_r07.md). After this round every one of the 110
+    # entries has appeared in some round's driver window.
     return {
-        # --- r5 entries, never driver-checked (judge-verified only) ---
+        # --- never driver-checked before r7: lead the window ---
+        "containment_pairs": q_containment,
+        "eval_metrics": q_eval_metrics,
+        "autocomplete_top": q_autocomplete_top,
+        "fuzzy_suggest": q_fuzzy_suggest,
+        "facet_lang_counts": q_facet_lang_counts,
+        "hash_sample": q_hash_sample,
+        "hash_split_counts": q_hash_split_counts,
+        "url_canonicalize": q_url_canonicalize,
+        "index_fuzzy2_wand_top10": q_index_fuzzy2_wand_top10,
+        "index_phrase3_top10": q_index_phrase3_top10,
+        "index_snippets_w5": q_index_snippets_w5,
+        # --- least-recently-driver-checked (green r1-r5) ---
+        "tokenize_tf": q_tokenize_tf,
+        "lexicon": q_lexicon,
+        "bm25_taat_top10": q_bm25_taat_top10,
+        "index_jm_top10": q_index_jm_top10,
+        "index_taat_top10": q_index_taat,
+        "index_daat_top10": q_index_daat,
+        "index_wand_top10": q_index_wand,
+        "index_maxscore_top10": q_index_maxscore_top10,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "index_ql_top10": q_index_ql_top10,
+        "dedup_exact": q_dedup_exact,
+        "event_window_counts": q_event_window_counts,
+        "collection_stats": q_collection_stats,
+        "term_stats": q_term_stats,
+        "doc_lengths": q_doc_lengths,
+        "ql_top10": q_ql_top10,
+        "jm_taat_top10": q_jm_taat_top10,
+        "and_conjunctive": q_and,
+        "or_disjunctive": q_or,
+        "index_wand_filtered_top10": q_index_wand_filtered_top10,
+        "index_batch_wand_top10": q_index_batch_wand_top10,
+        "index_wand_local_top10": q_index_wand_local_top10,
+        "index_wand_quantized_top10": q_index_wand_quantized,
+        "index_and_top10": q_index_and_top10,
+        "token_jaccard_pairs": q_token_jaccard,
+        "shingle_jaccard_pairs": q_shingle_jaccard,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality,
+        "bigram_pmi": q_bigram_pmi,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_top10": q_ann_cosine,
+        "media_metadata": q_media_metadata,
+        "winnow_fingerprints": q_winnow,
+        "dedup_near_keep_first": q_dedup_near,
+        "simhash_pairs": q_simhash,
+        "simhash_pairs_blocked": q_simhash_blocked,
+        "lsh_ann_top10": q_lsh_ann,
+        "ivf_ann_top10": q_ivf_ann,
+        # --- past the driver window: parameter variants of
+        # in-window entries, then the r6-verified 50 ---
+        "bm25_taat_top100": q_bm25_taat_top100,
+        "index_wand_top100": q_index_wand_top100,
+        "index_wand_top1000": q_index_wand_top1000,
+        "index_wand_quantized_bound": q_index_wand_quantized_bound,
+        "dedup_keep_first": q_dedup_keep_first,
+        "quality_filter": q_quality_filter,
+        "cosine_pairs": q_cosine_pairs,
+        "sample_frames": q_sample_frames,
+        "resize_images": q_resize_images,
+        "bpe_token_counts": q_bpe_token_counts,
         "index_phrase_top10": q_index_phrase_top10,
         "index_phrase_slop_top10": q_index_phrase_slop_top10,
         "index_snippets_top10": q_index_snippets_top10,
@@ -1151,14 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_updated_wand_top10": q_index_updated_wand_top10,
         "index_prefix_wand_top10": q_index_prefix_wand_top10,
         "index_fuzzy_wand_top10": q_index_fuzzy_wand_top10,
-        # event_funnel/props_stats are new; fuzzy_suggest and
-        # autocomplete_top (r5 judge-verified lexicon-dict reads)
-        # rotate to the judge block
         "event_funnel": q_event_funnel,
         "index_mlt_wand_top10": q_index_mlt_wand_top10,
-        # bpe_pair_counts is the distributed core of BPE merge
-        # learning (pipeline/bpe.py); facet_lang_counts rotates to the
-        # judge block (facet_range_nchars keeps facets in-window)
         "bpe_pair_counts": q_bpe_pair_counts,
         "hybrid_rrf_top10": q_hybrid_rrf_top10,
         "event_props_stats": q_event_props_stats,
@@ -1171,22 +1234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_keep_first": q_dedup_embedding,
         "ann_index_top10": q_ann_index,
         "media_features": q_media_features,
-        # --- driver-red r5 (HUGEINT oracle typing, fixed r6) ---
         "event_sessions": q_event_sessions,
-        # --- new round-6 entries (inside the window) ---
-        # mixture_sample's fractional-epoch branch IS hash_sample's
-        # residue test (same mix, same den) — the window proves the
-        # stronger op; hash_sample rotates to the judge-checked block
         "mixture_sample": q_mixture_sample,
-        # index_synonyms_top10 is the round's new query
-        # surface; hash_split_counts (same mix residue as the
-        # in-window mixture_sample) rotates to the judge block
         "index_synonyms_top10": q_index_synonyms_top10,
         "lm_quality": q_lm_quality,
         "gopher_signals": q_gopher_signals,
         "pii_scrub": q_pii_scrub,
-        # score_explain is new; url_canonicalize (exercised inside
-        # the in-window dedup_url_keep_first) rotates to the judge block
         "score_explain": q_score_explain,
         "dedup_url_keep_first": q_dedup_url_keep_first,
         "domain_caps": q_domain_caps,
@@ -1209,72 +1262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topical_ids": q_topical_ids,
         "paragraph_dedup": q_paragraph_dedup,
         "substring_dedup": q_substring_dedup,
-        # --- core re-confirmations (driver-green r1-r5) + rotated-out
-        # parameter variants of windowed entries (fuzzy2 = the ED<=2
-        # form of the windowed fuzzy; phrase3 = the 3-term form of the
-        # windowed phrase; snippets_w5 = the window-size form of the
-        # windowed snippets) ---
-        "index_fuzzy2_wand_top10": q_index_fuzzy2_wand_top10,
-        "index_phrase3_top10": q_index_phrase3_top10,
-        "index_snippets_w5": q_index_snippets_w5,
-        "hash_sample": q_hash_sample,
-        "fuzzy_suggest": q_fuzzy_suggest,
-        "autocomplete_top": q_autocomplete_top,
-        "eval_metrics": q_eval_metrics,
-        "hash_split_counts": q_hash_split_counts,
-        "url_canonicalize": q_url_canonicalize,
-        "facet_lang_counts": q_facet_lang_counts,
-        "tokenize_tf": q_tokenize_tf,
-        "lexicon": q_lexicon,
-        "bm25_taat_top10": q_bm25_taat_top10,
-        "index_jm_top10": q_index_jm_top10,
-        # --- past the driver window: driver-green r1-r5, stable ---
-        "index_taat_top10": q_index_taat,
-        "index_daat_top10": q_index_daat,
-        "index_wand_top10": q_index_wand,
-        "index_maxscore_top10": q_index_maxscore_top10,
-        "minhash_lsh_pairs": q_minhash_lsh,
-        "index_ql_top10": q_index_ql_top10,
-        "dedup_exact": q_dedup_exact,
-        "event_window_counts": q_event_window_counts,
-        "collection_stats": q_collection_stats,
-        "term_stats": q_term_stats,
-        "doc_lengths": q_doc_lengths,
-        "ql_top10": q_ql_top10,
-        "jm_taat_top10": q_jm_taat_top10,
-        "and_conjunctive": q_and,
-        "or_disjunctive": q_or,
-        "index_wand_filtered_top10": q_index_wand_filtered_top10,
-        "index_batch_wand_top10": q_index_batch_wand_top10,
-        "index_wand_local_top10": q_index_wand_local_top10,
-        "index_wand_quantized_top10": q_index_wand_quantized,
-        "index_and_top10": q_index_and_top10,
-        "bm25_taat_top100": q_bm25_taat_top100,
-        "index_wand_top100": q_index_wand_top100,
-        "index_wand_top1000": q_index_wand_top1000,
-        "index_wand_quantized_bound": q_index_wand_quantized_bound,
-        "dedup_keep_first": q_dedup_keep_first,
-        "token_jaccard_pairs": q_token_jaccard,
-        "shingle_jaccard_pairs": q_shingle_jaccard,
-        "containment_pairs": q_containment,
-        "token_counts": q_token_counts,
-        "quality_scores": q_quality,
-        "bigram_pmi": q_bigram_pmi,
-        "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
-        "ann_cosine_top10": q_ann_cosine,
-        "cosine_pairs": q_cosine_pairs,
-        "media_metadata": q_media_metadata,
-        "quality_filter": q_quality_filter,
-        "bpe_token_counts": q_bpe_token_counts,
-        "sample_frames": q_sample_frames,
-        "resize_images": q_resize_images,
-        "winnow_fingerprints": q_winnow,
-        "dedup_near_keep_first": q_dedup_near,
-        "simhash_pairs": q_simhash,
-        "simhash_pairs_blocked": q_simhash_blocked,
-        "lsh_ann_top10": q_lsh_ann,
-        "ivf_ann_top10": q_ivf_ann,
     }
 
 
@@ -2667,18 +2654,6 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'click', (SELECT count(*) FROM s1)),
   (CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)))
   t(stage, event_type, n_users)""",
-        # cohort retention: first-day cohorts, day offsets, distinct
-        # active users (UTC dates — the session contract)
-        "event_retention": """
-WITH first AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
-act AS (SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
-                    CAST(ft AS DATE)) AS BIGINT) AS cohort_day,
-               CAST(date_diff('day', CAST(ft AS DATE), CAST(ts AS DATE))
-                    AS BIGINT) AS day_offset,
-               e.user_id
-        FROM events e JOIN first USING (user_id))
-SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
-FROM act GROUP BY 1, 2""",
         # cohort retention: first-day cohorts, day offsets, distinct
         # active users (UTC dates — the session contract)
         "event_retention": """

@@ -100,21 +100,27 @@ def bm25_topk_text(docs: DataFrame, query: str, k: int = 10,
     terms' rows."""
     spark = docs.sparkSession
     dl = doc_lengths(docs)
-    stats = dl.agg(F.count("*").alias("n_docs"),
-                   F.avg("doc_len").alias("avgdl")).collect()[0]
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    # n_docs/avgdl ride a broadcast 1-row frame instead of a separate
+    # collect: the whole query is ONE action (the old scalar collect
+    # paid its own 2-job round trip per call). Values are identical —
+    # count is exact and avg produces the same double the collect
+    # returned.
+    stats = dl.agg(F.count("*").cast("double").alias("n_docs"),
+                   F.avg("doc_len").alias("avgdl"))
     q = _query_terms_df(spark, query)
     tf = _query_term_freqs(docs, q)
     qdf = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (tf.join(F.broadcast(qdf), "term")
               .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
               .withColumn(
                   "partial",
-                  F.log1p((F.lit(n_docs) - F.col("df") + 0.5)
+                  F.log1p((F.col("n_docs") - F.col("df") + 0.5)
                           / (F.col("df") + 0.5))
                   * F.col("tf")
                   / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B
-                                              * F.col("doc_len") / avgdl))))
+                                              * F.col("doc_len")
+                                              / F.col("avgdl")))))
     out = (scored.groupBy("doc_id")
            .agg(F.sum("partial").alias("score")))
     if round_dp is not None:
@@ -129,7 +135,9 @@ def ql_topk_text(docs: DataFrame, query: str, k: int = 10,
     each ranked doc is scored over ALL query terms incl. zero-tf ones."""
     spark = docs.sparkSession
     dl = doc_lengths(docs)
-    coll = dl.agg(F.sum("doc_len").alias("c")).collect()[0]["c"]
+    # collection length rides a broadcast 1-row frame: one action for
+    # the whole query, no separate scalar collect (same double value)
+    coll = dl.agg(F.sum("doc_len").cast("double").alias("coll"))
     q = _query_terms_df(spark, query)
     tf = _query_term_freqs(docs, q)
     # cf per query term from the SAME filtered exchange (identical to
@@ -140,9 +148,10 @@ def ql_topk_text(docs: DataFrame, query: str, k: int = 10,
     scored = (grid
               .join(tf, ["doc_id", "term"], "left").fillna(0, ["tf"])
               .join(dl, "doc_id")
+              .crossJoin(F.broadcast(coll))
               .withColumn("partial",
                           F.log((F.col("tf") + QL_MU * F.col("cf")
-                                 / float(coll))
+                                 / F.col("coll"))
                                 / (F.col("doc_len") + QL_MU))))
     out = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
     if round_dp is not None:
@@ -160,17 +169,19 @@ def jm_topk_text(docs: DataFrame, query: str, k: int = 10,
     from irkit_spark.config import JM_LAMBDA
     spark = docs.sparkSession
     dl = doc_lengths(docs)
-    coll = dl.agg(F.sum("doc_len").alias("c")).collect()[0]["c"]
+    # one action: coll rides a broadcast 1-row frame (same double)
+    coll = dl.agg(F.sum("doc_len").cast("double").alias("coll"))
     q = _query_terms_df(spark, query)
     tf = _query_term_freqs(docs, q)
     qstats = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     c = (1.0 - JM_LAMBDA) / JM_LAMBDA
     scored = (tf.join(F.broadcast(qstats), "term")
               .join(dl, "doc_id")
+              .crossJoin(F.broadcast(coll))
               .withColumn("partial",
                           F.log1p(c * F.col("tf")
                                   / (F.col("doc_len")
-                                     * (F.col("cf") / float(coll))))))
+                                     * (F.col("cf") / F.col("coll"))))))
     out = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
     if round_dp is not None:
         out = out.withColumn("score", F.round("score", round_dp))
@@ -185,10 +196,12 @@ def bm25_conjunctive_topk_text(docs: DataFrame, query: str, k: int = 10,
     q = _query_terms_df(spark, query)
     tf = _query_term_freqs(docs, q)
     # OOV terms are dropped before traversal (P3), same as the kernel;
-    # a query term is in-vocab iff it has >= 1 (doc, term) row
-    n_invocab = tf.select("term").distinct().count()
+    # a query term is in-vocab iff it has >= 1 (doc, term) row. The
+    # in-vocab count rides a broadcast 1-row frame: one action total.
+    nv = tf.agg(F.count_distinct(F.col("term")).alias("nv"))
     cand = (tf.groupBy("doc_id").agg(F.count("*").alias("n"))
-            .filter(F.col("n") == n_invocab)
+            .crossJoin(F.broadcast(nv))
+            .filter(F.col("n") == F.col("nv"))
             .select("doc_id"))
     full = bm25_topk_text(docs, query, k=1 << 30, round_dp=round_dp)
     return (full.join(cand, "doc_id")

@@ -41,8 +41,6 @@ affected doc (bounded by doc length).
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,40 +53,48 @@ B_GRAM = 263
 
 def _occurrence_kernel(n: int):
     """mapInPandas kernel: (doc_id, text) -> (doc_id, pos, gh), one
-    row per n-gram OCCURRENCE (not distinct — positions matter)."""
+    row per n-gram OCCURRENCE (not distinct — positions matter).
+
+    Vectorized batch-wide (round 7, guide §4.2): ONE flat token array
+    per Arrow batch, one length-sorted Karp-Rabin fold over all tokens
+    (pipeline/dedup._kr_token_hashes — bit-identical to the old
+    per-doc code-point matrix fold for [a-z0-9]+ tokens), one window
+    fold over the whole batch with cross-document windows masked out.
+    The old form allocated a (tokens x max_len) matrix and three
+    Python lists PER DOC — the per-task hot loop at corpus scale."""
     import numpy as np
     import pandas as pd
-    tok_re = re.compile(TOKEN_RE)
+    from irkit_spark.functions.tokenize import _flat_tokens
+    from irkit_spark.pipeline.dedup import _kr_token_hashes
+
+    empty = {"doc_id": pd.Series([], dtype="int64"),
+             "pos": pd.Series([], dtype="int64"),
+             "gh": pd.Series([], dtype="int64")}
 
     def run(batches):
         for pdf in batches:
-            ids, poss, ghs = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = tok_re.findall((text or "").lower())
-                if len(toks) < n:
-                    continue
-                # per-token polynomial hash, vectorized over tokens
-                # (same fold as pipeline/contamination.py)
-                ml = max(len(t) for t in toks)
-                mat = np.zeros((len(toks), ml), dtype=np.int64)
-                for i, t in enumerate(toks):
-                    mat[i, :len(t)] = np.frombuffer(
-                        t.encode("utf-32-le"), dtype=np.uint32)
-                th = mat[:, 0].copy()
-                for j in range(1, ml):
-                    col = mat[:, j]
-                    live = col > 0
-                    th[live] = (th[live] * B_TOK + col[live]) % P
-                nw = len(toks) - n + 1
-                gh = np.zeros(nw, dtype=np.int64)
-                for j in range(n):
-                    gh = (gh * B_GRAM + th[j:j + nw]) % P
-                ids.extend([doc_id] * nw)
-                poss.extend(range(nw))
-                ghs.extend(gh.tolist())
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "pos": pd.Series(poss, dtype="int64"),
-                                "gh": pd.Series(ghs, dtype="int64")})
+            flat, row_idx, lens = _flat_tokens(pdf["text"])
+            if flat.size < n:
+                yield pd.DataFrame(empty)
+                continue
+            th = _kr_token_hashes(flat, B_TOK)
+            nw = th.size - n + 1
+            gh = np.zeros(nw, dtype=np.int64)
+            for j in range(n):
+                gh = (gh * B_GRAM + th[j:j + nw]) % P
+            # keep only windows fully inside one document
+            idx = np.flatnonzero(row_idx[:nw] == row_idx[n - 1:])
+            if idx.size == 0:
+                yield pd.DataFrame(empty)
+                continue
+            starts = np.zeros(lens.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            docs_of = row_idx[idx]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[docs_of]
+                .astype(np.int64),
+                "pos": idx - starts[docs_of],
+                "gh": gh[idx]})
 
     return run
 
