@@ -116,27 +116,28 @@ def canonicalize_iter(batches: Iterator[pd.DataFrame],
             "dl": pd.Series(np.fromiter(map(len, tok_lists),
                                         dtype=np.int32,
                                         count=len(tok_lists)))})
-        total = sum(map(len, tok_lists))
-        if total:
-            flat = np.empty(total, dtype=object)
-            pos = 0
-            for ts in tok_lists:
-                n = len(ts)
-                if n:
-                    flat[pos:pos + n] = ts
-                    pos += n
-            _, uniq = pd.factorize(flat)
+        # batch-distinct via set.update — ~4x faster than the old
+        # flat-array + factorize form (round 7), and the downstream
+        # global distinct() is order-insensitive anyway
+        uniq: set = set()
+        for ts in tok_lists:
+            uniq.update(ts)
+        if uniq:
             nu = len(uniq)
             yield pd.DataFrame({
                 id_col: pd.Series([None] * nu, dtype="object"),
-                "text": pd.Series(np.asarray(uniq, dtype=object),
-                                  dtype="object"),
+                "text": pd.Series(list(uniq), dtype="object"),
                 "dl": pd.Series(np.zeros(nu, dtype=np.int32))})
 
 
 def _flat_tokens(texts, pre_tokenized: bool = False
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Shared tokenize core: texts -> (flat object array, row_idx, lens)."""
+    """Shared tokenize core: texts -> (flat object array, row_idx, lens).
+
+    (Round 7 note: a join-whole-batch + single-split variant of the
+    pre_tokenized path measured 1.5x SLOWER than the per-doc split +
+    slice-assign below — the per-doc loop is already C-dominated —
+    so this form stands.)"""
     if pre_tokenized:
         # str.split() returns [] for '' and tokens hold no whitespace,
         # so this reproduces the frozen token sequence exactly

@@ -698,6 +698,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
     src = None
     bc = None
     join_ids = False
+    id_mapping_cached = None
     vocab_cap = (broadcast_vocab_max if broadcast_vocab_max is not None
                  else config.BROADCAST_VOCAB_MAX)
     if reuse_tok:
@@ -777,9 +778,19 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
             # broadcast only while the (url, doc_id) mapping fits the
             # driver/executors (same gate as assign_dense_ids); at
             # 10^9-10^12 docs the mapping is corpus-sized and the join
-            # must shuffle on url instead
-            right = (F.broadcast(mapping)
-                     if n_ids <= config.ID_BROADCAST_MAX else mapping)
+            # must shuffle on url instead.
+            # Below the gate the narrow mapping is ALSO persisted: two
+            # separate actions consume it (the tok write and the docs
+            # write), and exchanges are not reused across actions, so
+            # without the cache the per-bucket id window sort ran
+            # twice per build (round 7; unpersisted after docs_write)
+            if n_ids <= config.ID_BROADCAST_MAX:
+                mapping = mapping.persist()
+                id_mapping_cached = mapping
+                right = F.broadcast(mapping)
+            else:
+                id_mapping_cached = None
+                right = mapping
             src = src0.join(right, "url")
         key0 = "doc_id" if doc_id_col is not None else "url"
         batch_terms = (src_all.filter(F.col(key0).isNull())
@@ -891,6 +902,9 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str, *,
         docs = read_artifact(spark, out_dir, "docs", DOCS_TABLE_SCHEMA,
                              fmt)
         src_all.unpersist()
+        if id_mapping_cached is not None:
+            # both consumers (tok write, docs write) are done
+            id_mapping_cached.unpersist()
 
     glob = docs.agg(F.count("*").alias("n"),
                     F.sum("doc_len").alias("len"),

@@ -49,6 +49,11 @@ from irkit_spark.functions.tokenize import tokenize
 
 TOPK_SCHEMA = "doc_id long, score double"
 
+# batch_search driver-merge gate: above this many candidate rows
+# (|queries| * k * n_shards upper bound) the per-query top-k merge
+# stays a distributed window instead of a driver collect
+_BATCH_DRIVER_MAX = 2_000_000
+
 
 def _topk_struct():
     """StructType twin of TOPK_SCHEMA: pandas input + a DDL-string
@@ -1205,6 +1210,37 @@ def batch_search(index: Index, queries: dict[str, str] | list[str],
                  .cogroup(qdocs.groupBy("partition_id"))
                  .applyInPandas(lambda lt, rt: run_all(lt, rt),
                                 out_schema))
+    # global k-per-query merge. The shard tasks emit <= k rows per
+    # (query, shard), so below _BATCH_DRIVER_MAX candidate rows the
+    # merge runs on the driver (the selective/tiered pattern): one
+    # collect instead of window-exchange + sort, which cost an extra
+    # AQE job + shuffle per batch run. Above the gate (a 10^5-query
+    # TREC run over 10^4 shards) the distributed window remains.
+    n_shards = int(index.stats.get("n_shards", 0) or 0)
+    if n_shards and len(qmetas) * k * n_shards <= _BATCH_DRIVER_MAX:
+        pdf = local.toPandas()
+        if not len(pdf):
+            return spark.createDataFrame([], out_schema)
+        qid = pdf["query_id"].to_numpy()
+        doc = pdf["doc_id"].to_numpy()
+        sc_ = pdf["score"].to_numpy()
+        # (query_id asc, score desc, doc_id asc), then k per query
+        order = np.lexsort((doc, -sc_, qid))
+        qid, doc, sc_ = qid[order], doc[order], sc_[order]
+        starts = np.concatenate(([True], qid[1:] != qid[:-1]))
+        rank = np.arange(qid.size) - np.maximum.accumulate(
+            np.where(starts, np.arange(qid.size), 0))
+        keep = rank < k
+        out = pd.DataFrame({"query_id": qid[keep],
+                            "doc_id": doc[keep].astype(np.int64),
+                            "score": sc_[keep]})
+        from pyspark.sql.types import (DoubleType, LongType,
+                                       StringType, StructField,
+                                       StructType)
+        return spark.createDataFrame(out, StructType([
+            StructField("query_id", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("score", DoubleType())]))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("doc_id"))
     return (local.withColumn("__rk", F.row_number().over(w))

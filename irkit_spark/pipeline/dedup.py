@@ -356,6 +356,46 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
         run, "doc_id long, band int, band_hash long")
 
 
+def _signatures_from_sets(sets: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) derived from a shingle_hash_sets
+    frame — the same permutation + band fold minhash_signatures
+    computes, but over the ALREADY-built per-doc hash sets, so the
+    corpus is tokenized once when `sets` is materialized (round 7:
+    minhash_lsh_pairs previously ran the tokenize+shingle kernel once
+    for signatures and twice more for the two verify sides)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            if ids.size == 0:
+                yield pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band": pd.Series([], dtype="int32"),
+                    "band_hash": pd.Series([], dtype="int64")})
+                continue
+            sigs = np.empty((ids.size, N_PERM), dtype=np.int64)
+            for i, hs in enumerate(pdf["shs"]):
+                hs = np.asarray(hs, dtype=np.int64)
+                vals = (hs[None, :] * _MH_A[:, None]
+                        + _MH_B[:, None]) % _KR_P
+                sigs[i] = vals.min(axis=1)
+            bands = sigs.reshape(ids.size, N_BANDS, ROWS_PER_BAND)
+            b1 = np.zeros((ids.size, N_BANDS), dtype=np.int64)
+            b2 = np.zeros((ids.size, N_BANDS), dtype=np.int64)
+            for r in range(ROWS_PER_BAND):
+                b1 = (b1 * _KR_B1 + bands[:, :, r]) % _KR_P
+                b2 = (b2 * _KR_B2 + bands[:, :, r]) % _KR_P
+            bh = b1 * (_KR_P + 1) + b2
+            yield pd.DataFrame({
+                "doc_id": np.repeat(ids.astype(np.int64), N_BANDS),
+                "band": np.tile(np.arange(N_BANDS, dtype=np.int32),
+                                ids.size),
+                "band_hash": bh.reshape(-1)})
+
+    return sets.select("doc_id", "shs").mapInPandas(
+        run, "doc_id long, band int, band_hash long")
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                       verify_threshold: float = 0.5) -> DataFrame:
     """(doc_a, doc_b, jac): LSH candidates (same band bucket) verified
@@ -367,8 +407,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     against the per-doc shingle-hash sets (two hash joins on doc_a /
     doc_b) with exact Jaccard computed per pair JVM-side
     (array_intersect). No corpus-wide shingle self-join anywhere in
-    the plan."""
-    sig = minhash_signatures(docs, n)
+    the plan. The per-doc hash sets are localCheckpoint-materialized
+    and signatures derive from them (_signatures_from_sets), so the
+    corpus is tokenized+shingled ONCE per call instead of three times
+    (signature pass + both verify sides — round 7, guide §1.2 "don't
+    compute things twice")."""
+    sets = shingle_hash_sets(docs, n).localCheckpoint(eager=False)
+    sig = _signatures_from_sets(sets)
     l, r = sig.alias("l"), sig.alias("r")
     cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
                    & (F.col("l.band_hash") == F.col("r.band_hash"))
@@ -376,7 +421,6 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .distinct())
-    sets = shingle_hash_sets(docs, n)
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("shs").alias("shs_a"), F.col("nsh").alias("na"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
