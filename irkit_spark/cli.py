@@ -409,6 +409,10 @@ def cmd_curate(args):
     if args.split:
         from irkit_spark.pipeline.sampling import hash_split
         df = hash_split(df, args.split)
+        # every enabled stage reports its row count; the labeling
+        # stage reports per-split counts (ADVICE r6)
+        report["split"] = {r["split"]: r["count"] for r in
+                           df.groupBy("split").count().collect()}
     df.write.mode("overwrite").parquet(args.out)
     report["out"] = spark.read.parquet(args.out).count()
     print(json.dumps(report))

@@ -152,43 +152,60 @@ def _merge_groups_iter(batches: Iterator[pd.DataFrame]
     group of each batch is carried into the next — the same carry
     protocol as the index encode kernel (operators/build._encode_kernel).
     Per-doc varbyte streams concatenate verbatim (self-delimiting), so
-    the merge is byte joins — no re-encode."""
-    carry: pd.DataFrame | None = None
+    the merge is byte joins — no re-encode.
 
-    def emit(g: pd.DataFrame) -> dict:
-        docs = g["doc_id"].to_numpy().astype(np.int64)
-        ns = g["n"].to_numpy().astype(np.uint64)
-        first = int(docs[0])
-        gaps = np.diff(docs, prepend=first).astype(np.uint64)
-        return {
-            "term_id": int(g["term_id"].iloc[0]),
-            "partition_id": int(g["partition_id"].iloc[0]),
-            "n_docs": len(g),
-            "cf": int(ns.sum()),
-            "first_doc": first,
-            "doc_bytes": varbyte_encode(gaps),
-            "cnt_bytes": varbyte_encode(ns),
-            "pos_bytes": b"".join(bytes(b) for b in g["pos_bytes"]),
-        }
+    Vectorized batch-wide (round 7, guide §4.2): doc gaps and counts
+    for the WHOLE batch are varbyte-encoded in two codec calls and
+    sliced per group via the byte-offset table (varbyte is per-value,
+    so the slices are byte-identical to per-group encodes); the only
+    per-group Python left is the bytes slice and the pos_bytes join.
+    The old form ran pandas .iloc + two varbyte calls per (term,
+    shard) group — ~10^5 groups per build partition."""
+    carry: pd.DataFrame | None = None
 
     def flush(pdf: pd.DataFrame, last_open: bool):
         nonlocal carry
         # shard count at 10^12 docs is ~10^7 (> 2^20): pack with a
         # 31-bit shard field so the group key never aliases
-        key = ((pdf["term_id"].to_numpy().astype(np.int64) << np.int64(31))
-               + pdf["partition_id"].to_numpy().astype(np.int64))
+        t = pdf["term_id"].to_numpy().astype(np.int64)
+        p = pdf["partition_id"].to_numpy().astype(np.int64)
+        key = (t << np.int64(31)) + p
         gstart = np.flatnonzero(np.concatenate(
             ([True], key[1:] != key[:-1])))
-        bounds = np.concatenate((gstart, [len(pdf)]))
-        rows = []
-        ng = len(gstart)
-        for i in range(ng):
-            g = pdf.iloc[bounds[i]:bounds[i + 1]]
-            if last_open and i == ng - 1:
-                carry = g.copy()
-            else:
-                rows.append(emit(g))
-        return pd.DataFrame(rows) if rows else None
+        if last_open:
+            cut = int(gstart[-1])
+            carry = pdf.iloc[cut:].copy()
+            if cut == 0:
+                return None
+            pdf = pdf.iloc[:cut]
+            t, p = t[:cut], p[:cut]
+            gstart = gstart[:-1]
+        gend = np.append(gstart[1:], len(pdf))
+        docs = pdf["doc_id"].to_numpy().astype(np.int64)
+        ns = pdf["n"].to_numpy().astype(np.uint64)
+        gaps = np.empty(docs.size, dtype=np.int64)
+        gaps[1:] = docs[1:] - docs[:-1]
+        gaps[gstart] = 0            # first gap is 0 vs first_doc
+        u = gaps.astype(np.uint64)
+        off_d = varbyte_byte_offsets(u)
+        wire_d = varbyte_encode(u, np.diff(off_d))
+        off_n = varbyte_byte_offsets(ns)
+        wire_n = varbyte_encode(ns, np.diff(off_n))
+        cells = list(pdf["pos_bytes"])
+        rows = {
+            "term_id": t[gstart].astype("int32"),
+            "partition_id": p[gstart].astype("int32"),
+            "n_docs": (gend - gstart).astype("int32"),
+            "cf": np.add.reduceat(ns.astype(np.int64), gstart),
+            "first_doc": docs[gstart],
+            "doc_bytes": [bytes(wire_d[off_d[a]:off_d[b]])
+                          for a, b in zip(gstart, gend)],
+            "cnt_bytes": [bytes(wire_n[off_n[a]:off_n[b]])
+                          for a, b in zip(gstart, gend)],
+            "pos_bytes": [b"".join(bytes(c) for c in cells[a:b])
+                          for a, b in zip(gstart, gend)],
+        }
+        return pd.DataFrame(rows)
 
     for pdf in batches:
         if pdf.empty:
@@ -199,8 +216,8 @@ def _merge_groups_iter(batches: Iterator[pd.DataFrame]
         out = flush(pdf, last_open=True)
         if out is not None:
             yield out
-    if carry is not None:
-        yield pd.DataFrame([emit(carry)])
+    if carry is not None and len(carry):
+        yield flush(carry, last_open=False)
 
 
 def build_positions(spark: SparkSession, df: DataFrame, index_path: str,

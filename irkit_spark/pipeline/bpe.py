@@ -177,8 +177,9 @@ def bpe_segment(docs: DataFrame, merges: list,
     piece stream, ' '-joined)."""
     rank = {}
     for m in merges:
-        pair = (m[1], m[2]) if not isinstance(m, tuple) or len(m) > 2 \
-            else (m[0], m[1])
+        # branch on length alone: a 2-element list/tuple is (lhs, rhs),
+        # anything longer is a learn_bpe Row (ix, lhs, rhs, ...)
+        pair = (m[0], m[1]) if len(m) == 2 else (m[1], m[2])
         if pair not in rank:
             rank[pair] = len(rank)
     import pandas as pd

@@ -106,3 +106,17 @@ def test_rejects_bad_n(corpus):
     _, docs = corpus
     with pytest.raises(ValueError):
         learn_bpe(docs, 0)
+
+
+def test_segment_accepts_pair_lists(corpus):
+    """merges as plain 2-element lists/tuples (the docstring's
+    'list of (lhs, rhs)') — regression for the r6-advice IndexError
+    on list input."""
+    _, docs = corpus
+    as_rows = learn_bpe(docs, 6).orderBy("step").collect()
+    as_lists = [[r["lhs"], r["rhs"]] for r in as_rows]
+    as_tuples = [(r["lhs"], r["rhs"]) for r in as_rows]
+    a = {r.doc_id: r.pieces for r in bpe_segment(docs, as_rows).collect()}
+    b = {r.doc_id: r.pieces for r in bpe_segment(docs, as_lists).collect()}
+    c = {r.doc_id: r.pieces for r in bpe_segment(docs, as_tuples).collect()}
+    assert a == b == c
