@@ -445,7 +445,15 @@ def cross_dup_pairs(new_docs: DataFrame, old_docs: DataFrame,
     precomputable, reusable artifact (they are a pure per-doc
     function). Id spaces are independent — pairs carry (new_id,
     old_id), no cross-corpus id comparison."""
-    sig_n = minhash_signatures(new_docs, n).alias("l")
+    # NEW side (a bounded ingest batch): hash sets materialized once,
+    # signatures derived from them — one tokenize pass instead of two
+    # (the minhash_lsh_pairs round-7 pattern). The OLD side stays two
+    # lazy passes on purpose: checkpointing per-doc hash sets of the
+    # whole existing corpus would trade two tokenize passes for a
+    # corpus-sized materialization, and at scale the old side's
+    # signatures are the precomputable artifact anyway (see above).
+    sets_n = shingle_hash_sets(new_docs, n).localCheckpoint(eager=False)
+    sig_n = _signatures_from_sets(sets_n).alias("l")
     sig_o = minhash_signatures(old_docs, n).alias("r")
     cand = (sig_n.join(sig_o,
                        (F.col("l.band") == F.col("r.band"))
@@ -453,7 +461,7 @@ def cross_dup_pairs(new_docs: DataFrame, old_docs: DataFrame,
             .select(F.col("l.doc_id").alias("new_id"),
                     F.col("r.doc_id").alias("old_id"))
             .distinct())
-    sa = shingle_hash_sets(new_docs, n).select(
+    sa = sets_n.select(
         F.col("doc_id").alias("new_id"),
         F.col("shs").alias("shs_a"), F.col("nsh").alias("na"))
     sb = shingle_hash_sets(old_docs, n).select(
