@@ -512,3 +512,36 @@ def test_analyzer_chain(spark, index_small):
     hits = [r["doc_id"] for r in search(aidx, q, 10).collect()]
     assert hits == [0]
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_batch_search_window_fallback_identical(spark, index_small,
+                                                monkeypatch):
+    """Above _BATCH_DRIVER_MAX the per-query merge stays a distributed
+    window (r7 gate); forcing the gate to 0 must give byte-identical
+    rows and order to the driver-merge path."""
+    from irkit_spark.operators import query as q
+    idx, _ = index_small
+    qs = {"a": "term00000 term00003 term00123",
+          "b": "term00001 term00010"}
+    fast = [(r["query_id"], r["doc_id"], r["score"]) for r in
+            q.batch_search(idx, qs, k=10, mode="wand").collect()]
+    monkeypatch.setattr(q, "_BATCH_DRIVER_MAX", 0)
+    slow = [(r["query_id"], r["doc_id"], r["score"]) for r in
+            q.batch_search(idx, qs, k=10, mode="wand").collect()]
+    assert fast == slow and len(fast) == 20
+
+
+def test_shard_bounds_distributed_fallback_identical(spark, index_small,
+                                                     monkeypatch):
+    """Above _BOUND_DRIVER_MAX shard_bounds keeps the distributed
+    aggregate (r7 gate); both paths must rank the same shards with
+    bounds equal to float-association tolerance."""
+    from irkit_spark.operators import selective as sel
+    idx, _ = index_small
+    qmeta = idx.lookup_query("term00000 term00003 term00123")
+    fast = sel.shard_bounds(idx, qmeta)
+    monkeypatch.setattr(sel, "_BOUND_DRIVER_MAX", 0)
+    slow = sel.shard_bounds(idx, qmeta)
+    assert [s for s, _ in fast] == [s for s, _ in slow]
+    for (_, a), (_, b) in zip(fast, slow):
+        assert a == pytest.approx(b, rel=1e-12)
