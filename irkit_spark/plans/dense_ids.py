@@ -54,14 +54,28 @@ def dense_id_mapping(df: DataFrame, key: str, id_col: str,
     explicit value to pin a historical assignment."""
     spark = df.sparkSession
     keys = df.select(key)
+
+    def bucket_counts(nb: int):
+        b = (F.crc32(F.col(key).cast("string")) % nb).cast("int")
+        wb = keys.withColumn("__bucket", b)
+        return wb, (wb.groupBy("__bucket").count()
+                    .orderBy("__bucket").collect())
+
     if n_buckets is None:
-        # one extra narrow-column count job; at scale it is a metadata
-        # read next to the bucket shuffle it right-sizes
-        n_buckets = adaptive_buckets(keys.count())
-    b = (F.crc32(F.col(key).cast("string")) % n_buckets).cast("int")
-    with_bucket = keys.withColumn("__bucket", b)
-    counts = (with_bucket.groupBy("__bucket").count()
-              .orderBy("__bucket").collect())
+        # adaptive_buckets is the _MIN_BUCKETS floor for every input
+        # below _MIN_BUCKETS * _KEYS_PER_BUCKET keys (2.048e9), so the
+        # floor-bucket counts usually ARE the final counts and their
+        # sum IS the total — one job instead of a separate count()
+        # pass (round 7). Only above 2.048e9 keys does the recompute
+        # with the right bucket count run (there it is metadata-cheap
+        # next to the work it sizes). Ids are unchanged either way:
+        # the bucket count is still a pure function of the key count.
+        with_bucket, counts = bucket_counts(_MIN_BUCKETS)
+        n_buckets = adaptive_buckets(sum(r["count"] for r in counts))
+        if n_buckets != _MIN_BUCKETS:
+            with_bucket, counts = bucket_counts(n_buckets)
+    else:
+        with_bucket, counts = bucket_counts(n_buckets)
     offsets, acc = {}, 0
     for row in counts:
         offsets[row["__bucket"]] = acc
